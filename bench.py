@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md: one shared SparkSession for the whole run (JVM
+startup and first parquet-metadata read are one-time constants, not
+per-query costs); each query is timed as plan-build + execution to
+driver collect. A short warmup job triggers codegen/JIT paths first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from hadoop_release_spark.plans.registry import specs  # noqa: E402
+from hadoop_release_spark.session import get_session  # noqa: E402
+
+#: Headline set: one representative per pillar (scan-agg, star join,
+#: wordcount, top-k, plus the heaviest implemented per category).
+HEADLINE = [
+    "d02_agg_groupby",
+    "c13_join_star",
+    "i01_mr_wordcount",
+    "f02_topk_global",
+    "d01_agg_global",
+    "c01_join_inner",
+    "a01_scan_parquet",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("hadoop-release-spark-bench")
+
+    available = specs()
+    names = [n for n in HEADLINE if n in available]
+
+    # Warmup: exercise codegen, parquet footer reads, shuffle machinery.
+    available["d02_agg_groupby"].fn(spark, sf_dir).toPandas()
+
+    # Materialize via Arrow (toPandas): vectorized columnar transfer —
+    # the idiomatic Spark→Python boundary. Row-at-a-time collect() is
+    # ~10-40× slower on wide scans and would measure py4j, not the
+    # engine. Best-of-2 damps single-run jitter on a shared VM.
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            available[name].fn(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""Reusable expression helpers (all JVM-side, codegen-friendly)."""

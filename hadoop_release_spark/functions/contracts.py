@@ -1,0 +1,105 @@
+"""Oracle-portability helpers (SURVEY.md §2 contract-safety rules).
+
+These encode the verified Spark↔DuckDB semantic gotchas once, so
+individual queries never re-derive them.
+
+THE FLOAT RULE (verified in this environment): Spark ``round`` is
+string-based (shortest-repr → BigDecimal HALF_UP) while DuckDB's is
+exact-binary, so rounding an inexact double near a boundary DIVERGES
+between engines. Therefore every float a contract query emits must be
+a *deterministically computed* double:
+
+  * ``round(x, k)`` is only safe when the true decimal value of x has
+    ≤ k decimals (fixture measures are 2dp; products of m such terms
+    have ≤ 2m dp) — then both engines land on the same grid point.
+  * sums of doubles → :func:`dsum` (exact DECIMAL accumulation, one
+    deterministic cast back to double).
+  * averages → :func:`davg` (= dsum/count, IEEE-identical in both
+    engines), never ``round(avg(x))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Exact-accumulation type: 8 fractional digits covers every contract
+#: expression (≤6 true dp), 17 integral digits ≫ any sf0.1 sum.
+_DEC = "decimal(25,8)"
+_ODEC = "DECIMAL(25,8)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ts_us(col: Column | str) -> Column:
+    """Timestamp → epoch microseconds (bigint), the portable hashed form.
+
+    With the session pinned to UTC, ``timestamp_ntz`` wall-clock casts
+    to the identical instant, so this equals DuckDB's
+    ``CAST(epoch_us(col) AS BIGINT)``.
+    """
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def r2(col: Column) -> Column:
+    """Round to 2 decimals — safe only for ≤2-true-dp expressions."""
+    return F.round(col, 2)
+
+
+def r4(col: Column) -> Column:
+    """Round to 4 decimals — safe only for ≤4-true-dp expressions."""
+    return F.round(col, 4)
+
+
+def r6(col: Column) -> Column:
+    """Round to 6 decimals — safe only for ≤6-true-dp expressions."""
+    return F.round(col, 6)
+
+
+def dsum(col: Column | str) -> Column:
+    """Deterministic cross-engine sum of a double column.
+
+    A plain double sum over ~10^5 rows accumulates order-dependent
+    error that can exceed any rounding grid. Instead:
+
+    1. cast each value to exact ``DECIMAL(25,8)`` (exact for
+       ≤8-true-dp inputs; the binary noise of a 2dp double is ~1e-11,
+       far inside the 5e-9 half-grid, so both engines produce the
+       identical decimal),
+    2. sum exactly (order-independent),
+    3. round the decimal total to 4dp IN DECIMAL (exact arithmetic;
+       both engines round half away from zero on decimals — verified
+       necessary: a >15-significant-digit decimal does NOT cast to
+       double identically across engines, DuckDB's int128/10^scale
+       conversion double-rounds),
+    4. cast to double — now ≤14 significant digits, hence exact and
+       identical. DuckDB mirror: :func:`osum`.
+    """
+    return F.round(F.sum(_c(col).cast(_DEC)), 4).cast("double")
+
+
+def osum(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`dsum`."""
+    return f"CAST(round(sum(CAST({expr} AS {_ODEC})), 4) AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Deterministic cross-engine average: exact-sum ÷ count.
+
+    Both engines compute the same numerator double and the same
+    bigint count; one IEEE division yields bit-identical results.
+    Never use ``round(avg(x))`` — see THE FLOAT RULE above.
+    """
+    return dsum(col) / F.count(_c(col))
+
+
+def oavg(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`davg`."""
+    return f"({osum(expr)} / count({expr}))"
+
+
+def net_price() -> Column:
+    """The TPC-H discounted price expression (≤4 true dp)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -1,0 +1,45 @@
+"""Scalable global total-order ranking (TeraSort numbering analog).
+
+``row_number() OVER (ORDER BY …)`` with no PARTITION BY collapses to
+a single partition — fine at test scale, fatal at 100 TB. This
+operator produces the identical numbering scalably:
+
+  1. range-partition + sort by the keys (Spark's TotalOrderPartitioner
+     analog: sampled range boundaries),
+  2. per-partition row_number (a partitioned window — parallel),
+  3. per-partition counts → cumulative offsets (one tiny driver-side
+     list, #partitions entries) joined back via broadcast.
+
+As long as the sort keys are a total order (unique), the numbering is
+deterministic regardless of where range boundaries fall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+
+
+def global_row_number(df: DataFrame, cols: list, rn_name: str = "rn") -> DataFrame:
+    """Append 1-based global rank by `cols` (must be a total order)."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    parted = df.repartitionByRange(n_part, *cols).withColumn(_PID, F.spark_partition_id())
+
+    counts = parted.groupBy(_PID).count().orderBy(_PID).collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row[_PID]] = acc
+        acc += row["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], f"{_PID} int, __rank_offset long"
+    )
+
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        parted.withColumn("__local_rn", F.row_number().over(w))
+        .join(F.broadcast(offset_df), _PID)
+        .withColumn(rn_name, (F.col("__local_rn") + F.col("__rank_offset")).cast("long"))
+        .drop(_PID, "__local_rn", "__rank_offset")
+    )

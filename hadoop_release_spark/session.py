@@ -1,0 +1,88 @@
+"""SparkSession construction with the engine's contract-safety configs.
+
+The reference (an Apache Hadoop release, SURVEY.md §0) runs jobs on
+YARN over HDFS. This engine is the Spark analog: in production the
+same code runs with ``--master yarn`` against ``hdfs://`` paths; all
+paths are plain strings so ``file:/`` vs ``hdfs:/`` is configuration,
+not code. Locally we run ``local[N]``.
+
+Config rationale (SURVEY.md §2 contract-safety rules + §4):
+  * ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps
+    are naive/UTC; pin Spark to the same wall clock.
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — REQUIRED to read
+    ``events.parquet`` (INT64 TIMESTAMP(NANOS)); Spark 4.1 throws
+    PARQUET_TYPE_ILLEGAL otherwise. The single ns→µs conversion
+    lives in catalog.py.
+  * AQE on with partition coalescing + skew-join handling — at
+    100 TB these replace Hadoop's hand-tuned reducer counts and
+    manual key salting.
+  * ``zstd`` parquet compression — best scan/size trade-off for
+    large-scale storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are runtime-settable and MUST hold on any session
+#: that executes contract queries — including a session handed to us
+#: by an external driver. Applied defensively in ``ensure_configs``.
+RUNTIME_SQL_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_configs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable contract configs to an existing session.
+
+    Safe to call repeatedly; used on driver-provided sessions whose
+    builder configs we do not control.
+    """
+    for key, value in RUNTIME_SQL_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable in this Spark build — builder must have set it.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "hadoop-release-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — correct for local mode;
+    on a real cluster this is instead sized to ~2-3× total executor
+    cores and AQE coalesces from there.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        env_cpus = str(cpus)
+        shuffle_partitions = int(env_cpus) if env_cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_SQL_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_configs(spark)

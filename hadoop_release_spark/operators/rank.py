@@ -26,6 +26,13 @@ def global_row_number(df: DataFrame, cols: list, rn_name: str = "rn") -> DataFra
     """Append 1-based global rank by `cols` (must be a total order)."""
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parted = df.repartitionByRange(n_part, *cols).withColumn(_PID, F.spark_partition_id())
+    # Persist before the two downstream jobs (count + rank): the range
+    # partitioner SAMPLES to pick boundaries, so re-executing the
+    # lineage in each job could yield different partitionings and
+    # corrupt the offsets. The same holds at cluster scale — stage
+    # materialization is inherent to total-order numbering (TeraSort
+    # also does a dedicated sampling pass over stable input).
+    parted = parted.persist()
 
     counts = parted.groupBy(_PID).count().orderBy(_PID).collect()
     offsets, acc = {}, 0

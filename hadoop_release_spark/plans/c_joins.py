@@ -82,3 +82,266 @@ def c13_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "c02_join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 20
+    """,
+)
+def c02_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join — the Hadoop map-side (DistributedCache)
+    join: the filtered dim ships to every task, no shuffle of the
+    fact side. Plan-invariant vs the oracle's plain join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") < 20)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice"
+    )
+
+
+@register(
+    "c03_join_sortmerge",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+)
+def c03_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join forced via hint — the Hadoop reduce-side join
+    literally (shuffle both sides on key, merge sorted runs). The
+    strategy choice is plan-only; results are oracle-identical."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "c04_join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def c04_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; customers without orders keep a null side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "c05_join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+    priority="P2",
+)
+def c05_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of c04)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "c06_join_full",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey > 50) c
+    FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    priority="P2",
+)
+def c06_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with BOTH null sides populated (customers
+    without orders + orders of the filtered-out customers)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") > 50)
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "c07_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def c07_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): output left columns only, no row
+    duplication however many orders match."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "c08_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+)
+def c08_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no large orders
+    (the filter keeps the result non-empty at every SF, so the anti
+    path is genuinely exercised)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "c09_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    priority="P2",
+)
+def c09_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross product of two bounded dims (5 × 25). Safe ONLY because
+    both sides are bounded; never cross-join facts at scale."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "c10_join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+    priority="P2",
+)
+def c10_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-key (hashable, drives the join strategy) plus
+    an inequality residual evaluated post-match."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@register(
+    "c11_join_range",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_matched
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def c11_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi-key plus an interval window residual — the
+    equi key keeps it a hash/merge join, not a nested loop."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).groupBy("l_returnflag").agg(F.count("*").alias("n_matched"))
+
+
+@register(
+    "c12_join_asof",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS matched_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us,
+           matched_orderkey
+    FROM events ASOF JOIN ord
+      ON events.user_id = ord.o_custkey
+     AND CAST(events.ts AS TIMESTAMP) >= ord.o_orderdate
+    """,
+    priority="P2",
+)
+def c12_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the most recent order of the
+    same user at-or-before the event time (union-tag + running-last
+    window — see operators/asof.py for the scale analysis)."""
+    from hadoop_release_spark.functions.contracts import ts_us
+    from hadoop_release_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    # Deduplicate the right side per (key, time) so the match is
+    # well-defined on both engines.
+    ord_ = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    joined = asof_join_backward(ev, ord_, key="k", time="t", payload=["matched_orderkey"])
+    # Recover the matched order date: it is the as-of time of the
+    # match — join back on the unique (k, matched_orderkey) pair.
+    dates = ord_.select("matched_orderkey", F.col("t").alias("order_date"))
+    return (
+        joined.join(dates, "matched_orderkey")
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            ts_us("order_date").alias("order_date_us"),
+            "matched_orderkey",
+        )
+    )
+
+
+@register(
+    "c14_join_self",
+    oracle="""
+    SELECT a.l_orderkey, count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+    priority="P2",
+)
+def c14_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: ordered pairs of lineitems within each order."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

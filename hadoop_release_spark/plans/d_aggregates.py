@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
-from hadoop_release_spark.functions.contracts import davg, dsum, net_price, oavg, osum
+from hadoop_release_spark.functions.contracts import davg, dsum, net_price, oavg, osum, r4
 from hadoop_release_spark.plans.registry import register
 
 
@@ -86,4 +86,290 @@ def d02_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+@register(
+    "d03_agg_group_multi",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {osum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def d03_agg_group_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key grouping."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "d04_agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d04_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase agg; at
+    scale prefer approx_count_distinct when 2% error is tolerable)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.countDistinct("o_custkey").alias("n_customers"))
+
+
+@register(
+    "d05_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def d05_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one grouping (planned via expand)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "d06_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+)
+def d06_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "d07_agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           {osum("CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1 - l_discount) END")} AS high_disc_revenue,
+           count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d07_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(CASE WHEN …) — filtered measures
+    without a second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_discount") > 0.05, net_price())).alias("high_disc_revenue"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+    )
+
+
+@register(
+    "d08_pivot",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    priority="P2",
+)
+def d08_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide: one column per event type. Values are listed
+    explicitly — at scale an unlisted pivot needs an extra pass to
+    discover the domain."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return out.na.fill(0, types)
+
+
+@register(
+    "d09_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders,
+           {osum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    priority="P2",
+)
+def d09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals with grouping() indicators to
+    disambiguate rollup nulls from data nulls."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "d10_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    priority="P2",
+)
+def d10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-combination subtotals (CUBE)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "d11_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    priority="P2",
+)
+def d11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the general form of
+    rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "d12_agg_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           {osum("o_totalprice")} AS sum_x,
+           {osum("o_totalprice * o_totalprice")} AS sum_x2,
+           {osum("o_totalprice * o_custkey")} AS sum_xy,
+           {osum("CAST(o_custkey AS DOUBLE)")} AS sum_y
+    FROM orders GROUP BY o_orderstatus
+    """,
+    priority="P2",
+)
+def d12_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments from exact sums.
+
+    Spark has stddev_samp/var_samp/corr/covar_samp builtins, but
+    their streaming (Welford) accumulation is engine-specific in the
+    low bits, so the CONTRACT emits the exact raw moments (n, Σx,
+    Σx², Σxy, Σy) from which every one of those statistics derives
+    deterministically. The builtins remain available for
+    non-contract use.
+    """
+    o = table(spark, sf_dir, "orders")
+    x, y = F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sum_x"),
+        dsum(x * x).alias("sum_x2"),
+        dsum(x * y).alias("sum_xy"),
+        dsum(y).alias("sum_y"),
+    )
+
+
+@register(
+    "d13_agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rtop,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rbot
+      FROM orders)
+    SELECT o_orderstatus,
+           max(CASE WHEN rtop = 1 THEN o_orderkey END) AS top_orderkey,
+           max(CASE WHEN rbot = 1 THEN o_orderkey END) AS bottom_orderkey
+    FROM ranked GROUP BY o_orderstatus
+    """,
+    priority="P2",
+)
+def d13_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin with a composite ordering value so ties on price
+    break deterministically by key."""
+    o = table(spark, sf_dir, "orders")
+    ordering = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordering).alias("top_orderkey"),
+        F.min_by("o_orderkey", ordering).alias("bottom_orderkey"),
+    )
+
+
+@register(
+    "d14_agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    priority="P2",
+)
+def d14_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles with linear interpolation. Interpolated values
+    of 2dp data have ≤4 true decimals, so round(·,4) is boundary-free
+    (contracts.py FLOAT RULE). At 100 TB use percentile_approx."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        r4(F.median("o_totalprice")).alias("med_price"),
+        r4(F.percentile("o_totalprice", F.lit(0.25))).alias("p25"),
+        r4(F.percentile("o_totalprice", F.lit(0.75))).alias("p75"),
+    )
+
+
+@register(
+    "d15_agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    priority="P2",
+)
+def d15_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect, sort, and join to a
+    string (strings hash portably across engines; raw arrays may
+    not)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys")
     )

@@ -36,3 +36,71 @@ def f02_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "f01_sort_multi_nulls",
+    oracle="""
+    SELECT o_orderkey, prio,
+           row_number() OVER (ORDER BY prio NULLS LAST, o_totalprice DESC, o_orderkey) AS rn
+    FROM (SELECT o_orderkey, o_totalprice,
+                 nullif(o_orderpriority, '3-MEDIUM') AS prio
+          FROM orders)
+    """,
+)
+def f01_sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement; the global rank is
+    emitted so the ordering is visible to the order-insensitive hash."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio"),
+    )
+    ranked = global_row_number(
+        o,
+        [F.col("prio").asc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    return ranked.select("o_orderkey", "prio", "rn")
+
+
+@register(
+    "f03_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+    priority="P2",
+)
+def f03_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: rows 11-20 of a deterministic (tie-broken) sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+@register(
+    "f04_total_order_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+    """,
+)
+def f04_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort with global numbering — the TeraSort
+    idiom. Uses the scalable two-phase ranker (range-partitioned sort
+    + per-partition windows + broadcast offsets), NOT a single-
+    partition window: see operators/rank.py."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    ranked = global_row_number(li, ["l_shipdate", "l_orderkey", "l_linenumber"])
+    return ranked.select("l_orderkey", "l_linenumber", "rn")

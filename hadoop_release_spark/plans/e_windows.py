@@ -1,1 +1,270 @@
-"""§2 plans module — populated in a later milestone (SURVEY.md §7)."""
+"""§2.E — window functions.
+
+Reference analog: Hadoop's *secondary sort* idiom — values ordered
+within a reduce group (the partition key is the grouping, the sort
+key orders the values). Spark's ``Window`` spec generalizes this:
+partitionBy = reduce key, orderBy = secondary sort, plus frames.
+
+Scale note: a window with ``partitionBy`` parallelizes per key group
+(one shuffle on the partition key, exactly like a reduce phase). A
+window with NO partition collapses to a single task — never used
+here except through operators/rank.py's two-phase ranker.
+
+Float rule for window aggregates: window sums/avgs accumulate in an
+engine-specific order (DuckDB uses segment trees), so contract
+queries window-sum over exact DECIMAL casts and convert back — the
+same trick as functions/contracts.py:dsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.plans.registry import register
+
+_DEC = "decimal(25,8)"
+
+
+def _orders_with_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+
+
+@register(
+    "e01_win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders
+    """,
+)
+def e01_win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence (unique ranking, tie-broken by key)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("seq"))
+
+
+@register(
+    "e02_win_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS rnk,
+           dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS drnk
+    FROM lineitem
+    """,
+)
+def e02_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with ties (integer quantities tie often)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "e03_win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+    priority="P2",
+)
+def e03_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing per status (tie-broken by key so bucket
+    boundaries are deterministic)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "e04_win_pct",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS cume
+    FROM orders
+    """,
+    priority="P2",
+)
+def e04_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative position: both are ratios of identical integers
+    ((rank-1)/(n-1), rows≤current/n), so one IEEE division yields
+    bit-identical doubles — no rounding needed."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "e05_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def e05_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset access to neighboring events in per-user time order."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "e06_win_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS {_DEC.upper()}))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def e06_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (exact-decimal window sum; the
+    per-customer totals stay ≤10 significant digits so the double
+    cast is exact)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    return o.select("o_orderkey", "o_custkey", running.alias("running_total"))
+
+
+@register(
+    "e07_win_moving",
+    oracle=f"""
+    SELECT event_id, user_id,
+           (CAST(sum(CAST(value AS {_DEC.upper()}))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / count(value)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg
+    FROM events
+    """,
+)
+def e07_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user: exact-decimal frame sum divided
+    by the frame count (one IEEE division, engine-identical)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov = F.sum(F.col("value").cast(_DEC)).over(w).cast("double") / F.count("value").over(w)
+    return ev.select("event_id", "user_id", mov.alias("moving_avg"))
+
+
+@register(
+    "e08_win_range_frame",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(sum(CAST(o_totalprice AS {_DEC.upper()}))
+                OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                AS DOUBLE) AS near_sum
+    FROM orders
+    """,
+    priority="P2",
+)
+def e08_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: sum over all orders within ±1000.0 of the current
+    price (value-based frame, not row-based)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    near = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    return o.select("o_orderkey", near.alias("near_sum"))
+
+
+@register(
+    "e09_win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS cheapest,
+           last_value(o_orderkey)  OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS dearest
+    FROM orders
+    """,
+    priority="P2",
+)
+def e09_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value with the full-partition frame (the default
+    frame stops at CURRENT ROW, which makes last_value a footgun —
+    the explicit frame is the correct idiom)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_orderkey").over(w).alias("cheapest"),
+        F.last("o_orderkey").over(w).alias("dearest"),
+    )
+
+
+@register(
+    "e10_win_topk_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def e10_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment — THE per-group top-k
+    idiom (rank + filter). At scale this shuffles once on the group
+    key; the rank filter prunes before any further join."""
+    joined = _orders_with_segment(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )

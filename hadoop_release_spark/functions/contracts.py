@@ -43,6 +43,12 @@ def ts_us(col: Column | str) -> Column:
     return F.unix_micros(_c(col).cast("timestamp"))
 
 
+def r3(col: Column) -> Column:
+    """Round to 3 decimals — for float32-derived similarity scores
+    (computation noise ~1e-11 ≪ the 5e-4 half-grid)."""
+    return F.round(col, 3)
+
+
 def r2(col: Column) -> Column:
     """Round to 2 decimals — safe only for ≤2-true-dp expressions."""
     return F.round(col, 2)

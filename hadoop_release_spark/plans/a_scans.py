@@ -45,3 +45,93 @@ def a01_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for portable hashing, contract rule 2)."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(*_LINEITEM_COLS, ts_us("l_shipdate").alias("l_shipdate_us"))
+
+
+@register(
+    "a02_scan_csv_roundtrip",
+    oracle="SELECT * FROM customer",
+)
+def a02_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format round-trip (Hadoop TextInputFormat analog):
+    customer → CSV+header → re-read with the explicit StructType.
+    Doubles survive via shortest-repr serialization."""
+    from hadoop_release_spark.sources.roundtrip import roundtrip_csv
+
+    return roundtrip_csv(table(spark, sf_dir, "customer"), "a02csv")
+
+
+@register(
+    "a03_scan_json_roundtrip",
+    oracle="SELECT * FROM nation",
+)
+def a03_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema."""
+    from hadoop_release_spark.sources.roundtrip import roundtrip_json
+
+    return roundtrip_json(table(spark, sf_dir, "nation"), "a03json")
+
+
+@register(
+    "a04_scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+    FROM orders
+    """,
+    priority="P2",
+)
+def a04_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the Hive-ecosystem columnar format every
+    Hadoop release ships readers for)."""
+    from hadoop_release_spark.sources.roundtrip import roundtrip_orc
+
+    orders = table(spark, sf_dir, "orders")
+    back = roundtrip_orc(orders, "a04orc")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        ts_us("o_orderdate").alias("o_orderdate_us"),
+    )
+
+
+@register(
+    "a05_scan_text",
+    oracle="SELECT text AS line, length(text) AS line_len FROM documents",
+    priority="P2",
+)
+def a05_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line scan (TextInputFormat): write document text as .txt,
+    read lines back, emit (line, length)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import roundtrip_text
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    lines = roundtrip_text(docs, "a05text")
+    return lines.select(
+        F.col("value").alias("line"), F.length("value").cast("long").alias("line_len")
+    )
+
+
+@register(
+    "a06_sink_partitioned",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def a06_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink (the Hadoop output-directory-per-key idiom):
+    write events partitioned by event_type, re-read, count per
+    partition. At scale the re-read with a partition filter prunes
+    directories without touching data files."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    ev = table(spark, sf_dir, "events").drop("ts_ns")
+    path = scratch_dir("a06part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))

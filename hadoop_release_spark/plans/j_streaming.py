@@ -1,1 +1,233 @@
-"""§2 plans module — populated in a later milestone (SURVEY.md §7)."""
+"""§2.J — Structured Streaming over the events stream.
+
+See streaming/runner.py for the availableNow bridge and the
+output-mode discipline that makes these oracle-checkable. Every
+query here also runs at 100 TB as a true unbounded stream: the same
+code with a real trigger, a durable sink, and RocksDB state store —
+nothing below assumes boundedness except the memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.functions.contracts import ts_us
+from hadoop_release_spark.plans.registry import register
+from hadoop_release_spark.streaming.runner import materialize, stream_events
+
+_DEC = "DECIMAL(25,8)"
+
+
+@register(
+    "j01_stream_tumbling",
+    oracle=f"""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS {_DEC})), 4) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast(_DEC.lower())), 4).cast("double").alias("sum_value"),
+    )
+    out = materialize(agg, output_mode="complete")
+    return out.select(
+        ts_us(F.col("window.start")).alias("window_start_us"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "j02_stream_sliding",
+    oracle="""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                         - k.k * INTERVAL 30 MINUTE) AS BIGINT) AS window_start_us,
+           count(*) AS n
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1
+    """,
+    priority="P2",
+)
+def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands
+    in exactly two windows — the oracle replicates that by joining
+    each event to offsets {0,1}."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(F.count("*").alias("n"))
+    out = materialize(agg, output_mode="complete")
+    return out.select(ts_us(F.col("window.start")).alias("window_start_us"), "n")
+
+
+@register(
+    "j03_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(epoch_us(min(t)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    priority="P2",
+)
+def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. The oracle is the
+    classic gaps-and-islands rewrite. Spark closes a session when the
+    next event is ≥ gap after the last one; the oracle flags
+    new-session on the same condition."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = materialize(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        ts_us(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@register(
+    "j04_stream_watermark",
+    oracle="""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def j04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in UPDATE mode. With the fixture
+    pinned to one micro-batch the final state equals batch semantics
+    (late-data drop behavior across batches is pytest-verified in
+    tests/test_streaming.py)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = materialize(agg, output_mode="update")
+    return out.select(ts_us(F.col("window.start")).alias("window_start_us"), "n")
+
+
+@register(
+    "j05_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    priority="P2",
+)
+def j05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by event_id within the watermark (append mode —
+    dedup emits rows immediately). Fixture event_ids are unique, so
+    the oracle is the identity; planted-duplicate behavior is
+    pytest-verified."""
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    out = materialize(deduped, output_mode="append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@register("j06_stream_stateful", oracle=None, priority="P2")
+def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: running per-user aggregates via
+    the state store (applyInPandasWithState). Rows-only contract (the
+    API is not SQL-expressible); batch equivalence is pytest-verified.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update_fn, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return materialize(result, output_mode="update")
+
+
+@register(
+    "j07_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, c_name, c_mktsegment, event_type
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+    priority="P2",
+)
+def j07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static enrichment: the static side is re-planned per
+    micro-batch (and broadcast when small); stateless, append mode."""
+    ev = stream_events(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "event_type"
+    )
+    out = materialize(joined, output_mode="append")
+    return out
+
+
+@register(
+    "j08_stream_complete_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS {_DEC})), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    priority="P2",
+)
+def j08_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode global aggregation (the full result table
+    re-emitted per trigger — only viable when the result is small,
+    which a per-type rollup is at any scale)."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast(_DEC.lower())), 4).cast("double").alias("total_value"),
+    )
+    return materialize(agg, output_mode="complete")

@@ -1,1 +1,181 @@
-"""§2 plans module — populated in a later milestone (SURVEY.md §7)."""
+"""§2.K — UDF / UDAF / UDTF surface.
+
+Reference analog: Hadoop Streaming — arbitrary user code over record
+streams. The engine's ladder, fastest first:
+
+  1. builtin Catalyst expressions (everything in §2.H) — codegen'd;
+  2. ``pandas_udf`` / ``applyInPandas`` / ``mapInPandas`` — Arrow
+     batch transfer to a Python worker, vectorized numpy/pandas
+     compute (~10-100× faster than row-at-a-time);
+  3. row-at-a-time ``@udf`` — pickled per row; k01 exists to cover
+     the API, and is deliberately the only row-wise UDF in the repo.
+
+Float discipline: Python-side arithmetic is the same IEEE double
+arithmetic as the JVM and DuckDB, so elementwise expressions are
+bit-deterministic; only reductions (k03/k04) need rounding, at
+scales where the accumulation error (~1e-9) is far inside the
+rounding half-grid (5e-5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.plans.registry import register
+
+
+@register(
+    "k01_udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders
+    """,
+)
+def k01_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF (price-band labeling). Semantically equal
+    to h12's CASE expression — the point is the API parity; the CASE
+    form is what production code should use."""
+
+    @F.udf(returnType=StringType())
+    def band(price: float) -> str:
+        if price > 300000:
+            return "high"
+        if price > 100000:
+            return "mid"
+        return "low"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@register(
+    "k02_udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+)
+def k02_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar UDF: elementwise net price on numpy
+    arrays — IEEE-identical to the JVM expression, no rounding
+    needed."""
+
+    @F.pandas_udf(DoubleType())
+    def net(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", net("l_extendedprice", "l_discount").alias("net")
+    )
+
+
+@register(
+    "k03_udaf_pandas",
+    oracle="""
+    SELECT c_nationkey,
+           round(sum(c_acctbal * c_custkey) / sum(c_custkey), 4) AS weighted_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+    priority="P2",
+)
+def k03_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: custkey-weighted mean balance
+    per nation (groups are ~100 rows, so float accumulation error
+    ≪ the 4dp half-grid)."""
+
+    @F.pandas_udf("double")
+    def weighted_mean(bal: pd.Series, weight: pd.Series) -> float:
+        return round(float((bal * weight).sum() / weight.sum()), 4)
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        weighted_mean("c_acctbal", "c_custkey").alias("weighted_bal")
+    )
+
+
+@register(
+    "k04_udf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    priority="P2",
+)
+def k04_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform: z-normalize value within each user
+    (the canonical applyInPandas pattern — whole group in, whole
+    group out)."""
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        pdf = pdf.assign(z=((pdf["value"] - pdf["value"].mean()) / std).round(4))
+        return pdf[["event_id", "user_id", "z"]]
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        znorm, schema="event_id long, user_id long, z double"
+    )
+
+
+@register(
+    "k05_udtf",
+    oracle="""
+    SELECT o_orderkey, unnest(range(0, o_orderkey % 4 + 1)) AS seq
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    priority="P2",
+)
+def k05_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row → N output rows (PySpark 4's
+    lateral-join-style table function)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, seq bigint")
+    class Expand:
+        def eval(self, orderkey: int):
+            for k in range((orderkey % 4) + 1):
+                yield orderkey, k
+
+    spark.udtf.register("k05_expand_seq", Expand)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    o.createOrReplaceTempView("orders_k05")
+    return spark.sql(
+        "SELECT s.o_orderkey, s.seq "
+        "FROM orders_k05, LATERAL k05_expand_seq(o_orderkey) s"
+    )
+
+
+@register(
+    "k06_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+    priority="P2",
+)
+def k06_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise iterator UDF (the Hadoop Streaming analog: a
+    whole input split streams through user code as Arrow batches)."""
+
+    def compute(batches):
+        for pdf in batches:
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            out["charge"] = pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * (1 + pdf["l_tax"])
+            yield out
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInPandas(compute, schema="l_orderkey long, l_linenumber int, charge double")

@@ -1,0 +1,55 @@
+"""LLM-operator semantics: planted-duplicate recall for MinHash LSH
+(the rows-only contract query l02 can't be oracle-checked, so its
+correctness is pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.operators.dedup import lsh_candidate_pairs, word_shingles
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        (i, f"token{i}a token{i}b " + " ".join(f"word{i}_{j}" for j in range(20)))
+        for i in range(50)
+    ]
+    # Planted near-duplicates: copy docs 0-4 with one word changed.
+    near = [
+        (100 + i, base[i][1].replace(f"word{i}_10", "CHANGED"))
+        for i in range(5)
+    ]
+    # Planted exact duplicate of doc 7.
+    exact = [(200, base[7][1])]
+    return spark.createDataFrame(base + near + exact, "doc_id long, text string")
+
+
+def test_lsh_finds_planted_near_duplicates(corpus):
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"missed planted near-dup pair ({i}, {100+i})"
+    assert (7, 200) in found, "missed planted exact dup"
+
+
+def test_lsh_no_false_positives_above_threshold(corpus):
+    # Unrelated docs share no vocabulary → no pair between two base
+    # docs should survive the Jaccard filter.
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    for r in pairs.collect():
+        assert r.id_b >= 100, f"false positive pair ({r.id_a}, {r.id_b}) j={r.jaccard}"
+        assert r.jaccard >= 0.5
+
+
+def test_exact_dup_jaccard_is_one(corpus):
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    row = pairs.filter((F.col("id_a") == 7) & (F.col("id_b") == 200)).collect()[0]
+    assert row.jaccard == 1.0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0]
+    assert out.s == ["only two"]

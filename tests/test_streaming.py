@@ -1,0 +1,90 @@
+"""Multi-batch streaming semantics the batch oracle can't see:
+watermark late-data drops and append-mode window emission.
+
+Each micro-batch is one parquet file (maxFilesPerTrigger=1, file
+modification times force the discovery order)."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+
+def _write_batch(spark, path: str, idx: int, rows: list[tuple[int, str, float]]):
+    """rows: (event_id, ts string, value). One file per batch; mtime
+    staggered so the file stream discovers batches in order."""
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, value double").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    sub = f"{path}/b{idx}"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    base = time.time() - 1000 + idx * 10
+    for f in os.listdir(sub):
+        os.utime(f"{sub}/{f}", (base, base))
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    path = scratch_dir("stream-semantics")
+    _write_batch(spark, path, 0, [(1, "2024-01-01 10:00:00", 1.0),
+                                  (2, "2024-01-01 10:10:00", 2.0),
+                                  (3, "2024-01-01 10:30:00", 3.0)])
+    _write_batch(spark, path, 1, [(4, "2024-01-01 12:00:00", 4.0)])
+    _write_batch(spark, path, 2, [(5, "2024-01-01 13:00:00", 5.0)])
+    # Late straggler: 10:05 is far behind the watermark by now.
+    _write_batch(spark, path, 3, [(6, "2024-01-01 10:05:00", 6.0)])
+    return path
+
+
+def _run(spark, staged_path: str, output_mode: str):
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(staged_path)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = "sem_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+        .collect()
+    )
+
+
+def test_append_emits_closed_window_once_and_drops_late(spark, staged):
+    rows = _run(spark, staged, "append")
+    ten = [r for r in rows if r.w == "10:00"]
+    # The 10:00 window closed when the watermark passed 11:00 — emitted
+    # exactly once with the 3 on-time events; the late event 6 (10:05,
+    # arriving after watermark 12:50) must NOT produce a second emission.
+    assert len(ten) == 1, rows
+    assert ten[0].n == 3, rows
+
+
+def test_update_drops_late_event_from_state(spark, staged):
+    rows = _run(spark, staged, "update")
+    # Update mode re-emits a window per batch that changes it. The
+    # 10:00 window may appear multiple times (batch 0 updates), but
+    # never with the late event counted.
+    ten_counts = {r.n for r in rows if r.w == "10:00"}
+    assert 4 not in ten_counts, rows
+    assert max(ten_counts) == 3, rows

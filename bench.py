@@ -27,13 +27,22 @@ from hadoop_release_spark.session import get_session  # noqa: E402
 #: Headline set: one representative per pillar (scan-agg, star join,
 #: wordcount, top-k, plus the heaviest implemented per category).
 HEADLINE = [
-    "d02_agg_groupby",
-    "c13_join_star",
-    "i01_mr_wordcount",
+    # BASELINE.md anchor shapes
+    "d02_agg_groupby",      # TPC-H Q1 agg
+    "c13_join_star",        # Q3/Q5 star join
+    "i01_mr_wordcount",     # wordcount
+    "j03_stream_session",   # session-window gaps-and-islands
+    "l08_knn_query",        # kNN cosine top-10
+    # one per remaining pillar
     "f02_topk_global",
     "d01_agg_global",
     "c01_join_inner",
     "a01_scan_parquet",
+    "f04_total_order_sort",
+    "c12_join_asof",
+    "l01_dedup_exact",
+    "l04_tfidf",
+    "e06_win_running",
 ]
 
 

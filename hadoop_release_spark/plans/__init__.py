@@ -17,6 +17,8 @@ _MODULES = (
     "j_streaming",
     "k_udfs",
     "l_llm",
+    "l_llm_ext",
+    "m_multimodal",
 )
 
 _loaded = False

@@ -1,0 +1,384 @@
+"""§2.L extension — round-1 additions to the LLM-pipeline surface.
+
+Deduplication family completed (SimHash, n-gram Jaccard,
+embedding-cosine near-dup), text analysis completed (language-ID,
+BPE-ish token counting, rolling-hash fingerprinting, quality
+scoring), and the IVF scale path for similarity search. Inventoried
+in SURVEY.md §2 addendum.
+
+Portability invariant used throughout: the only cross-engine content
+hash is md5 (rule 6). SimHash and fingerprints derive every bit from
+md5 hex prefixes via integer arithmetic — identical in Spark and
+DuckDB — so even hash-based sketches are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.functions.contracts import r3, r4
+from hadoop_release_spark.functions.vectors import cosine, o_cosine
+from hadoop_release_spark.plans.registry import register
+
+_DIM = 64
+
+#: 16-bit SimHash: per-token hash = first 8 md5 hex chars as int;
+#: bit b contributes +1/-1 to component b; fingerprint = sign bits.
+_SIMHASH_BITS = 16
+
+
+def _simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc_id → 16-bit SimHash fingerprint (bigint), md5-derived so
+    the oracle can reproduce it bit-for-bit in SQL."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def _o_simhash_cte() -> str:
+    """DuckDB CTE producing (doc_id, simhash) identically."""
+    bit_sum_cols = ",\n             ".join(
+        f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM toks WHERE tok <> ''
+    ), bitsums AS (
+      SELECT doc_id,
+             {bit_sum_cols}
+      FROM hashed GROUP BY doc_id
+    ), fingerprints AS (
+      SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM bitsums
+    )"""
+
+
+@register(
+    "l11_dedup_simhash",
+    oracle=f"""
+    WITH {_o_simhash_cte()}
+    SELECT doc_id, simhash FROM fingerprints
+    """,
+    priority="P2",
+)
+def l11_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (Charikar 2002): near-identical documents
+    get fingerprints within small Hamming distance. One explode+agg
+    shuffle; the fingerprint is 16 md5-derived sign bits, so this
+    sketch is fully oracle-checkable (unlike xxhash-based sketches).
+    """
+    return _simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "l12_simhash_pairs",
+    oracle=f"""
+    WITH {_o_simhash_cte()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fingerprints a JOIN fingerprints b
+      ON (a.simhash // 16) = (b.simhash // 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    priority="P2",
+)
+def l12_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: block on the top 12 bits
+    (the banded trick — only fingerprints agreeing on the prefix ever
+    meet in the join), then filter Hamming ≤ 3. At 100 TB the
+    blocking join replaces an O(N²) comparison exactly like LSH."""
+    fp = _simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (
+                (F.col("a.simhash").bitwiseAND(F.lit(~15)))
+                == (F.col("b.simhash").bitwiseAND(F.lit(~15)))
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "l13_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])) AS shingles
+      FROM documents WHERE doc_id < 50
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / uni, 3) AS jaccard
+    FROM pairs WHERE inter > 0
+    """,
+    priority="P2",
+)
+def l13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over a bounded candidate set
+    (doc_id < 50). This is the VERIFY stage of near-dup pipelines —
+    candidates come from LSH/SimHash blocking (l02/l12), never from
+    the all-pairs join used here on the bounded demo set."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .filter(F.col("inter") > 0)
+        .select("id_a", "id_b", r3(F.col("inter").cast("double") / F.col("uni")).alias("jaccard"))
+    )
+
+
+@register(
+    "l14_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({o_cosine("a.embedding", "b.embedding", _DIM)}, 3) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND round({o_cosine("a.embedding", "b.embedding", _DIM)}, 3) >= 0.3
+    """,
+    priority="P2",
+)
+def l14_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup) over a
+    bounded demo set. Threshold 0.3 — calibrated so the fixture's
+    random embeddings (max pairwise cosine ≈ 0.44) produce a
+    non-trivial result; real corpora use ~0.9+. Scale path: bucket by IVF centroid (l19) or
+    random-hyperplane LSH first, compare only within buckets."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a, b = e.alias("a"), e.alias("b")
+    sim = r3(cosine(F.col("a.embedding"), F.col("b.embedding")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+@register(
+    "l15_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(
+                 "len(list_filter(string_split(text, ' '), x -> x IN ("
+                 + ", ".join(f"'{m}'" for m in markers)
+                 + f"))) AS s_{lang}"
+                 for lang, markers in _LANG_MARKERS.items()
+             )}
+      FROM documents)
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted
+    FROM scored
+    """,
+    priority="P2",
+)
+def l15_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-token counting (the n-gram
+    frequency heuristic in its simplest deterministic form; a
+    production profile would use character trigram log-odds — same
+    dataflow: per-doc score vector → argmax). Deterministic argmax
+    via fixed preference order on ties."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in _LANG_MARKERS]
+    )
+    s = {k: F.col(f"s_{k}") for k in _LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return scored.withColumn("predicted", predicted)
+
+
+@register(
+    "l16_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(n_chars AS DOUBLE) /
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 3) AS chars_per_token
+    FROM documents
+    """,
+)
+def l16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letter runs / digit runs / single punctuation — the pre-merge
+    word segmentation BPE vocabularies start from). chars-per-token
+    is the standard corpus-density metric."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    n_ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        r3(F.col("n_chars").cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+@register(
+    "l17_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - 6),
+                            i -> md5(substring(text, CAST(i AS INT), 8))) AS g
+      FROM documents WHERE length(text) >= 8)
+    SELECT doc_id,
+           list_min(g) AS fingerprint,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams
+    FROM grams
+    """,
+    priority="P2",
+)
+def l17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling character 8-grams: hash
+    every 8-char window (md5 — the portable hash), keep the minimum
+    (a 1-hash winnowing sketch; production keeps the min per window
+    of w positions — same dataflow with one extra transform)."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(grams).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
+    )
+
+
+@register(
+    "l20_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / n_chars, 4) AS punct_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','in','a','is'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def l20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (Gopher/C4-style corpus filters):
+    punctuation density, stopword ratio, mean word length — the
+    features a quality classifier or rule filter consumes."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = ["the", "and", "of", "to", "in", "a", "is"]
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*stop))).cast("double")
+    return d.select(
+        "doc_id",
+        r4(punct / F.col("n_chars")).alias("punct_ratio"),
+        r4(n_stop / F.size(toks)).alias("stopword_ratio"),
+        r4(F.col("n_chars").cast("double") / F.size(toks)).alias("avg_word_len"),
+    )
+
+
+@register("l19_knn_ivf", oracle=None, priority="P2")
+def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate kNN — the similarity-search SCALE
+    path (brute-force l08 is the exact baseline). Rows-only contract:
+    the result is approximate by design; recall against brute force
+    is pinned in tests/test_similarity.py. Centroid 'training' is a
+    deterministic systematic sample (vec_id % 50 == 0) standing in
+    for k-means — the search dataflow is identical either way."""
+    from hadoop_release_spark.operators.similarity import assign_clusters, ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = assign_clusters(e, centroids)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(assigned, centroids, queries, k=10, nprobe=4)

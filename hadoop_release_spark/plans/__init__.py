@@ -19,6 +19,7 @@ _MODULES = (
     "l_llm",
     "l_llm_ext",
     "m_multimodal",
+    "s_stretch",
 )
 
 _loaded = False

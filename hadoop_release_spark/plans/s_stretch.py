@@ -1,0 +1,46 @@
+"""Stretch operators (SURVEY.md §2 stretch list): approximate
+aggregates and sampling — the 100 TB workhorses where exactness is
+traded for one-pass/bounded-memory execution. Inherently
+nondeterministic vs another engine's sketches → rows-only contract;
+accuracy bounds pinned in tests/test_stretch.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.plans.registry import register
+
+
+@register("s01_approx_count_distinct", oracle=None, priority="P2")
+def s01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts (rsd=2%): fixed-size sketch per
+    group vs the exact variant's full key set — the only viable
+    distinct-count at 100 TB cardinalities."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register("s02_percentile_approx", oracle=None, priority="P2")
+def s02_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna style sketch,
+    accuracy=10000): single-pass bounded-memory quantiles."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+    )
+
+
+@register("s03_sample_seeded", oracle=None, priority="P2")
+def s03_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (df.sample): reproducible within
+    Spark for a fixed seed+partitioning, not across engines → rows
+    -only. Systematic sampling (key % N = 0) is the cross-engine
+    deterministic alternative used inside contract queries."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

@@ -1,0 +1,51 @@
+"""Accuracy bounds for the approximate (rows-only) operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.plans.registry import specs
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in specs()["s01_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p, r.o)
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o"))
+        .collect()
+    }
+    for flag, (ap, ao) in approx.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) / ep < 0.05, (flag, ap, ep)
+        assert abs(ao - eo) / eo < 0.05, (flag, ao, eo)
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    approx = {
+        r.o_orderstatus: r.approx_median
+        for r in specs()["s02_percentile_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.m
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.median("o_totalprice").alias("m"))
+        .collect()
+    }
+    for status, am in approx.items():
+        assert abs(am - exact[status]) / exact[status] < 0.02, (status, am, exact[status])
+
+
+def test_sample_seeded_reproducible_and_sized(spark, sf_dir):
+    fn = specs()["s03_sample_seeded"].fn
+    a = sorted(r.l_orderkey * 100 + r.l_linenumber for r in fn(spark, sf_dir).collect())
+    b = sorted(r.l_orderkey * 100 + r.l_linenumber for r in fn(spark, sf_dir).collect())
+    assert a == b  # fixed seed + same partitioning → reproducible
+    total = table(spark, sf_dir, "lineitem").count()
+    assert 0.05 * total < len(a) < 0.15 * total

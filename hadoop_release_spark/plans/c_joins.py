@@ -345,3 +345,50 @@ def c14_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "c15_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    priority="P2",
+)
+def c15_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both tables written bucketed+sorted
+    on the join key, so the join needs NO shuffle at read time —
+    Spark's equivalent of Hadoop's pre-partitioned map-side merge
+    join, and the way a 100 TB fact table joins repeatedly without
+    re-shuffling. tests/test_plans.py asserts the plan is
+    Exchange-free. Results are plan-invariant (oracle: plain join).
+    """
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    n_buckets = 8
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = scratch_dir("c15bucketed")
+    (
+        orders.write.bucketBy(n_buckets, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable("bucketed_orders")
+    )
+    (
+        customer.write.bucketBy(n_buckets, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .saveAsTable("bucketed_customer")
+    )
+    bo = spark.table("bucketed_orders")
+    bc = spark.table("bucketed_customer")
+    # merge hint: without it the planner prefers broadcasting the
+    # small side (also shuffle-free, but doesn't exercise bucketing);
+    # with matching bucket counts the sort-merge join reads buckets
+    # pairwise with NO shuffle exchange on either side.
+    return bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )

@@ -55,3 +55,38 @@ def test_topk_fused(spark, sf_dir):
 def test_semi_anti_rewrites(spark, sf_dir):
     assert "LeftSemi" in _optimized(spark, sf_dir, "c07_join_semi")
     assert "LeftAnti" in _optimized(spark, sf_dir, "c08_join_anti")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # c15: both sides bucketed on the join key → a sort-merge join
+    # with zero shuffle exchanges (bucket files read pairwise).
+    plan = _plan(spark, sf_dir, "c15_join_bucketed")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.skew import salted_sum_count
+
+    li = table(spark, sf_dir, "lineitem")
+    salted = {
+        r.l_returnflag: (r.sum_value, r.n)
+        for r in salted_sum_count(
+            li, "l_returnflag", "l_quantity", salt_col="l_orderkey", buckets=16
+        ).collect()
+    }
+    plain = {
+        r.l_returnflag: (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,8)")), 4)
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert salted == plain

@@ -135,3 +135,38 @@ def a06_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a07_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey,
+             concat('UPDATED_', c_name) AS c_name,
+             c_nationkey, c_acctbal, c_mktsegment,
+             (c_custkey % 10 = 5) AS is_delete
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE NOT is_delete
+    """,
+    priority="P2",
+)
+def a07_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC apply) emulated via anti-join + union — see
+    operators/merge.py. The change feed updates customers with keys ≡0 mod 10
+    and deletes those ≡5 mod 10."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.operators.merge import merge_upsert
+
+    customer = table(spark, sf_dir, "customer")
+    changes = (
+        customer.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_name", F.concat(F.lit("UPDATED_"), F.col("c_name")))
+        .withColumn("is_delete", F.col("c_custkey") % 10 == 5)
+    )
+    return merge_upsert(customer, changes, key="c_custkey", delete_flag="is_delete")

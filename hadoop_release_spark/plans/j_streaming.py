@@ -231,3 +231,37 @@ def j08_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast(_DEC.lower())), 4).cast("double").alias("total_value"),
     )
     return materialize(agg, output_mode="complete")
+
+
+@register(
+    "j09_stream_foreach_batch",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    priority="P2",
+)
+def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the exactly-once pattern for sinks without
+    native streaming support — each micro-batch arrives as a batch
+    DataFrame with an epoch id, written transactionally (idempotent
+    overwrite keyed by epoch in production; plain overwrite here
+    since complete mode re-emits the whole result). Checkpointing
+    makes restarts resume from the last committed batch
+    (tests/test_streaming.py proves resume)."""
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    out_dir = scratch_dir("j09out") + "/data"
+    ckpt = scratch_dir("j09ckpt")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

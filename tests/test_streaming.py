@@ -88,3 +88,50 @@ def test_update_drops_late_event_from_state(spark, staged):
     ten_counts = {r.n for r in rows if r.w == "10:00"}
     assert 4 not in ten_counts, rows
     assert max(ten_counts) == 3, rows
+
+
+def test_checkpoint_restart_resumes_not_reprocesses(spark):
+    """Stop a checkpointed stream, add data, restart with the same
+    checkpoint: the final state covers ALL data but the second run
+    reads only the NEW file (exactly-once resume, not replay)."""
+    data_dir = scratch_dir("ckpt-data")
+    ckpt = scratch_dir("ckpt-loc")
+    out: dict[str, int] = {}
+
+    def write_batch(batch_df, epoch_id):
+        for r in batch_df.collect():
+            out[r["event_type"]] = r["n"]
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("recursiveFileLookup", True)
+            .parquet(data_dir)
+        )
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{data_dir}/f{idx}")
+
+    write_file(0, [(1, "2024-01-01 10:00:00", "click"), (2, "2024-01-01 10:01:00", "view")])
+    q1 = run_once()
+    assert out == {"click": 1, "view": 1}
+
+    write_file(1, [(3, "2024-01-01 10:02:00", "click")])
+    q2 = run_once()
+    assert out == {"click": 2, "view": 1}
+    # The restarted run consumed only the new file's rows.
+    progresses = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+    assert sum(p["numInputRows"] for p in progresses) == 1, progresses

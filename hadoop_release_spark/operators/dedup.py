@@ -91,10 +91,15 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("__id"),
         word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
     ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    # The shingle sets are needed twice (banding above, verification
+    # below); persist so the sketching pass runs once.
+    base = base.persist()
 
+    # Candidate generation on SLIM rows only — (id, band, bucket).
+    # Never ship the shingle arrays through the band shuffle: payload
+    # width through a shuffle is the thing that breaks at 100 TB.
     banded = base.select(
         "__id",
-        "__shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -105,20 +110,33 @@ def lsh_candidate_pairs(
 
     left = banded.alias("a")
     right = banded.alias("b")
-    candidates = (
+    candidate_ids = (
         left.join(
             right,
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Verification: re-attach shingles only for surviving pairs (two
+    # key-joins against the persisted sketch table).
+    shingles = base.select("__id", "__shingles")
+    candidates = (
+        candidate_ids.join(
+            shingles.select(
+                F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingles.select(
+                F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
     )
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")

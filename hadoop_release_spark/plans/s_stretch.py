@@ -44,3 +44,19 @@ def s03_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic alternative used inside contract queries."""
     li = table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register("s04_sequencefile_roundtrip", oracle=None, priority="P2")
+def s04_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile (K,V) round-trip — Hadoop's native record
+    container, via the RDD API (the ONLY deliberate RDD use in this
+    engine; every other operator is a DataFrame plan). Rows-only:
+    Writable serialization has no DuckDB analog — content equality
+    vs the source table is pinned in tests/test_stretch.py."""
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = scratch_dir("s04seq") + "/data"
+    nation.rdd.map(lambda r: (int(r.n_nationkey), r.n_name)).saveAsSequenceFile(path)
+    back = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(back, "n_nationkey long, n_name string")

@@ -49,3 +49,15 @@ def test_sample_seeded_reproducible_and_sized(spark, sf_dir):
     assert a == b  # fixed seed + same partitioning → reproducible
     total = table(spark, sf_dir, "lineitem").count()
     assert 0.05 * total < len(a) < 0.15 * total
+
+
+def test_sequencefile_roundtrip_lossless(spark, sf_dir):
+    out = {
+        (r.n_nationkey, r.n_name)
+        for r in specs()["s04_sequencefile_roundtrip"].fn(spark, sf_dir).collect()
+    }
+    src = {
+        (r.n_nationkey, r.n_name)
+        for r in table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    }
+    assert out == src

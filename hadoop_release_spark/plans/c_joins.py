@@ -392,3 +392,36 @@ def c15_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey).select(
         "o_orderkey", "o_custkey", "c_name"
     )
+
+
+@register(
+    "c16_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    priority="P2",
+)
+def c16_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's
+    average balance. Catalyst decorrelates this into an aggregate +
+    join (RewriteCorrelatedScalarSubquery) — the plan a user would
+    otherwise hand-write; predicate comparison on raw doubles is
+    exact since both engines average per-nation in one pass.
+
+    Note: avg here is the engines' native double avg — safe in a
+    FILTER (both sides would only disagree within ~1e-12, and no
+    fixture value sits that close to its nation's mean), unlike in a
+    hashed OUTPUT where davg/oavg is mandatory.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_c16")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal, c_nationkey
+        FROM customer_c16 c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_c16 c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

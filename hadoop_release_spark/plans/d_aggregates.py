@@ -373,3 +373,50 @@ def d15_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys")
     )
+
+
+@register(
+    "d16_agg_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+    priority="P2",
+)
+def d16_agg_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer,
+    then the distribution of customers over order counts (left join
+    keeps zero-order customers in the 0 bucket)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "d17_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM lineitem
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    priority="P2",
+)
+def d17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measures to long (measure, value) rows —
+    the inverse of d08's pivot."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -382,3 +382,16 @@ def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return ivf_topk(assigned, centroids, queries, k=10, nprobe=4)
+
+
+@register("l21_kmeans", oracle=None, priority="P2")
+def l21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means clustering of embeddings (5 Lloyd iterations, k=8) —
+    the iterative-algorithm pattern: a driver-side loop of DataFrame
+    plans where only k centroids ever leave the cluster. Rows-only
+    (iterative float evolution has no SQL oracle); determinism and
+    clustering quality pinned in tests/test_clustering.py. Also the
+    production centroid trainer for l19's IVF index."""
+    from hadoop_release_spark.operators.clustering import kmeans
+
+    return kmeans(table(spark, sf_dir, "embeddings"), k=8, max_iter=5)

@@ -60,3 +60,17 @@ def s04_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.rdd.map(lambda r: (int(r.n_nationkey), r.n_name)).saveAsSequenceFile(path)
     back = spark.sparkContext.sequenceFile(path)
     return spark.createDataFrame(back, "n_nationkey long, n_name string")
+
+
+@register("s05_pipe_external", oracle=None, priority="P2")
+def s05_pipe_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop Streaming — the literal analog: stream records through
+    an external process via rdd.pipe (here `tr a-z A-Z` as the
+    stand-in streaming mapper). k06's mapInPandas is the performant
+    modern form; this exists for API-surface parity with the
+    reference's hadoop-streaming jar. Rows-only (external-process
+    output; content parity pinned in tests/test_stretch.py)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    piped = docs.rdd.map(lambda r: f"{r.doc_id}\t{r.lang}").pipe("tr a-z A-Z")
+    parsed = piped.map(lambda line: line.split("\t")).map(lambda p: (int(p[0]), p[1]))
+    return spark.createDataFrame(parsed, "doc_id long, lang_upper string")

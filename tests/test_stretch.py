@@ -61,3 +61,31 @@ def test_sequencefile_roundtrip_lossless(spark, sf_dir):
         for r in table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
     }
     assert out == src
+
+
+def test_pipe_external_matches_native(spark, sf_dir):
+    out = {
+        (r.doc_id, r.lang_upper)
+        for r in specs()["s05_pipe_external"].fn(spark, sf_dir).collect()
+    }
+    src = {
+        (r.doc_id, r.lang.upper())
+        for r in table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    assert out == src
+
+
+def test_accumulator_counters_side_channel(spark, sf_dir):
+    # The Hadoop counters side-channel: accumulators aggregate task-
+    # side increments on the driver (i07's conditional aggregation is
+    # the dataflow-native form; this pins the side-channel works too).
+    acc = spark.sparkContext.accumulator(0)
+    docs = table(spark, sf_dir, "documents").select("lang")
+
+    def count_en(row):
+        if row.lang == "en":
+            acc.add(1)
+
+    docs.foreach(count_en)
+    exact = docs.filter(docs.lang == "en").count()
+    assert acc.value == exact

@@ -146,3 +146,52 @@ def lsh_candidate_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components_min_label(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "__id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node's label converges to the smallest id in
+    its component. Returns (id_col, component).
+
+    Near-dup components have tiny diameter (dup clusters are cliques
+    or short chains), so propagation converges in a few rounds —
+    each round is one join + one min-aggregation, fully distributed;
+    only the converged-yet? count reaches the driver. For general
+    billion-edge graphs use the large-star/small-star algorithm
+    (Kiveris et al.) — same join primitives, fewer rounds.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).withColumn(
+        "component", F.col("node")
+    ).persist()
+
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("node", id_col)

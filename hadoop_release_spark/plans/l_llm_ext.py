@@ -395,3 +395,28 @@ def l21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_release_spark.operators.clustering import kmeans
 
     return kmeans(table(spark, sf_dir, "embeddings"), k=8, max_iter=5)
+
+
+@register("l22_dedup_survivors", oracle=None, priority="P2")
+def l22_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication: LSH candidate pairs (l02) →
+    connected components (transitive closure — a chain a~b, b~c is ONE
+    duplicate group) → survivor = min doc_id per component. The final
+    step of a corpus dedup pass: emit every doc with its canonical id
+    and a keep/drop flag. Rows-only; chain-transitivity pinned in
+    tests/test_llm_ops.py."""
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+        lsh_candidate_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text", jaccard_threshold=0.3)
+    comps = connected_components_min_label(
+        d.select(F.col("doc_id").alias("__id")), pairs, id_col="__id"
+    )
+    return comps.select(
+        F.col("__id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    )

@@ -53,3 +53,20 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0]
     assert out.s == ["only two"]
+
+
+def test_connected_components_chain_transitivity(spark):
+    # a~b and b~c (but no a~c pair) must land in ONE component.
+    from hadoop_release_spark.operators.dedup import connected_components_min_label
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "__id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    comps = {
+        r["__id"]: r.component
+        for r in connected_components_min_label(nodes, pairs).collect()
+    }
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[4] == comps[5] == 4
+    assert comps[9] == 9  # isolated node is its own survivor

@@ -484,3 +484,56 @@ def h18_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.groupBy(F.pmod(k, F.lit(10)).alias("k_mod")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "h19_bitwise",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey << 2 AS BIGINT) AS shl,
+           CAST(n_nationkey >> 1 AS BIGINT) AS shr,
+           CAST(n_nationkey & 5 AS BIGINT) AS band,
+           CAST(n_nationkey | 8 AS BIGINT) AS bor,
+           CAST(xor(n_nationkey, 3) AS BIGINT) AS bxor,
+           CAST(bit_count(n_nationkey) AS BIGINT) AS popcount
+    FROM nation
+    """,
+    priority="P2",
+)
+def h19_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (shifts, and/or/xor, popcount) — the
+    primitives behind the SimHash/fingerprint sketches, exposed as a
+    scalar family."""
+    n = table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.shiftleft(k, 2).cast("long").alias("shl"),
+        F.shiftright(k, 1).cast("long").alias("shr"),
+        k.bitwiseAND(F.lit(5)).cast("long").alias("band"),
+        k.bitwiseOR(F.lit(8)).cast("long").alias("bor"),
+        k.bitwiseXOR(F.lit(3)).cast("long").alias("bxor"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+@register(
+    "h20_text_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev_name_brand,
+           CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS lev_palindrome
+    FROM part
+    """,
+    priority="P2",
+)
+def h20_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (Levenshtein) — fuzzy string matching for
+    record-linkage/dedup candidate verification on short fields
+    (for long documents use the shingle-Jaccard path, l13)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.col("p_brand")).cast("long").alias("lev_name_brand"),
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).cast("long").alias("lev_palindrome"),
+    )

@@ -146,10 +146,12 @@ def test_truncating_cast_rule(spark, rows):
     duck_cast = [r[0] for r in con.execute("SELECT CAST(x AS BIGINT) FROM t").fetchall()]
     con.close()
     assert [float(v) for v in spark_floor] == [float(v) for v in duck_floor]
-    # DuckDB's cast ROUNDS — differs from floor whenever |frac| ≥ 0.5.
-    diverges = any(
-        f != c for f, c in zip(duck_floor, duck_cast) if c is not None
-    )
-    has_big_frac = any(abs(x - int(x)) >= 0.5 for _, x in rows)
-    if has_big_frac:
-        assert diverges or all(x < 0 for _, x in rows)
+    # DuckDB's cast ROUNDS half-away-from-zero; it differs from floor
+    # exactly when x - floor(x) > 0.5, or == 0.5 with x positive
+    # (e.g. floor(-1.2) = -2 vs round = -1; floor(-0.5) = round = -1).
+    import math
+
+    diverges = any(f != c for f, c in zip(duck_floor, duck_cast) if c is not None)
+    frac = [(x - math.floor(x), x) for _, x in rows]
+    should_diverge = any(fr > 0.5 or (fr == 0.5 and x > 0) for fr, x in frac)
+    assert diverges == should_diverge

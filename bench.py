@@ -60,15 +60,16 @@ def main() -> None:
     # Materialize via Arrow (toPandas): vectorized columnar transfer —
     # the idiomatic Spark→Python boundary. Row-at-a-time collect() is
     # ~10-40× slower on wide scans and would measure py4j, not the
-    # engine. Best-of-2 damps single-run jitter on a shared VM.
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # engine. Best-of-2 with the rounds INTERLEAVED across queries:
+    # this VM has multi-second transient stalls, and interleaving
+    # keeps one stall from poisoning both attempts of one query.
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(2):
+        for name in names:
             t0 = time.perf_counter()
             available[name].fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -21,7 +21,7 @@ pruning does the candidate selection before any compute.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.functions.vectors import cosine
@@ -43,6 +43,120 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         .drop("__sim", "__rn", "centroid")
         .withColumnRenamed("centroid_id", "cluster")
     )
+
+
+def sign_lsh_bands(
+    vec: Column, bands: int, rows_per_band: int
+) -> list[Column]:
+    """Random-hyperplane LSH bucket ids from component sign bits.
+
+    Band ``j`` packs the sign bits of components
+    ``j*rows_per_band .. (j+1)*rows_per_band - 1`` (0-based) into an
+    integer bucket id. For isotropic embeddings the coordinate axes
+    ARE random hyperplanes, so ``P[sign agree] = 1 - θ/π`` per bit —
+    the Charikar bound — and two vectors collide in band j with
+    probability ``p^rows_per_band``. Deterministic (no RNG), hence
+    reproducible in any engine: the oracle mirrors it bit-for-bit.
+    """
+    out = []
+    for j in range(bands):
+        bucket = None
+        for i in range(rows_per_band):
+            bit = F.when(
+                F.element_at(vec, j * rows_per_band + i + 1) > 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        out.append(bucket.cast("int").alias(f"band{j}"))
+    return out
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate pairs WITHOUT the
+    all-pairs join: sign-LSH banding generates candidates, exact
+    cosine verifies them.
+
+    Scale shape (the part that must survive 100×): only slim
+    ``(id, band_j)`` rows go through the ``bands`` candidate
+    self-joins; full vectors are re-attached ONLY for the candidate
+    pairs in the verify stage — exactly the l02 MinHash-LSH layout.
+    At 100 TB raise ``rows_per_band`` (bucket count 2^R grows the
+    pruning factor exponentially; R≈16 → 65k buckets per band); the
+    fixture default R=4 is calibrated to the 64-dim random fixture so
+    moderate-cosine pairs still collide. Recall for truly
+    near-identical vectors (cos ≥ 0.99) is ≥ 1-(1-0.96)^8 ≈ 1;
+    pinned by the planted-pair test in tests/test_similarity.py.
+    """
+    slim = embeddings.select(
+        F.col(id_col).alias("__id"),
+        *sign_lsh_bands(F.col(vec_col), bands, rows_per_band),
+    )
+    cand = None
+    for j in range(bands):
+        a = slim.select(F.col("__id").alias("id_a"), F.col(f"band{j}").alias("__b"))
+        b = slim.select(F.col("__id").alias("id_b"), F.col(f"band{j}").alias("__b"))
+        pairs_j = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
+    cand = cand.distinct()
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 3)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def o_embedding_near_dup_pairs(
+    dim: int,
+    threshold: float = 0.3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`embedding_near_dup_pairs` over the
+    ``embeddings`` view (vec_id, embedding)."""
+    from hadoop_release_spark.functions.vectors import o_cosine
+
+    band_cols = []
+    for j in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{j * rows_per_band + i + 1}] > 0 "
+            f"THEN {2**i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_cols.append(f"({bits}) AS band{j}")
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
+        f"JOIN b b2 ON a.band{j} = b2.band{j} AND a.vec_id < b2.vec_id"
+        for j in range(bands)
+    )
+    cos = o_cosine("ea.embedding", "eb.embedding", dim)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {", ".join(band_cols)} FROM embeddings
+    ), cand AS (
+{cand_union}
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 3) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON c.id_a = ea.vec_id
+    JOIN embeddings eb ON c.id_b = eb.vec_id
+    WHERE round({cos}, 3) >= {threshold}
+    """
 
 
 def ivf_topk(

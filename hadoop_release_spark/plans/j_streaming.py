@@ -139,11 +139,16 @@ def j04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup by event_id within the watermark (append mode —
-    dedup emits rows immediately). Fixture event_ids are unique, so
-    the oracle is the identity; planted-duplicate behavior is
-    pytest-verified."""
+    dedup emits rows immediately). ``dropDuplicatesWithinWatermark``
+    is the bounded-state form: state for a key is evicted once the
+    watermark passes its event time. Plain ``dropDuplicates`` keyed on
+    event_id alone would never evict (Spark only expires dedup state
+    when the event-time column is part of the key) — unbounded state
+    on a real stream. Fixture event_ids are unique, so the oracle is
+    the identity; planted-duplicate drop + state eviction are
+    pytest-verified in tests/test_streaming.py."""
     ev = stream_events(spark, sf_dir)
-    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
     out = materialize(deduped, output_mode="append")
     return out.select("event_id", "user_id", "event_type", "value")
 
@@ -189,18 +194,10 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = ev.groupBy("user_id").applyInPandasWithState(
         update_fn, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    # The stateful operator creates one state store + Python worker
-    # round-trip per shuffle partition; with ~1500 groups that fixed
-    # cost dominates at 32 partitions (measured 5× slower). Scope the
-    # partition count to this query and restore. At cluster scale
-    # size this to total state volume instead — it is FIXED for the
-    # lifetime of a streaming checkpoint.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return materialize(result, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # State-store/partition scoping lives in materialize() — one state
+    # store + Python worker round-trip per shuffle partition is the
+    # dominant fixed cost here (measured 5× at 32 partitions).
+    return materialize(result, output_mode="update")
 
 
 @register(

@@ -188,34 +188,29 @@ def l13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l14_dedup_embedding",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({o_cosine("a.embedding", "b.embedding", _DIM)}, 3) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 200 AND b.vec_id < 200
-      AND round({o_cosine("a.embedding", "b.embedding", _DIM)}, 3) >= 0.3
-    """,
-    priority="P2",
-)
+def _o_l14() -> str:
+    from hadoop_release_spark.operators.similarity import o_embedding_near_dup_pairs
+
+    return o_embedding_near_dup_pairs(_DIM, threshold=0.3, bands=8, rows_per_band=4)
+
+
+@register("l14_dedup_embedding", oracle=_o_l14(), priority="P2")
 def l14_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup) over a
-    bounded demo set. Threshold 0.3 — calibrated so the fixture's
-    random embeddings (max pairwise cosine ≈ 0.44) produce a
-    non-trivial result; real corpora use ~0.9+. Scale path: bucket by IVF centroid (l19) or
-    random-hyperplane LSH first, compare only within buckets."""
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a, b = e.alias("a"), e.alias("b")
-    sim = r3(cosine(F.col("a.embedding"), F.col("b.embedding")))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
+    """Embedding-cosine near-duplicate pairs (semantic dedup) over
+    the FULL embeddings table — no all-pairs join: sign-bit LSH
+    banding (8 bands × 4 sign bits, deterministic, hence
+    oracle-mirrored) generates candidates; exact cosine verifies
+    within buckets. Threshold 0.3 is calibrated to the fixture's
+    random embeddings (max pairwise cosine ≈ 0.44); real corpora use
+    ~0.9+, where band-collision probability — and so recall — is far
+    higher (Charikar bound; planted-pair recall pinned in
+    tests/test_similarity.py). Scale: raise rows_per_band so 2^R
+    buckets keep per-bucket membership bounded; only slim (id, band)
+    rows shuffle, vectors re-attach per candidate pair."""
+    from hadoop_release_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.3, bands=8, rows_per_band=4
     )
 
 
@@ -330,6 +325,60 @@ def l17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(grams).alias("fingerprint"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
+    )
+
+
+#: Winnowing window: keep the min hash of every w consecutive grams.
+_WINNOW_W = 4
+
+
+@register(
+    "l18_winnow",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - 6),
+                            i -> md5(substring(text, CAST(i AS INT), 8))) AS g
+      FROM documents WHERE length(text) >= {8 + _WINNOW_W - 1}
+    ), wins AS (
+      SELECT doc_id,
+             list_transform(range(1, len(g) - {_WINNOW_W - 2}),
+                            i -> list_min(g[CAST(i AS INT):CAST(i + {_WINNOW_W - 1} AS INT)])) AS mins
+      FROM grams)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(mins)), '|') AS winnow_fp,
+           CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp
+    FROM wins
+    """,
+    priority="P2",
+)
+def l18_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every 8-char gram (md5, the portable
+    hash), then keep the MINIMUM hash of each sliding window of
+    w=4 gram positions; the distinct selected hashes are the
+    document fingerprint. Guarantees any shared substring of length
+    ≥ 8+w-1 contributes a shared fingerprint (the winnowing
+    guarantee), with density ~2/(w+1). Completes l17's 1-hash sketch
+    into the real construction. Per-row array work only — no
+    shuffle; fingerprints emitted as a sorted '|'-joined string so
+    the hash check is canonical."""
+    w = _WINNOW_W
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 8 + w - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
+    )
+    g = d.select("doc_id", grams.alias("g"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("g") - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("g"), i, F.lit(w))),
+    )
+    fp = F.array_sort(F.array_distinct(mins))
+    return g.select(
+        "doc_id",
+        F.concat_ws("|", fp).alias("winnow_fp"),
+        F.size(fp).cast("long").alias("n_fp"),
     )
 
 

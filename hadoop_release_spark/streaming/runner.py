@@ -16,11 +16,22 @@ Output-mode discipline (verified semantics, not style):
   * watermarked aggregations checked against a batch oracle → UPDATE
     with the input pinned to ONE micro-batch (update re-emits a
     changed window per batch, and the memory sink appends, so
-    multiple batches would duplicate rows);
+    multiple batches would duplicate rows — materialize() asserts
+    the single-batch invariant for update mode);
   * stateless transforms (dedup, stream-static joins) → APPEND.
 Multi-batch behavioral semantics (late-data drops, append-mode
 window emission) are pytest-verified in tests/test_streaming.py,
 not hash-checked.
+
+Shuffle-partition scoping: every stateful streaming operator builds
+one state-store instance (and one task) per shuffle partition, a
+FIXED cost per micro-batch that dwarfs the work at fixture scale —
+an unconfigured session defaults to 200 partitions, i.e. 200 state
+stores for a 60k-row input (measured ~5× slowdown). materialize()
+scopes the partition count down for the run and restores the
+caller's value. At cluster scale the same knob is instead sized to
+total state volume, and it is pinned for the lifetime of a
+checkpoint — choose it before the first run.
 """
 
 from __future__ import annotations
@@ -29,18 +40,31 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from hadoop_release_spark.session import ensure_configs
+
+#: Shuffle/state partitions used while materializing fixture-scale
+#: streams (see module docstring).
+FIXTURE_STREAM_PARTITIONS = 8
+
+#: sf_dir → events schema; the batch-side probe is identical per
+#: directory, so one read serves every streaming query in a session.
+_SCHEMA_CACHE: dict[str, StructType] = {}
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a stream, with the same ns→µs ts normalization the
-    batch catalog applies. maxFilesPerTrigger=1 pins the fixture (one
-    parquet file) to exactly one micro-batch — see module docstring."""
+    batch catalog applies. The whole fixture is consumed in ONE
+    micro-batch (maxFilesPerTrigger far above the fixture file count;
+    materialize() asserts the invariant where it is load-bearing)."""
     ensure_configs(spark)
+    schema = _SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[sf_dir] = schema
     # readStream requires a directory source; pathGlobFilter scopes it
     # to the events file within the fixture dir.
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -54,14 +78,40 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink
-    and return the final table."""
+    and return the final table.
+
+    Scopes ``spark.sql.shuffle.partitions`` to the fixture-sized value
+    for the duration of the run (state stores are per-partition; see
+    module docstring) and restores the caller's setting afterwards.
+    Not concurrency-safe — the conf is session-global, matching the
+    driver's sequential grading; a concurrent harness must pin the
+    value once per session instead.
+    """
+    spark = stream_df.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:12]
-    query = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(FIXTURE_STREAM_PARTITIONS))
+    try:
+        query = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        if output_mode == "update":
+            # Update mode re-emits changed windows per micro-batch and
+            # the memory sink APPENDS, so correctness of the final
+            # table requires the whole input in one batch. Assert it
+            # instead of trusting the fixture layout.
+            batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+            if len(batches) > 1:
+                raise AssertionError(
+                    f"update-mode stream consumed {len(batches)} micro-batches; "
+                    "the memory-sink oracle bridge requires exactly one "
+                    "(raise maxFilesPerTrigger in stream_events)"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)

@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.functions.vectors import cosine
-from hadoop_release_spark.operators.similarity import assign_clusters, ivf_topk
+from hadoop_release_spark.operators.similarity import (
+    assign_clusters,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
 
 
 def _setup(spark, sf_dir):
@@ -53,6 +57,52 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # the ~nprobe/K floor; assert a conservative bound so the test is
     # stable while still catching a broken candidate generator.
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_near_dup_pairs_recall_planted_pair(spark, sf_dir):
+    """l14's LSH candidate generator must recover a planted
+    near-identical pair: clone a fixture vector with a tiny
+    perturbation (cosine ≈ 0.9999) under a fresh id and assert the
+    pair (orig, clone) survives banding + exact-cosine verify at a
+    high threshold. This is the recall property the all-pairs demo
+    bound used to hide."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.orderBy("vec_id").limit(1).toPandas()
+    orig_id = int(base.vec_id[0])
+    vec = [float(v) for v in base.embedding[0]]
+    clone = [v + 0.001 for v in vec]
+    clone_id = 10_000_000
+    planted = spark.createDataFrame(
+        [(clone_id, clone, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    full = e.unionByName(planted)
+    pairs = embedding_near_dup_pairs(full, threshold=0.9).toPandas()
+    hit = pairs[(pairs.id_a == orig_id) & (pairs.id_b == clone_id)]
+    assert len(hit) == 1, pairs.head(20)
+    assert hit.cos_sim.iloc[0] >= 0.99
+
+
+def test_near_dup_pairs_no_all_pairs_without_collision(spark, sf_dir):
+    """Structural: every emitted pair must share at least one LSH
+    band — the operator never compares non-colliding vectors. Verify
+    by recomputing band ids for the emitted pairs."""
+    from hadoop_release_spark.operators.similarity import sign_lsh_bands
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=-1.0)  # keep all candidates
+    bands = e.select("vec_id", *sign_lsh_bands(F.col("embedding"), 8, 4))
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), *[F.col(f"band{j}").alias(f"a{j}") for j in range(8)]
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), *[F.col(f"band{j}").alias(f"b{j}") for j in range(8)]
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    collides = None
+    for j in range(8):
+        c = F.col(f"a{j}") == F.col(f"b{j}")
+        collides = c if collides is None else collides | c
+    assert joined.filter(~collides).count() == 0
 
 
 def test_ivf_scores_descending_per_query(spark, sf_dir):

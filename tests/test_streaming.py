@@ -90,6 +90,50 @@ def test_update_drops_late_event_from_state(spark, staged):
     assert max(ten_counts) == 3, rows
 
 
+def test_dedup_within_watermark_drops_dup_and_evicts_state(spark):
+    """j05 semantics: a duplicate event_id arriving within the
+    watermark is dropped, and dedup state is EVICTED once the
+    watermark passes a key's event time — numRowsTotal must not grow
+    with already-expired keys (the whole point of
+    dropDuplicatesWithinWatermark over plain dropDuplicates)."""
+    path = scratch_dir("dedup-evict")
+    _write_batch(spark, path, 0, [(1, "2024-01-01 10:00:00", 1.0),
+                                  (2, "2024-01-01 10:10:00", 2.0)])
+    # Duplicate id=1 within the 10-minute watermark → dropped; id=3 at
+    # 12:00 advances the watermark far past keys 1 and 2.
+    _write_batch(spark, path, 1, [(1, "2024-01-01 10:02:00", 9.0),
+                                  (3, "2024-01-01 12:00:00", 3.0)])
+    _write_batch(spark, path, 2, [(4, "2024-01-01 13:00:00", 4.0)])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "dedup_" + uuid.uuid4().hex[:10]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    got = sorted((r.event_id, r.value) for r in rows)
+    # Each id exactly once, duplicate's value (9.0) never emitted.
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], rows
+    # By the final batch the watermark (11:50) has passed keys 1 and 2
+    # (expire at event_time + delay ≤ 10:20): state holds at most the
+    # two live keys. Plain dropDuplicates would report 4 here.
+    state = [p["stateOperators"][0]["numRowsTotal"]
+             for p in q.recentProgress if p.get("stateOperators")]
+    assert state and state[-1] <= 2, state
+
+
 def test_checkpoint_restart_resumes_not_reprocesses(spark):
     """Stop a checkpointed stream, add data, restart with the same
     checkpoint: the final state covers ALL data but the second run

@@ -19,7 +19,7 @@ explicit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,27 +55,33 @@ def kmeans(
         )
     ]
 
-    spark = embeddings.sparkSession
+    def assign_expr(cents: list[tuple[int, list[float]]]):
+        """(sq_dist, cluster) of the nearest centroid, as ONE narrow
+        per-row expression: the k centroids are driver-side constants
+        (k × dim doubles), so the argmin needs no crossJoin, no
+        window, no shuffle — struct ordering gives the deterministic
+        (distance, cluster-id) tie-break. The assign step is thereby
+        embarrassingly parallel at any corpus size."""
+        candidates = F.array(
+            *[
+                F.struct(
+                    _sq_dist(
+                        F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                    ).alias("sq_dist"),
+                    F.lit(cid).alias("cluster"),
+                )
+                for cid, c in cents
+            ]
+        )
+        return F.array_min(candidates)
+
     for _ in range(max_iter):
-        cdf = spark.createDataFrame(
-            centroids, f"cluster int, centroid array<double>"
-        )
-        assigned = (
-            embeddings.crossJoin(F.broadcast(cdf))
-            .withColumn("sq_dist", _sq_dist(F.col(vec_col), F.col("centroid")))
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("sq_dist", "cluster")
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "centroid")
-        )
         # Update step: element-wise mean per cluster via posexplode →
-        # (cluster, dim) aggregation → regroup into vectors.
+        # (cluster, dim) aggregation → regroup into vectors. The ONLY
+        # shuffle per iteration, carrying k×dim partial sums per task.
         dim_means = (
-            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("d", "x"))
+            embeddings.withColumn("cluster", assign_expr(centroids)["cluster"])
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("d", "x"))
             .groupBy("cluster", "d")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .groupBy("cluster")
@@ -85,14 +91,9 @@ def kmeans(
         )
         centroids = [(r.cluster, list(r.centroid)) for r in dim_means]
 
-    cdf = spark.createDataFrame(centroids, "cluster int, centroid array<double>")
-    return (
-        embeddings.crossJoin(F.broadcast(cdf))
-        .withColumn("sq_dist", F.round(_sq_dist(F.col(vec_col), F.col("centroid")), 3))
-        .withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("sq_dist", "cluster")),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cluster", "sq_dist")
+    best = assign_expr(centroids)
+    return embeddings.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        F.round(best["sq_dist"], 3).alias("sq_dist"),
     )

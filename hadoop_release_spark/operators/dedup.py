@@ -165,8 +165,16 @@ def connected_components_min_label(
     billion-edge graphs use the large-star/small-star algorithm
     (Kiveris et al.) — same join primitives, fewer rounds.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Persist the SLIM symmetric edge list: every iteration's join and
+    # the convergence count re-read it, and ``pairs`` is typically an
+    # expensive pipeline (the full LSH candidate generation) that must
+    # not re-run per round. Released before return — the final labels
+    # are cache-materialized by the last convergence count, so the
+    # returned plan never reaches back through the edges.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
     )
     labels = nodes.select(F.col(id_col).alias("node")).withColumn(
         "component", F.col("node")
@@ -194,4 +202,5 @@ def connected_components_min_label(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.withColumnRenamed("node", id_col)

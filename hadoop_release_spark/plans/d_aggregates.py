@@ -405,15 +405,19 @@ def d16_agg_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d17_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, value
-    FROM lineitem
+    FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1993-01-01')
     UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
     """,
     priority="P2",
 )
 def d17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures to long (measure, value) rows —
-    the inverse of d08's pivot."""
-    li = table(spark, sf_dir, "lineitem")
+    the inverse of d08's pivot. Input bounded to one ship-year (the
+    filter reaches the parquet scan ahead of the unpivot; the 3×
+    row expansion is the operator under test, not the payload)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < "1993-01-01"
+    )
     return li.unpivot(
         ids=["l_orderkey", "l_linenumber"],
         values=["l_quantity", "l_extendedprice", "l_discount"],

@@ -262,14 +262,28 @@ def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir("j09ckpt")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        # Handful of groups → one output file; a wide result would
+        # instead keep the batch's partitioning.
+        batch_df.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
-    query = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Same state-store/partition scoping materialize() applies: the
+    # stateful agg builds one state store per shuffle partition, and
+    # an unconfigured 200-partition session pays ~200 stores + a
+    # 200-file foreachBatch write per micro-batch (measured 47 s vs
+    # ~3 s at fixture scale).
+    from hadoop_release_spark.streaming.runner import FIXTURE_STREAM_PARTITIONS
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(FIXTURE_STREAM_PARTITIONS))
+    try:
+        query = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out_dir)

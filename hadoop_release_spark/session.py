@@ -44,7 +44,21 @@ def ensure_configs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable contract configs to an existing session.
 
     Safe to call repeatedly; used on driver-provided sessions whose
-    builder configs we do not control.
+    builder configs we do not control. Two extra duties beyond the
+    conf loop:
+
+    * Verify ``nanosAsLong`` actually took hold — without it every
+      events read later dies with an unrelated-looking
+      PARQUET_TYPE_ILLEGAL; fail loud and early instead.
+    * Right-size ``spark.sql.shuffle.partitions`` on an UNCONFIGURED
+      local session: the 200-partition default costs ~200 tasks (and
+      200 streaming state stores) per shuffle of a fixture-sized
+      input — pure fixed overhead, measured 5-15× on iterative
+      operators. Only applied when the master is local AND the conf
+      still holds its factory default, so a deliberately tuned
+      session (any real cluster) is never second-guessed. At cluster
+      scale this knob is sized to ~2-3× total executor cores /
+      target partition bytes instead.
     """
     for key, value in RUNTIME_SQL_CONFS.items():
         try:
@@ -52,6 +66,28 @@ def ensure_configs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable in this Spark build — builder must have set it.
             pass
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    effective = None
+    try:
+        effective = spark.conf.get(key, None)
+    except Exception:
+        pass
+    if effective is not None and effective != "true":
+        raise RuntimeError(
+            f"{key}={effective!r} could not be applied to this session; "
+            "events.parquet (INT64 TIMESTAMP(NANOS)) cannot be read. "
+            "Set it in the session builder."
+        )
+    try:
+        sc = spark.sparkContext
+        if sc.master.startswith("local") and (
+            spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(sc.defaultParallelism)
+            )
+    except Exception:
+        pass
     return spark
 
 

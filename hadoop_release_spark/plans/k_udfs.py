@@ -19,6 +19,7 @@ rounding half-grid (5e-5).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,15 @@ from pyspark.sql.types import DoubleType, LongType, StringType
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.plans.registry import register
+
+
+def _round_half_away(x, dp: int):
+    """Half-AWAY-from-zero rounding (what DuckDB's round does).
+    Python/numpy ``round`` are half-to-even and diverge from the
+    oracle on exact .5 boundaries; Python-side contract values must
+    round the same direction."""
+    s = 10.0**dp
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
 
 
 @register(
@@ -94,7 +104,7 @@ def k03_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def weighted_mean(bal: pd.Series, weight: pd.Series) -> float:
-        return round(float((bal * weight).sum() / weight.sum()), 4)
+        return float(_round_half_away((bal * weight).sum() / weight.sum(), 4))
 
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
@@ -118,8 +128,14 @@ def k04_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     group out)."""
 
     def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ddof=1 matches the oracle's stddev_samp; a single-event
+        # group gives std=NaN there DuckDB yields NULL, so map
+        # non-finite z to None (Arrow NaN would hash-diverge from the
+        # oracle's NULL). Half-away rounding matches DuckDB's round.
         std = pdf["value"].std(ddof=1)
-        pdf = pdf.assign(z=((pdf["value"] - pdf["value"].mean()) / std).round(4))
+        z = _round_half_away((pdf["value"] - pdf["value"].mean()) / std, 4)
+        z = pd.Series(z, index=pdf.index).astype(object)
+        pdf = pdf.assign(z=z.where(np.isfinite(z.astype(float)), None))
         return pdf[["event_id", "user_id", "z"]]
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")

@@ -99,14 +99,18 @@ def l03_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, term) AS rn
       FROM scored)
-    SELECT doc_id, term, score FROM ranked WHERE rn <= 5
+    SELECT doc_id, term, CAST(rn AS BIGINT) AS term_rank
+    FROM ranked WHERE rn <= 5
     """,
     priority="P2",
 )
 def l04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-5 terms per document by tf·ln(N/df). Ranking is on
     the ROUNDED score (tie-broken by term) so last-bit ln() noise can
-    never flip the top-k cut between engines.
+    never flip the top-k cut between engines; the HASHED columns are
+    (doc_id, term, term_rank) only — ln() produces non-terminating
+    decimals, so the raw score stays out of the value hash entirely
+    (FLOAT RULE, contracts.py).
 
     Scale: tf is one explode+agg shuffle; df is a term-keyed agg
     (vocab-sized, small); N is a scalar broadcast. The df table
@@ -125,7 +129,7 @@ def l04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("doc_id", "term", "score")
+        .select("doc_id", "term", F.col("rn").cast("long").alias("term_rank"))
     )
 
 

@@ -412,6 +412,98 @@ def l20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "l23_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      FROM toks WHERE len(t) >= 3)
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+             AS dup_tok_frac,
+           round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+             AS dup_gram_frac
+    FROM grams
+    """,
+    priority="P2",
+)
+def l23_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios (the Gopher repetition filters): fraction of
+    duplicate tokens and duplicate 3-grams per document — high values
+    flag boilerplate/spam for corpus filtering. Per-row array work
+    only, no shuffle. Float note: ratios of small integers are
+    provably round-safe at 4dp — |a/b - k/20000| ≥ 1/(20000·b) for
+    any non-boundary rational, ≫ double noise for fixture-sized b."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    dup = lambda col: r4(  # noqa: E731
+        F.lit(1.0) - F.size(F.array_distinct(col)).cast("double") / F.size(col)
+    )
+    return base.select(
+        "doc_id",
+        dup(F.col("t")).alias("dup_tok_frac"),
+        dup(grams).alias("dup_gram_frac"),
+    )
+
+
+#: Per-language keep-quota (percent of the 100 md5 buckets) for the
+#: stratified sample — the per-stratum rates a corpus pipeline tunes.
+_STRATA_QUOTA = {"en": 10, "de": 30, "fr": 50, "es": 70}
+
+
+@register(
+    "l24_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                % 100 AS BIGINT) AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+               % 100 AS BIGINT)
+          < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_QUOTA.items())}
+            ELSE 0 END
+    """,
+    priority="P2",
+)
+def l24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document hashes to one
+    of 100 md5-derived buckets and survives iff its bucket is below
+    its language's quota. Unlike ``df.sample`` this is reproducible
+    across engines, runs, cluster sizes, and data re-partitioning —
+    the property a training-data pipeline needs for auditable corpus
+    mixes — and it is a pure per-row filter (no shuffle, no state;
+    pushdown-friendly). md5 is the portable hash (contract rule 6)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    quota = None
+    for k, v in _STRATA_QUOTA.items():
+        cond = F.when(F.col("lang") == k, F.lit(v))
+        quota = cond if quota is None else quota.when(F.col("lang") == k, F.lit(v))
+    quota = quota.otherwise(F.lit(0))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < quota)
+    )
+
+
 @register("l19_knn_ivf", oracle=None, priority="P2")
 def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the similarity-search SCALE

@@ -1,9 +1,12 @@
 """§2.M (addendum) — multimodal binary-column pipeline.
 
-Binary payloads + mapInPandas decode stages (decoders stubbed — see
-operators/multimodal.py). m01's byte-length feature is
-SQL-checkable; m02/m03 carry Python-side checksums (zlib.crc32 has
-no DuckDB equivalent) and are rows-only with pytest coverage.
+Binary payloads + mapInPandas decode stages with REAL uncompressed
+codecs (24-bit BMP, PCM16 WAV — public specs, stdlib only; see
+operators/multimodal.py; compressed formats raise clearly, the
+container has no image/audio libraries). m01's byte-length feature
+is SQL-checkable; m02/m03 carry Python-side decoded-content
+checksums (zlib.crc32 has no DuckDB equivalent) and are rows-only
+with codec round-trip + determinism pytest coverage.
 """
 
 from __future__ import annotations
@@ -13,7 +16,9 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.multimodal import (
+    attach_audio_payload,
     attach_fake_payload,
+    attach_image_payload,
     extract_image_features,
     sample_audio_frames,
 )
@@ -45,17 +50,19 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("m02_image_features", oracle=None, priority="P2")
 def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode + feature extraction via Arrow-batched
-    mapInPandas (decoder STUBBED — deterministic fake; the Spark-side
-    plumbing is the deliverable). Rows-only: crc32 checksums have no
-    SQL oracle."""
-    d = attach_fake_payload(table(spark, sf_dir, "documents"))
+    mapInPandas: payloads are genuine 24-bit BMPs and the extractor
+    runs a REAL stdlib BMP decoder (width/height/channels/pixel
+    checksum). Rows-only: crc32 checksums have no SQL oracle;
+    round-trip exactness is pinned in tests/test_multimodal.py."""
+    d = attach_image_payload(table(spark, sf_dir, "documents"))
     return extract_image_features(d)
 
 
 @register("m03_audio_frames", oracle=None, priority="P2")
 def m03_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio frame sampling: 1 payload → N fixed-size frames through
-    mapInPandas (codec stubbed). Demonstrates the row-expanding batch
-    shape (output rows ≠ input rows within one Arrow batch)."""
-    d = attach_fake_payload(table(spark, sf_dir, "documents"))
+    """Audio frame sampling: REAL PCM16 WAV decode, then 1 payload →
+    N fixed-size sample frames through mapInPandas. Demonstrates the
+    row-expanding batch shape (output rows ≠ input rows within one
+    Arrow batch)."""
+    d = attach_audio_payload(table(spark, sf_dir, "documents"))
     return sample_audio_frames(d)

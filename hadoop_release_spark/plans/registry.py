@@ -112,6 +112,7 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             "j09_stream_foreach_batch",
             # iterative / multi-pass operators
             "l21_kmeans", "l22_dedup_survivors", "l02_dedup_near",
+            "l14_dedup_embedding", "l18_winnow",
             # large result materialization or compare payload
             "a01_scan_parquet", "d17_unpivot", "f01_sort_multi_nulls",
             "b01_project_columns", "b02_project_computed",

@@ -65,6 +65,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
+    """Guard the dedup.py candidate-generation optimization: the band
+    self-join must shuffle only (id, band, bucket) — if the shingle
+    or signature arrays ever leak into the exchange before the join,
+    payload width through that shuffle is what breaks at 100 TB.
+    Assert no Exchange in the plan carries the wide columns."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    # Formatted explain: "(n) Exchange" followed by an "Input [k]:
+    # [cols]" line naming exactly what flows through that exchange.
+    lines = plan.splitlines()
+    exchange_inputs = [
+        next(
+            (l2 for l2 in lines[i + 1 : i + 4] if l2.strip().startswith("Input")),
+            "",
+        )
+        for i, line in enumerate(lines)
+        if "Exchange" in line and line.strip().startswith("(")
+    ]
+    band_exchanges = [l for l in exchange_inputs if "__band" in l or "__bucket" in l]
+    assert band_exchanges, plan  # the band shuffle must exist at all
+    for l in band_exchanges:
+        assert "__shingles" not in l and "__sig" not in l, l
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -287,3 +287,62 @@ def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "j10_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           v.event_id AS view_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
+    """,
+    priority="P2",
+)
+def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (view→click attribution): each click
+    joins the same user's views from the preceding day. BOTH sides
+    carry a watermark and the join has an explicit event-time range
+    constraint — exactly the pair of conditions Spark needs to evict
+    buffered rows from the join state once the watermark passes
+    ``c.ts - 1 day`` / ``v.ts + 1 day``; without them the buffers
+    grow forever on an unbounded stream. Append mode: inner-join
+    matches are final the moment they are emitted."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 day")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 day")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "inner",
+    )
+    out = materialize(joined, output_mode="append")
+    return out.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "view_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

@@ -109,7 +109,7 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             "j01_stream_tumbling", "j02_stream_sliding", "j03_stream_session",
             "j04_stream_watermark", "j05_stream_dedup", "j06_stream_stateful",
             "j07_stream_static_join", "j08_stream_complete_agg",
-            "j09_stream_foreach_batch",
+            "j09_stream_foreach_batch", "j10_stream_stream_join",
             # iterative / multi-pass operators
             "l21_kmeans", "l22_dedup_survivors", "l02_dedup_near",
             "l14_dedup_embedding", "l18_winnow",

@@ -170,3 +170,51 @@ def a07_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_delete", F.col("c_custkey") % 10 == 5)
     )
     return merge_upsert(customer, changes, key="c_custkey", delete_flag="is_delete")
+
+
+@register(
+    "a08_scan_gzip_text",
+    oracle="SELECT text AS line FROM documents",
+    priority="P2",
+)
+def a08_scan_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text round-trip (Hadoop TextInputFormat reads
+    ``.gz`` transparently; the writer side is
+    ``TextOutputFormat`` + ``GzipCodec``): write document text as
+    gzip-compressed lines, read it straight back. Note the scale
+    caveat Hadoop users know: gzip is NOT splittable, so one ``.gz``
+    file = one task — at 100 TB use many files (as a partitioned
+    write produces) or a splittable codec (bzip2/zstd-seekable)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    path = scratch_dir("a08gz")
+    docs.write.mode("overwrite").option("compression", "gzip").text(path)
+    lines = spark.read.text(path)
+    return lines.select(F.col("value").alias("line"))
+
+
+@register(
+    "a09_scan_multipath",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    priority="P2",
+)
+def a09_scan_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path scan (FileInputFormat's comma-separated input dirs /
+    glob patterns): one read over N directories is ONE distributed
+    scan — partition listing unions the file sets, no per-path jobs.
+    Demonstrated by writing nation to two directories and reading
+    both paths in a single ``load``."""
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    p1, p2 = scratch_dir("a09a"), scratch_dir("a09b")
+    n.write.mode("overwrite").parquet(p1)
+    n.write.mode("overwrite").parquet(p2)
+    return spark.read.parquet(p1, p2)

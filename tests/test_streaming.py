@@ -134,6 +134,73 @@ def test_dedup_within_watermark_drops_dup_and_evicts_state(spark):
     assert state and state[-1] <= 2, state
 
 
+def test_stream_stream_join_across_batches(spark):
+    """j10 semantics across micro-batches: a click arriving in a
+    LATER batch still joins views buffered from an earlier batch
+    (that buffering is the join state), while a view older than the
+    join's time bound never pairs. Uses (event_type, ts, user_id)
+    rows shaped like the events fixture."""
+    path = scratch_dir("ss-join")
+
+    def write(idx, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        sub = f"{path}/b{idx}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        base = time.time() - 1000 + idx * 10
+        for f in os.listdir(sub):
+            os.utime(f"{sub}/{f}", (base, base))
+
+    # batch 0: two views for user 1 — one recent, one far too old.
+    write(0, [(10, "2024-01-01 09:50:00", 1, "view"),
+              (11, "2024-01-01 06:00:00", 1, "view")])
+    # batch 1: the click; joins view 10 (within 1 h) but not view 11.
+    write(1, [(20, "2024-01-01 10:00:00", 1, "click")])
+
+    def side(tp, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(path)
+            .filter(F.col("event_type") == tp)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+            )
+        )
+
+    clicks = side("click", "click_id", "c_ts")
+    views = side("view", "view_id", "v_ts")
+    joined = clicks.join(
+        views,
+        (F.col("click_id_user") == F.col("view_id_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "inner",
+    )
+    name = "ssj_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).select("click_id", "view_id").collect()
+    got = sorted((r.click_id, r.view_id) for r in rows)
+    assert got == [(20, 10)], rows
+
+
 def test_checkpoint_restart_resumes_not_reprocesses(spark):
     """Stop a checkpointed stream, add data, restart with the same
     checkpoint: the final state covers ALL data but the second run

@@ -504,6 +504,66 @@ def l24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — valid in BOTH Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+@register(
+    "l25_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com or +1-555-0'
+                    || (doc_id % 1000) || ' now'
+               ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM planted
+    """,
+    priority="P2",
+)
+def l25_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the standard pre-training redaction stage):
+    detect and replace email- and phone-shaped spans, emit redacted
+    text + per-doc detection counts for audit. The fixture text
+    contains no PII, so deterministic synthetic contact strings are
+    planted on every 7th doc IDENTICALLY in both engines — the
+    redactor is then exercised on real matches, not vacuously.
+    Patterns are chosen to parse identically under Java regex and
+    RE2; Spark regexp_replace is global by default, DuckDB needs the
+    'g' flag. Per-row regex only — no shuffle, scales linearly."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", planted.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
 @register("l19_knn_ivf", oracle=None, priority="P2")
 def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the similarity-search SCALE

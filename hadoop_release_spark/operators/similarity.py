@@ -93,19 +93,23 @@ def embedding_near_dup_pairs(
     near-identical vectors (cos ≥ 0.99) is ≥ 1-(1-0.96)^8 ≈ 1;
     pinned by the planted-pair test in tests/test_similarity.py.
     """
-    slim = embeddings.select(
+    band_cols = sign_lsh_bands(F.col(vec_col), bands, rows_per_band)
+    # posexplode the per-band bucket ids into slim (id, band, bucket)
+    # rows and self-join ONCE on (band, bucket) — the same single
+    # candidate shuffle as the MinHash-LSH operator (dedup.py),
+    # instead of one join per band.
+    banded = embeddings.select(
         F.col(id_col).alias("__id"),
-        *sign_lsh_bands(F.col(vec_col), bands, rows_per_band),
+        F.posexplode(F.array(*band_cols)).alias("__band", "__bucket"),
     )
-    cand = None
-    for j in range(bands):
-        a = slim.select(F.col("__id").alias("id_a"), F.col(f"band{j}").alias("__b"))
-        b = slim.select(F.col("__id").alias("id_b"), F.col(f"band{j}").alias("__b"))
-        pairs_j = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
-    cand = cand.distinct()
+    a = banded.select(F.col("__id").alias("id_a"), "__band", "__bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "__band", "__bucket")
+    cand = (
+        a.join(b, ["__band", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     ea = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )

@@ -425,3 +425,55 @@ def c16_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@register(
+    "c17_exists_chains",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    priority="P2",
+)
+def c17_exists_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    correlated NOT EXISTS chained on the same fact table. Catalyst
+    decorrelates both into left-semi and left-anti joins on
+    l_orderkey — the hand-written alternative at 100 TB would be two
+    self-joins of lineitem; expressed declaratively the optimizer
+    picks the join order and pushes o_orderstatus/date predicates
+    into the scans. 'Late' is shipped >90 days after the order date
+    (the slimmed fixture has no receipt/commit dates)."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_c17")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_c17")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_c17")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier_c17 s
+        JOIN lineitem_c17 l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_c17 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem_c17 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_c17 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s.s_name
+        """
+    )

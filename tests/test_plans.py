@@ -55,6 +55,10 @@ def test_topk_fused(spark, sf_dir):
 def test_semi_anti_rewrites(spark, sf_dir):
     assert "LeftSemi" in _optimized(spark, sf_dir, "c07_join_semi")
     assert "LeftAnti" in _optimized(spark, sf_dir, "c08_join_anti")
+    # c17: Catalyst must decorrelate EXISTS → left-semi and
+    # NOT EXISTS → left-anti in one plan (TPC-H Q21 shape).
+    q21 = _optimized(spark, sf_dir, "c17_exists_chains")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):

@@ -218,3 +218,27 @@ def a09_scan_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
     n.write.mode("overwrite").parquet(p1)
     n.write.mode("overwrite").parquet(p2)
     return spark.read.parquet(p1, p2)
+
+
+@register(
+    "a10_compact_small_files",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    priority="P2",
+)
+def a10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the HDFS NameNode-pressure fix;
+    CombineFileInputFormat's write-side dual): a dataset fragmented
+    into many tiny files is rewritten into few right-sized ones —
+    read → repartition(target) → write. Content must be IDENTICAL
+    after compaction (the oracle checks the data, a pytest checks
+    the file counts). At 100 TB target ≈ dataset_bytes /
+    maxPartitionBytes; here 20 fragments → 2 files."""
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    fragmented, compacted = scratch_dir("a10frag"), scratch_dir("a10comp")
+    n.repartition(20).write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented).repartition(2).write.mode("overwrite").parquet(
+        compacted
+    )
+    return spark.read.parquet(compacted)

@@ -564,6 +564,69 @@ def l25_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "l26_corpus_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+        AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+      SELECT * FROM quality
+      WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                 % 100 AS BIGINT) < 60
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang
+    """,
+    priority="P2",
+)
+def l26_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build — the whole training-data pass as ONE
+    declarative plan: quality filter (length + token floor) →
+    language allowlist → exact dedup (md5 content hash, min-doc_id
+    survivor) → deterministic 60% hash sample → per-language corpus
+    stats. Catalyst fuses the filters into the scan and the dedup is
+    the only shuffle (semi-join against per-hash minima); every
+    downstream stage operates on the already-pruned stream. The
+    shape a 100 TB corpus job actually runs — and being one plan,
+    AQE sizes every exchange off real selectivities instead of
+    hand-tuned stage boundaries. All-integer output: fully
+    hash-deterministic across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = d.filter(
+        (F.col("n_chars") >= 100)
+        & (F.size(toks) >= 20)
+        & F.col("lang").isin("en", "de", "fr")
+    ).select(
+        "doc_id", "lang", "text", "n_chars", F.size(toks).cast("long").alias("n_tokens")
+    )
+    survivors = quality.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = quality.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sampled = deduped.filter(bucket < 60)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 @register("l19_knn_ivf", oracle=None, priority="P2")
 def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the similarity-search SCALE

@@ -118,7 +118,7 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             "b01_project_columns", "b02_project_computed",
             # write-path roundtrips
             "a06_sink_partitioned", "s04_sequencefile_roundtrip",
-            "c15_join_bucketed",
+            "c15_join_bucketed", "a10_compact_small_files",
         ],
     ),
 ]

@@ -74,3 +74,27 @@ def s05_pipe_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     piped = docs.rdd.map(lambda r: f"{r.doc_id}\t{r.lang}").pipe("tr a-z A-Z")
     parsed = piped.map(lambda line: line.split("\t")).map(lambda p: (int(p[0]), p[1]))
     return spark.createDataFrame(parsed, "doc_id long, lang_upper string")
+
+
+@register("s06_hll_sketch_union", oracle=None, priority="P2")
+def s06_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    hll_sketch_agg): per-group sketches PLUS a global estimate
+    computed by UNIONING the group sketches — never rescanning the
+    data. Mergeability is the scale property: at 100 TB, per-
+    partition/per-day sketches are stored once and any rollup
+    (region, month, total) is a cheap sketch union. Rows-only
+    (sketch estimates are library-specific); accuracy vs exact is
+    pinned in tests/test_stretch.py."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    flag_rows = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("est_orders")
+    )
+    total_row = per_flag.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").alias("est_orders"),
+    )
+    return flag_rows.unionByName(total_row)

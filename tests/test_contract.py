@@ -25,6 +25,7 @@ ROWS_ONLY_COLUMNS = {
     "m02_image_features": ["doc_id", "n_bytes", "width", "height", "channels", "checksum"],
     "m03_audio_frames": ["doc_id", "frame_idx", "frame_checksum"],
     "s01_approx_count_distinct": ["l_returnflag", "approx_parts", "approx_orders"],
+    "s06_hll_sketch_union": ["l_returnflag", "est_orders"],
     "s02_percentile_approx": ["o_orderstatus", "approx_median", "approx_p95"],
     "s03_sample_seeded": ["l_orderkey", "l_linenumber"],
     "s04_sequencefile_roundtrip": ["n_nationkey", "n_name"],

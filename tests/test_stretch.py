@@ -89,3 +89,48 @@ def test_accumulator_counters_side_channel(spark, sf_dir):
     docs.foreach(count_en)
     exact = docs.filter(docs.lang == "en").count()
     assert acc.value == exact
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    # s06: each per-flag estimate and the UNIONED global estimate
+    # must land within HLL's error envelope of the exact counts —
+    # and the union must be computed from the sketches, which this
+    # checks behaviorally: the ALL row ≈ distinct orders overall,
+    # not the sum of the per-flag rows (orders span flags).
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.l_returnflag: r.est_orders
+        for r in specs()["s06_hll_sketch_union"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    exact_all = li.select("l_orderkey").distinct().count()
+    exact_per = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, exact in exact_per.items():
+        assert abs(rows[flag] - exact) / exact < 0.05, (flag, rows[flag], exact)
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05, (rows["ALL"], exact_all)
+    assert rows["ALL"] < sum(v for k, v in rows.items() if k != "ALL")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
+    # a10: the compacted dataset must really be fewer files (not just
+    # a re-read) and carry identical rows.
+    import glob as _glob
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    frag, comp = scratch_dir("t-frag"), scratch_dir("t-comp")
+    n.repartition(20).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(comp)
+    n_frag = len(_glob.glob(f"{frag}/part-*"))
+    n_comp = len(_glob.glob(f"{comp}/part-*"))
+    assert n_frag == 20 and n_comp == 2, (n_frag, n_comp)
+    assert sorted(map(tuple, spark.read.parquet(comp).collect())) == sorted(
+        map(tuple, n.collect())
+    )

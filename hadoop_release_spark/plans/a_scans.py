@@ -242,3 +242,62 @@ def a10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted
     )
     return spark.read.parquet(compacted)
+
+
+@register(
+    "a11_corrupt_records",
+    oracle="""
+    SELECT 'good' AS kind, count(*) AS n FROM nation
+    UNION ALL
+    SELECT 'corrupt' AS kind, 5 AS n
+    """,
+    priority="P2",
+)
+def a11_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record tolerance (Hadoop's skip-bad-records / modern
+    badRecordsPath): a CSV with planted malformed lines is read in
+    PERMISSIVE mode with an explicit schema + ``_corrupt_record``
+    column — good rows parse, bad rows land in the corrupt column
+    instead of failing the job (at 100 TB a single undroppable bad
+    split must never kill a pipeline; DROPMALFORMED/FAILFAST are the
+    stricter modes). Emits good/corrupt counts; the planted
+    corruption is deterministic so the oracle knows the answer."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = scratch_dir("a11csv")
+    n.coalesce(1).write.mode("overwrite").csv(path)
+    # Plant 5 structurally-broken lines (non-numeric keys, wrong arity).
+    import os
+
+    part = next(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")
+    )
+    with open(f"{path}/{part}", "a", encoding="utf-8") as fh:
+        for i in range(5):
+            fh.write(f"not_a_number,BROKEN_{i}\n")
+    # Drop the local-FS checksum sidecar: the append invalidates it
+    # (Hadoop's ChecksumFileSystem would otherwise fail the read
+    # before the parser ever sees the bad lines — the corruption
+    # under test is RECORD-level, not block-level).
+    crc = f"{path}/.{part}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    parsed = parsed.cache()  # one parse serves both counts
+    good = parsed.filter(F.col("_corrupt_record").isNull()).select(
+        F.lit("good").alias("kind")
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.lit("corrupt").alias("kind")
+    )
+    return good.unionByName(bad).groupBy("kind").agg(F.count("*").alias("n"))

@@ -69,6 +69,24 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    """a06's layout promise: re-reading a partitioned sink with a
+    partition-key predicate must prune directories at planning time
+    (PartitionFilters in the scan), not filter rows after reading."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    ev = table(spark, sf_dir, "events").drop("ts_ns")
+    path = scratch_dir("prune")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan
+
+
 def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
     """Guard the dedup.py candidate-generation optimization: the band
     self-join must shuffle only (id, band, bucket) — if the shingle

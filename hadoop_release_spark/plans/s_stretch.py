@@ -98,3 +98,25 @@ def s06_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_orders"),
     )
     return flag_rows.unionByName(total_row)
+
+
+@register(
+    "s07_python_datasource",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    priority="P2",
+)
+def s07_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (PySpark 4 DataSource API) — the
+    modern "write your own InputFormat" extension point: metadata-
+    only split planning (partitions()) + per-split Arrow-batch
+    record reading (read()); see sources/pydatasource.py. The
+    re-read content must equal the table, proving both hooks."""
+    from hadoop_release_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    return (
+        spark.read.format("docsrc")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("numPartitions", "4")
+        .load()
+    )

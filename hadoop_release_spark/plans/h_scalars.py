@@ -537,3 +537,48 @@ def h20_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("p_name"), F.col("p_brand")).cast("long").alias("lev_name_brand"),
         F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).cast("long").alias("lev_palindrome"),
     )
+
+
+@register(
+    "h21_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://site' || (doc_id % 20) || '.example.com/docs/' || lang
+               || '/page?id=' || doc_id || '&ref=corpus' AS url,
+             doc_id % 20 AS site, lang
+      FROM documents)
+    SELECT doc_id, url,
+           'site' || site || '.example.com' AS host,
+           '/docs/' || lang || '/page' AS path,
+           'id=' || doc_id || '&ref=corpus' AS query,
+           CAST(doc_id AS VARCHAR) AS id_param
+    FROM urls
+    """,
+    priority="P2",
+)
+def h21_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (`parse_url`): HOST / PATH / QUERY extraction plus
+    a single query parameter — the log-analytics scalar family.
+    URLs are built deterministically from doc fields, so the oracle
+    states the expected parts directly (DuckDB has no parse_url);
+    Spark's side must actually PARSE them back out."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/page?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=corpus"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -119,6 +119,55 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
         assert "__shingles" not in l and "__sig" not in l, l
 
 
+#: Queries with write/stream side effects — plan-only audit skips
+#: them (their scale posture is pinned by their own tests).
+_AUDIT_SKIP_PREFIXES = (
+    "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
+    "j0", "j1", "c15", "s04", "s05", "s07",
+)
+
+#: The ONLY queries allowed to contain each anti-pattern node, with
+#: the reason on record. Anything new that trips these must either
+#: justify itself here or fix its plan.
+_PLAN_NODE_ALLOWLIST = {
+    # O(N·M) join without hash keys: legitimate only when one side is
+    # a bounded broadcast (kNN query sets, 25-row cross demo) or an
+    # explicitly bounded verify stage (l13).
+    "BroadcastNestedLoopJoin": {
+        "c09_join_cross",
+        "l08_knn_query",
+        "l09_knn_join",
+        "l13_ngram_jaccard",
+        "l19_knn_ivf",
+    },
+    # Row-at-a-time Python eval: k01 is the deliberate API-coverage
+    # UDF; k05's UDTF eval is row-wise by definition of the API.
+    "BatchEvalPython": {"k01_udf_python", "k05_udtf"},
+    # Never acceptable at any scale.
+    "CartesianProduct": set(),
+}
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Sweep EVERY pure query's physical plan for scale anti-pattern
+    nodes and pin the exact allowlist — a new operator that sneaks in
+    an unbounded nested-loop join or a row-wise Python stage fails
+    here, not at 100 TB."""
+    found = {pat: set() for pat in _PLAN_NODE_ALLOWLIST}
+    for name, s in specs().items():
+        if any(name.startswith(p) for p in _AUDIT_SKIP_PREFIXES):
+            continue
+        plan = s.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for pat in _PLAN_NODE_ALLOWLIST:
+            if pat in plan:
+                found[pat].add(name)
+    for pat, names in found.items():
+        assert names <= _PLAN_NODE_ALLOWLIST[pat], (
+            f"{pat} appeared outside its allowlist: "
+            f"{sorted(names - _PLAN_NODE_ALLOWLIST[pat])}"
+        )
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_dir):
     from pyspark.sql import functions as F
 

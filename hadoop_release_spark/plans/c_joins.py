@@ -477,3 +477,48 @@ def c17_exists_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@register(
+    "c18_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT n_nationkey AS node,
+             CASE WHEN n_nationkey = 0 THEN NULL
+                  ELSE (n_nationkey - 1) // 2 END AS parent
+      FROM nation
+    ), walk AS (
+      SELECT node, 0 AS depth FROM tree WHERE parent IS NULL
+      UNION ALL
+      SELECT t.node, w.depth + 1
+      FROM tree t JOIN walk w ON t.parent = w.node
+    )
+    SELECT node, CAST(depth AS BIGINT) AS depth FROM walk
+    """,
+    priority="P2",
+)
+def c18_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): walk a
+    derived binary-tree hierarchy (parent = (key-1) div 2) from the
+    root down, computing each node's depth — the iterative-query
+    surface (org charts, BOM explosion, graph reachability) that
+    previously required a driver-side loop like operators/dedup.py's
+    connected components. Each recursion step is one distributed
+    join; the engine handles fixpoint detection."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_c18")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS node,
+                 CASE WHEN n_nationkey = 0 THEN NULL
+                      ELSE (n_nationkey - 1) DIV 2 END AS parent
+          FROM nation_c18
+        ), walk AS (
+          SELECT node, 0 AS depth FROM tree WHERE parent IS NULL
+          UNION ALL
+          SELECT t.node, w.depth + 1
+          FROM tree t JOIN walk w ON t.parent = w.node
+        )
+        SELECT node, CAST(depth AS BIGINT) AS depth FROM walk
+        """
+    )

@@ -43,6 +43,10 @@ HEADLINE = [
     "l01_dedup_exact",
     "l04_tfidf",
     "e06_win_running",
+    # round-2 flagships
+    "c17_exists_chains",     # Q21-shape semi+anti chain
+    "l14_dedup_embedding",   # sign-LSH semantic dedup
+    "l26_corpus_pipeline",   # end-to-end corpus build
 ]
 
 

@@ -109,3 +109,15 @@ def oavg(expr: str) -> str:
 def net_price() -> Column:
     """The TPC-H discounted price expression (≤4 true dp)."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def py_round_half_away(x, dp: int):
+    """Python-side half-AWAY-from-zero rounding (what DuckDB's round
+    does). Python/numpy ``round`` are half-to-even and diverge from
+    the oracle on exact .5 boundaries; every Python-computed contract
+    value (pandas UDFs, stateful processors) must round this way.
+    Accepts scalars or numpy/pandas arrays."""
+    import numpy as np
+
+    s = 10.0**dp
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s

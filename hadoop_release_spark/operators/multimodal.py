@@ -155,9 +155,10 @@ def _doc_bmp(doc_id: int, n_chars: int) -> bytes:
 
 def _doc_wav(doc_id: int) -> bytes:
     """A genuine PCM16 WAV: one sine tone whose frequency and length
-    derive from doc_id."""
+    derive from doc_id (lengths cycle 192/256/320/384 samples so the
+    frame counts vary)."""
     freq = 200 + (doc_id % 32) * 25
-    n = 256 + (doc_id % 4) * 64
+    n = 192 + (doc_id % 4) * 64
     rate = 8000
     samples = [int(12000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
     return encode_wav_pcm16(samples, rate)

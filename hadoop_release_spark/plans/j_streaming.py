@@ -153,11 +153,23 @@ def j05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value")
 
 
-@register("j06_stream_stateful", oracle=None, priority="P2")
+@register(
+    "j06_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    priority="P2",
+)
 def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: running per-user aggregates via
-    the state store (applyInPandasWithState). Rows-only contract (the
-    API is not SQL-expressible); batch equivalence is pytest-verified.
+    the state store (applyInPandasWithState). Oracle-checked: counts
+    are exact, and the running float sum rounds half-away at 4dp on
+    both sides — cross-engine accumulation-order noise (~1e-12) is
+    ~8 orders of magnitude inside the 5e-5 half-grid, so the rounded
+    values agree (FLOAT RULE, contracts.py). The API itself is not
+    SQL-expressible; batch equivalence also pytest-verified.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -181,6 +193,8 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("n", LongType()), StructField("s", DoubleType())]
     )
 
+    from hadoop_release_spark.functions.contracts import py_round_half_away
+
     def update_fn(key, pdf_iter, state: GroupState):
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
@@ -188,7 +202,11 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             s += float(pdf["value"].sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [float(py_round_half_away(s, 4))],
+            }
         )
 
     result = ev.groupBy("user_id").applyInPandasWithState(

@@ -26,16 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
 from hadoop_release_spark.catalog import table
+from hadoop_release_spark.functions.contracts import py_round_half_away as _round_half_away
 from hadoop_release_spark.plans.registry import register
-
-
-def _round_half_away(x, dp: int):
-    """Half-AWAY-from-zero rounding (what DuckDB's round does).
-    Python/numpy ``round`` are half-to-even and diverge from the
-    oracle on exact .5 boundaries; Python-side contract values must
-    round the same direction."""
-    s = 10.0**dp
-    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
 
 
 @register(

@@ -47,22 +47,52 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m02_image_features", oracle=None, priority="P2")
+@register(
+    "m02_image_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             n_chars % 13 + 4 AS width,
+             n_chars % 7 + 4 AS height
+      FROM documents)
+    SELECT doc_id,
+           CAST(54 + height * (((width * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM dims
+    """,
+    priority="P2",
+)
 def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode + feature extraction via Arrow-batched
     mapInPandas: payloads are genuine 24-bit BMPs and the extractor
-    runs a REAL stdlib BMP decoder (width/height/channels/pixel
-    checksum). Rows-only: crc32 checksums have no SQL oracle;
-    round-trip exactness is pinned in tests/test_multimodal.py."""
+    runs a REAL stdlib BMP decoder. ORACLE-CHECKED: the payload
+    builder derives shape from doc metadata, so the oracle states the
+    expected decode results (including the BMP row-padding formula in
+    n_bytes) and the hash gate validates the real decode end-to-end.
+    The pixel crc32 (no SQL equivalent) stays on the operator and is
+    pinned by the codec round-trip pytests."""
     d = attach_image_payload(table(spark, sf_dir, "documents"))
-    return extract_image_features(d)
+    return extract_image_features(d).select(
+        "doc_id", "n_bytes", "width", "height", "channels"
+    )
 
 
-@register("m03_audio_frames", oracle=None, priority="P2")
+@register(
+    "m03_audio_frames",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, least(4, 3 + doc_id % 4))) AS INTEGER)
+             AS frame_idx
+    FROM documents
+    """,
+    priority="P2",
+)
 def m03_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame sampling: REAL PCM16 WAV decode, then 1 payload →
-    N fixed-size sample frames through mapInPandas. Demonstrates the
-    row-expanding batch shape (output rows ≠ input rows within one
-    Arrow batch)."""
+    N fixed-size sample frames through mapInPandas (the row-expanding
+    batch shape). ORACLE-CHECKED: WAV lengths cycle 192/256/320/384
+    samples by construction, so the oracle knows each doc's frame
+    count; the per-frame PCM crc32 stays pytest-pinned."""
     d = attach_audio_payload(table(spark, sf_dir, "documents"))
-    return sample_audio_frames(d)
+    return sample_audio_frames(d).select("doc_id", "frame_idx")

@@ -17,13 +17,10 @@ ALL_SPECS = sorted(specs().values(), key=lambda s: s.name)
 #: without a value-hash gate, at least the shape must be exact and
 #: the result non-empty — an emptied or re-shaped query fails here.
 ROWS_ONLY_COLUMNS = {
-    "j06_stream_stateful": ["user_id", "n_events", "sum_value"],
     "l02_dedup_near": ["id_a", "id_b", "jaccard"],
     "l19_knn_ivf": ["query_id", "vec_id", "score"],
     "l21_kmeans": ["vec_id", "cluster", "sq_dist"],
     "l22_dedup_survivors": ["doc_id", "canonical_id", "is_survivor"],
-    "m02_image_features": ["doc_id", "n_bytes", "width", "height", "channels", "checksum"],
-    "m03_audio_frames": ["doc_id", "frame_idx", "frame_checksum"],
     "s01_approx_count_distinct": ["l_returnflag", "approx_parts", "approx_orders"],
     "s06_hll_sketch_union": ["l_returnflag", "est_orders"],
     "s02_percentile_approx": ["o_orderstatus", "approx_median", "approx_p95"],

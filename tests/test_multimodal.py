@@ -111,7 +111,7 @@ def test_audio_frames_expand_rows_and_match_python_decode(spark):
     assert per_doc.max() == 2  # capped at max_frames
 
     # Recompute a frame checksum from a pure-Python decode of the
-    # same deterministic payload: doc 1 → 225 Hz tone, 320 samples.
+    # same deterministic payload: doc 1 → 225 Hz tone, 256 samples.
     from hadoop_release_spark.operators.multimodal import _doc_wav
 
     _, samples = decode_wav(_doc_wav(1))

@@ -46,13 +46,18 @@ def s03_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
 
 
-@register("s04_sequencefile_roundtrip", oracle=None, priority="P2")
+@register(
+    "s04_sequencefile_roundtrip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    priority="P2",
+)
 def s04_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceFile (K,V) round-trip — Hadoop's native record
     container, via the RDD API (the ONLY deliberate RDD use in this
-    engine; every other operator is a DataFrame plan). Rows-only:
-    Writable serialization has no DuckDB analog — content equality
-    vs the source table is pinned in tests/test_stretch.py."""
+    engine; every other operator is a DataFrame plan). The Writable
+    FORMAT has no DuckDB analog but the round-trip must be lossless,
+    so the oracle is simply the source table — the hash gate proves
+    losslessness."""
     from hadoop_release_spark.sources.roundtrip import scratch_dir
 
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -62,14 +67,19 @@ def s04_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(back, "n_nationkey long, n_name string")
 
 
-@register("s05_pipe_external", oracle=None, priority="P2")
+@register(
+    "s05_pipe_external",
+    oracle="SELECT doc_id, upper(lang) AS lang_upper FROM documents",
+    priority="P2",
+)
 def s05_pipe_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hadoop Streaming — the literal analog: stream records through
     an external process via rdd.pipe (here `tr a-z A-Z` as the
     stand-in streaming mapper). k06's mapInPandas is the performant
     modern form; this exists for API-surface parity with the
-    reference's hadoop-streaming jar. Rows-only (external-process
-    output; content parity pinned in tests/test_stretch.py)."""
+    reference's hadoop-streaming jar. The external mapper is
+    deterministic, so the oracle states its effect (`upper(lang)`)
+    and the hash gate checks the pipe round-trip."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     piped = docs.rdd.map(lambda r: f"{r.doc_id}\t{r.lang}").pipe("tr a-z A-Z")
     parsed = piped.map(lambda line: line.split("\t")).map(lambda p: (int(p[0]), p[1]))

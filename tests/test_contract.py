@@ -25,8 +25,6 @@ ROWS_ONLY_COLUMNS = {
     "s06_hll_sketch_union": ["l_returnflag", "est_orders"],
     "s02_percentile_approx": ["o_orderstatus", "approx_median", "approx_p95"],
     "s03_sample_seeded": ["l_orderkey", "l_linenumber"],
-    "s04_sequencefile_roundtrip": ["n_nationkey", "n_name"],
-    "s05_pipe_external": ["doc_id", "lang_upper"],
 }
 
 

@@ -627,14 +627,61 @@ def l26_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l19_knn_ivf", oracle=None, priority="P2")
+def _o_l19() -> str:
+    """DuckDB mirror of the ENTIRE IVF pipeline (assign → probe →
+    candidate → top-k). The dataflow is deterministic arithmetic —
+    'approximate' refers to recall vs brute force, not to any
+    randomness — so it is oracle-expressible; the cosine folds are
+    mirrored exactly (functions/vectors.py) and every ranking
+    tie-breaks on an id."""
+    cos_ac = o_cosine("e.embedding", "c.centroid", _DIM)
+    cos_qc = o_cosine("q.qe", "c.centroid", _DIM)
+    cos_aq = o_cosine("a.embedding", "p.qe", _DIM)
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), assign0 AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM assign0 WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), probes0 AS (
+      SELECT q.query_id, q.qe, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+      FROM queries q CROSS JOIN centroids c
+    ), probes AS (
+      SELECT query_id, qe, centroid_id AS cluster FROM probes0 WHERE rn <= 4
+    ), cand AS (
+      SELECT p.query_id, a.vec_id, round({cos_aq}, 3) AS score
+      FROM assigned a JOIN probes p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM cand)
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+    """
+
+
+@register("l19_knn_ivf", oracle=_o_l19(), priority="P2")
 def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the similarity-search SCALE
-    path (brute-force l08 is the exact baseline). Rows-only contract:
-    the result is approximate by design; recall against brute force
-    is pinned in tests/test_similarity.py. Centroid 'training' is a
-    deterministic systematic sample (vec_id % 50 == 0) standing in
-    for k-means — the search dataflow is identical either way."""
+    path (brute-force l08 is the exact baseline). ORACLE-CHECKED:
+    'approximate' means recall-vs-brute-force, not randomness — the
+    assign/probe/verify dataflow is deterministic arithmetic, so the
+    oracle replays the whole pipeline in SQL (cosine folds mirrored
+    exactly, rankings id-tie-broken). Recall against brute force is
+    additionally pinned in tests/test_similarity.py. Centroid
+    'training' is a deterministic systematic sample (vec_id % 50 ==
+    0) standing in for k-means — the search dataflow is identical
+    either way."""
     from hadoop_release_spark.operators.similarity import assign_clusters, ivf_topk
 
     e = table(spark, sf_dir, "embeddings")

@@ -18,7 +18,6 @@ ALL_SPECS = sorted(specs().values(), key=lambda s: s.name)
 #: the result non-empty — an emptied or re-shaped query fails here.
 ROWS_ONLY_COLUMNS = {
     "l02_dedup_near": ["id_a", "id_b", "jaccard"],
-    "l19_knn_ivf": ["query_id", "vec_id", "score"],
     "l21_kmeans": ["vec_id", "cluster", "sq_dist"],
     "l22_dedup_survivors": ["doc_id", "canonical_id", "is_survivor"],
     "s01_approx_count_distinct": ["l_returnflag", "approx_parts", "approx_orders"],

@@ -57,8 +57,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for each permutation i, min over shingles of
-    (a_i·h + b_i) mod P, with h = xxhash64(shingle) mod P."""
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    (a_i·h + b_i) mod P, with h = the first 15 md5 hex digits of the
+    shingle (60 bits) mod P. md5 is the PORTABLE content hash
+    (contract rule 6): any engine reproduces the identical
+    signatures, which makes the whole LSH pipeline — candidates
+    included — oracle-checkable. (xxhash64 would be ~2× faster
+    JVM-side but is Spark-specific; at 100 TB swap it in only if you
+    give up cross-engine reproducibility.)"""
+    hashes = F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
+        ),
+    )
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -98,12 +109,21 @@ def lsh_candidate_pairs(
     # Candidate generation on SLIM rows only — (id, band, bucket).
     # Never ship the shingle arrays through the band shuffle: payload
     # width through a shuffle is the thing that breaks at 100 TB.
+    # Bucket id = the band's signature rows joined as a string —
+    # portable across engines (F.hash would be Spark-specific),
+    # same collision semantics (equality of the 4-tuple).
     banded = base.select(
         "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
             )
         ).alias("__band", "__bucket"),
     )
@@ -146,6 +166,101 @@ def lsh_candidate_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _o_lsh_ctes(
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """The CTE chain (toks→…→verified) shared by the l02 and l22
+    oracles. Possible because every hash in the pipeline is
+    md5-derived (portable) and the band bucket is the plain
+    signature tuple. Note: the shingle concat is written for k=3."""
+    rows_per_band = num_hashes // bands
+    params = _hash_params(num_hashes)
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_P})) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {j} AS band, {bucket} AS bucket FROM sigs".format(
+            j=j,
+            bucket=" || ',' || ".join(
+                f"CAST(s{j * rows_per_band + i} AS VARCHAR)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for j in range(bands)
+    )
+    ctes = f"""toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {shingle_k}
+               THEN list_distinct(list_transform(range(1, len(t) - {shingle_k - 2}),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles,
+               s -> CAST(('0x' || substring(md5(s), 1, 15))::UBIGINT AS BIGINT)
+                    % {_P}) AS hs
+      FROM shingled
+    ), sigs AS (
+      SELECT doc_id, shingles,
+             {sig_cols}
+      FROM hashed
+    ), banded AS (
+{band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 3) AS jaccard
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.doc_id
+      JOIN sigs sb ON c.id_b = sb.doc_id)"""
+    return ctes
+
+
+def o_lsh_candidate_pairs(jaccard_threshold: float = 0.5) -> str:
+    """DuckDB mirror of the WHOLE :func:`lsh_candidate_pairs`
+    pipeline over the ``documents`` view: shingle → 64 minhash exprs
+    → 16 band rows → bucket self-join → exact-Jaccard verify."""
+    return (
+        f"WITH {_o_lsh_ctes()}\n"
+        f"    SELECT id_a, id_b, jaccard FROM verified\n"
+        f"    WHERE jaccard >= {jaccard_threshold}"
+    )
+
+
+def o_dedup_survivors(jaccard_threshold: float = 0.5) -> str:
+    """DuckDB mirror of the FULL l22 pipeline: the l02 LSH candidate
+    construction (md5-portable) feeding connected components as a
+    recursive CTE (transitive closure, min-label per component)."""
+    ctes = _o_lsh_ctes()
+    return f"""
+    WITH RECURSIVE {ctes}, pairs AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= {jaccard_threshold}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS node, reach.r FROM edges e JOIN reach ON reach.node = e.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id,
+           (node = min(r)) AS is_survivor
+    FROM reach GROUP BY node
+    """
 
 
 def connected_components_min_label(

@@ -42,12 +42,22 @@ def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l02_dedup_near", oracle=None, priority="P2")
+def _o_l02() -> str:
+    from hadoop_release_spark.operators.dedup import o_lsh_candidate_pairs
+
+    return o_lsh_candidate_pairs(jaccard_threshold=0.3)
+
+
+@register("l02_dedup_near", oracle=_o_l02(), priority="P2")
 def l02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash + banded LSH (rows-only:
-    the construction is not SQL-expressible; recall/precision are
-    pytest-verified with planted near-duplicates). See
-    operators/dedup.py for the scale analysis."""
+    """Near-duplicate pairs via MinHash + banded LSH. ORACLE-CHECKED
+    end-to-end: every hash in the pipeline is md5-derived (portable,
+    contract rule 6) and band buckets are plain signature tuples, so
+    the oracle replays shingling → 64 minhashes → 16-band blocking →
+    candidate join → exact-Jaccard verify and the driver's value
+    hash validates the ENTIRE construction, candidates included.
+    Recall/precision additionally pytest-verified with planted
+    near-duplicates. See operators/dedup.py for the scale analysis."""
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
 
     d = table(spark, sf_dir, "documents")

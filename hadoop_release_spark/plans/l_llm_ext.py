@@ -708,14 +708,23 @@ def l21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(table(spark, sf_dir, "embeddings"), k=8, max_iter=5)
 
 
-@register("l22_dedup_survivors", oracle=None, priority="P2")
+def _o_l22() -> str:
+    from hadoop_release_spark.operators.dedup import o_dedup_survivors
+
+    return o_dedup_survivors(jaccard_threshold=0.3)
+
+
+@register("l22_dedup_survivors", oracle=_o_l22(), priority="P2")
 def l22_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup deduplication: LSH candidate pairs (l02) →
     connected components (transitive closure — a chain a~b, b~c is ONE
     duplicate group) → survivor = min doc_id per component. The final
     step of a corpus dedup pass: emit every doc with its canonical id
-    and a keep/drop flag. Rows-only; chain-transitivity pinned in
-    tests/test_llm_ops.py."""
+    and a keep/drop flag. ORACLE-CHECKED: the md5-portable LSH
+    pipeline feeds a recursive-CTE transitive closure with min-label
+    per component — the driver's value hash validates candidate
+    generation AND component structure. Chain-transitivity also
+    pinned in tests/test_llm_ops.py."""
     from hadoop_release_spark.operators.dedup import (
         connected_components_min_label,
         lsh_candidate_pairs,

@@ -17,9 +17,7 @@ ALL_SPECS = sorted(specs().values(), key=lambda s: s.name)
 #: without a value-hash gate, at least the shape must be exact and
 #: the result non-empty — an emptied or re-shaped query fails here.
 ROWS_ONLY_COLUMNS = {
-    "l02_dedup_near": ["id_a", "id_b", "jaccard"],
     "l21_kmeans": ["vec_id", "cluster", "sq_dist"],
-    "l22_dedup_survivors": ["doc_id", "canonical_id", "is_survivor"],
     "s01_approx_count_distinct": ["l_returnflag", "approx_parts", "approx_orders"],
     "s06_hll_sketch_union": ["l_returnflag", "est_orders"],
     "s02_percentile_approx": ["o_orderstatus", "approx_median", "approx_p95"],

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -88,9 +89,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 available[name](spark, sf_dir).toPandas()
                 samples[name].append(time.perf_counter() - t0)
+    # statistics.median averages the two middle samples on the even
+    # (n=4) sample count — the upper-middle sample alone can land on a
+    # back-to-back first-touch outlier and overstate the median.
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     medians = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
 
     total = round(sum(timings.values()), 3)

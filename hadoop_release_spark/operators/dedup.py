@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 #: so a*h+b stays far below int64 overflow (ANSI mode errors on it).
 _P = 2_147_483_647
 
+#: ONE shared parameter block for the LSH near-dup pipeline. The
+#: Spark implementation (lsh_candidate_pairs), the DuckDB oracle
+#: builders (_o_lsh_ctes / o_lsh_candidate_pairs / o_dedup_survivors)
+#: and the l02/l22 plan registrations all default to THESE values, so
+#: changing a parameter changes both sides of the Spark↔oracle parity
+#: check at once — it cannot silently diverge.
+LSH_SHINGLE_K = 3
+LSH_NUM_HASHES = 64
+LSH_BANDS = 16
+LSH_JACCARD_THRESHOLD = 0.3
+
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs from a fixed LCG — reproducible
@@ -42,7 +53,7 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def word_shingles(text: Column, k: int = LSH_SHINGLE_K) -> Column:
     """k-word shingles of a whitespace-tokenized text column."""
     toks = F.split(text, " ")
     n = F.size(toks)
@@ -55,7 +66,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+def minhash_signature(shingles: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
     """MinHash signature: for each permutation i, min over shingles of
     (a_i·h + b_i) mod P, with h = the first 15 md5 hex digits of the
     shingle (60 bits) mod P. md5 is the PORTABLE content hash
@@ -88,10 +99,10 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    jaccard_threshold: float = 0.5,
+    shingle_k: int = LSH_SHINGLE_K,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    jaccard_threshold: float = LSH_JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ τ.
 
@@ -169,16 +180,21 @@ def lsh_candidate_pairs(
 
 
 def _o_lsh_ctes(
-    shingle_k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    shingle_k: int = LSH_SHINGLE_K,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
 ) -> str:
     """The CTE chain (toks→…→verified) shared by the l02 and l22
     oracles. Possible because every hash in the pipeline is
     md5-derived (portable) and the band bucket is the plain
-    signature tuple. Note: the shingle concat is written for k=3."""
+    signature tuple. All expressions — the shingle concat included —
+    are generated from the parameters, so the oracle tracks any
+    change to the shared LSH_* constants above."""
     rows_per_band = num_hashes // bands
     params = _hash_params(num_hashes)
+    shingle_concat = "t[i]" + "".join(
+        f" || ' ' || t[i+{j}]" for j in range(1, shingle_k)
+    )
     sig_cols = ",\n             ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_P})) AS s{i}"
         for i, (a, b) in enumerate(params)
@@ -199,7 +215,7 @@ def _o_lsh_ctes(
       SELECT doc_id,
              CASE WHEN len(t) >= {shingle_k}
                THEN list_distinct(list_transform(range(1, len(t) - {shingle_k - 2}),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    i -> {shingle_concat}))
                ELSE [array_to_string(t, ' ')] END AS shingles
       FROM toks
     ), hashed AS (
@@ -229,7 +245,7 @@ def _o_lsh_ctes(
     return ctes
 
 
-def o_lsh_candidate_pairs(jaccard_threshold: float = 0.5) -> str:
+def o_lsh_candidate_pairs(jaccard_threshold: float = LSH_JACCARD_THRESHOLD) -> str:
     """DuckDB mirror of the WHOLE :func:`lsh_candidate_pairs`
     pipeline over the ``documents`` view: shingle → 64 minhash exprs
     → 16 band rows → bucket self-join → exact-Jaccard verify."""
@@ -240,7 +256,7 @@ def o_lsh_candidate_pairs(jaccard_threshold: float = 0.5) -> str:
     )
 
 
-def o_dedup_survivors(jaccard_threshold: float = 0.5) -> str:
+def o_dedup_survivors(jaccard_threshold: float = LSH_JACCARD_THRESHOLD) -> str:
     """DuckDB mirror of the FULL l22 pipeline: the l02 LSH candidate
     construction (md5-portable) feeding connected components as a
     recursive CTE (transitive closure, min-label per component)."""
@@ -295,6 +311,7 @@ def connected_components_min_label(
         "component", F.col("node")
     ).persist()
 
+    changed = -1
     for _ in range(max_iters):
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
@@ -318,4 +335,16 @@ def connected_components_min_label(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Non-converged labels would silently disagree with the exact
+        # transitive-closure oracle (a component with diameter >
+        # max_iters) — fail HERE, not as an unexplained driver hash
+        # mismatch. One extra propagation round per unit of diameter
+        # fixes it; raise so the caller makes that choice explicitly.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components_min_label: {changed} labels still "
+            f"changing after max_iters={max_iters}; component diameter "
+            f"exceeds the iteration budget — raise max_iters"
+        )
     return labels.withColumnRenamed("node", id_col)

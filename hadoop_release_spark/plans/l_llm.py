@@ -43,9 +43,12 @@ def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_l02() -> str:
+    # No explicit parameters: Spark call and oracle both inherit the
+    # shared LSH_* defaults in operators/dedup.py, so they cannot
+    # diverge.
     from hadoop_release_spark.operators.dedup import o_lsh_candidate_pairs
 
-    return o_lsh_candidate_pairs(jaccard_threshold=0.3)
+    return o_lsh_candidate_pairs()
 
 
 @register("l02_dedup_near", oracle=_o_l02(), priority="P2")
@@ -61,9 +64,7 @@ def l02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
 
     d = table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(
-        d, id_col="doc_id", text_col="text", jaccard_threshold=0.3
-    )
+    return lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
 
 
 @register(
@@ -267,11 +268,16 @@ def l09_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN similarity join: top-3 neighbors for each query vector
     (vec_id < 20).
 
-    The query side is a small bounded set, so broadcast-cross +
-    per-query top-k is exact and shuffle-free on the corpus side. For
-    query sets that scale with the corpus, swap the candidate
-    generator for LSH bucketing (operators/dedup.py's banded join) or
-    an IVF coarse quantizer — same downstream rank-filter."""
+    The `vec_id < 20` bound is LOAD-BEARING, not incidental: it is
+    what makes the broadcast-nested-loop plan legitimate (the query
+    side is a small broadcast, so broadcast-cross + per-query top-k
+    is exact and shuffle-free on the corpus side), and it is why this
+    query sits on the BroadcastNestedLoopJoin allowlist
+    (tests/test_plans.py). Do NOT lift the bound here — for query
+    sets that scale with the corpus, l19_knn_ivf is the unbounded
+    path (IVF coarse quantizer → bounded probe join); LSH bucketing
+    (operators/dedup.py's banded join) is the other scale-safe
+    candidate generator. Same downstream rank-filter either way."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

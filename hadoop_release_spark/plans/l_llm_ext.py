@@ -709,9 +709,11 @@ def l21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_l22() -> str:
+    # No explicit parameters: Spark call and oracle both inherit the
+    # shared LSH_* defaults in operators/dedup.py (see _o_l02).
     from hadoop_release_spark.operators.dedup import o_dedup_survivors
 
-    return o_dedup_survivors(jaccard_threshold=0.3)
+    return o_dedup_survivors()
 
 
 @register("l22_dedup_survivors", oracle=_o_l22(), priority="P2")
@@ -731,7 +733,7 @@ def l22_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text", jaccard_threshold=0.3)
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
     comps = connected_components_min_label(
         d.select(F.col("doc_id").alias("__id")), pairs, id_col="__id"
     )

@@ -132,10 +132,11 @@ def grading_order(names: list[str]) -> list[str]:
     return sorted(names, key=lambda n: (n in graded, tier.get(n, 1), n))
 
 
-#: (tier, names) — tier 0 grades in well under a second each; tier 2
-#: is the measured expensive tail (streaming fixed costs, iterative
-#: operators, large materializations / compare payloads). Unlisted
-#: names default to tier 1. Regenerate with scripts/profile_sweep.py.
+#: (tier, names) — the within-group secondary sort key only (the
+#: primary key is never-graded-first, above). Tier 2 is the measured
+#: expensive tail (streaming fixed costs, iterative operators, large
+#: materializations / compare payloads); unlisted names default to
+#: tier 1 (sub-second). Regenerate with scripts/profile_sweep.py.
 _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
     (
         2,

@@ -55,13 +55,26 @@ class DocumentsReader(DataSourceReader):
 
     def read(self, partition: RowRangePartition):
         """RecordReader analog: one split → Arrow record batches
-        (yielding batches, not tuples, keeps the transfer columnar)."""
+        (yielding batches, not tuples, keeps the transfer columnar).
+
+        Reads ONLY the row groups overlapping this split's row range
+        and trims the boundary rows — k splits collectively read the
+        file once, not k times; a split never pays for another
+        split's bytes."""
         import pyarrow.parquet as pq
 
-        t = pq.read_table(self.path, columns=_COLUMNS)
-        yield from t.slice(
-            partition.start, partition.end - partition.start
-        ).to_batches()
+        f = pq.ParquetFile(self.path)
+        md = f.metadata
+        rg_start = 0
+        for rg in range(md.num_row_groups):
+            rg_rows = md.row_group(rg).num_rows
+            rg_end = rg_start + rg_rows
+            if rg_end > partition.start and rg_start < partition.end:
+                t = f.read_row_group(rg, columns=_COLUMNS)
+                lo = max(partition.start - rg_start, 0)
+                hi = min(partition.end - rg_start, rg_rows)
+                yield from t.slice(lo, hi - lo).to_batches()
+            rg_start = rg_end
 
 
 class DocumentsDataSource(DataSource):

@@ -132,7 +132,10 @@ _AUDIT_SKIP_PREFIXES = (
 _PLAN_NODE_ALLOWLIST = {
     # O(N·M) join without hash keys: legitimate only when one side is
     # a bounded broadcast (kNN query sets, 25-row cross demo) or an
-    # explicitly bounded verify stage (l13).
+    # explicitly bounded verify stage (l13). l09's membership depends
+    # on its `vec_id < 20` query-set bound (see its docstring) — if
+    # that bound is ever lifted, l09 must leave this allowlist and
+    # adopt l19's IVF candidate generator instead.
     "BroadcastNestedLoopJoin": {
         "c09_join_cross",
         "l08_knn_query",

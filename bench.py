@@ -48,6 +48,9 @@ HEADLINE = [
     "c17_exists_chains",     # Q21-shape semi+anti chain
     "l14_dedup_embedding",   # sign-LSH semantic dedup
     "l26_corpus_pipeline",   # end-to-end corpus build
+    # round-3 flagships
+    "l27_sequence_pack",     # distributed prefix-sum packing
+    "l28_decontaminate",     # n-gram contamination sweep
 ]
 
 

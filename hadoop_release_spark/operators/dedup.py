@@ -179,6 +179,24 @@ def lsh_candidate_pairs(
     )
 
 
+def o_word_shingles_case(k: int, tok_list: str = "t") -> str:
+    """DuckDB expression mirroring :func:`word_shingles` over a
+    token-list column: distinct k-word shingles, whole-text fallback
+    for docs shorter than k tokens. Generated from ``k`` so every
+    oracle that shingles (l02/l22 via _o_lsh_ctes, l28's
+    decontamination grams) shares ONE definition with the Spark
+    side."""
+    concat = f"{tok_list}[i]" + "".join(
+        f" || ' ' || {tok_list}[i+{j}]" for j in range(1, k)
+    )
+    return (
+        f"CASE WHEN len({tok_list}) >= {k} "
+        f"THEN list_distinct(list_transform(range(1, len({tok_list}) - {k - 2}), "
+        f"i -> {concat})) "
+        f"ELSE [array_to_string({tok_list}, ' ')] END"
+    )
+
+
 def _o_lsh_ctes(
     shingle_k: int = LSH_SHINGLE_K,
     num_hashes: int = LSH_NUM_HASHES,
@@ -192,9 +210,6 @@ def _o_lsh_ctes(
     change to the shared LSH_* constants above."""
     rows_per_band = num_hashes // bands
     params = _hash_params(num_hashes)
-    shingle_concat = "t[i]" + "".join(
-        f" || ' ' || t[i+{j}]" for j in range(1, shingle_k)
-    )
     sig_cols = ",\n             ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_P})) AS s{i}"
         for i, (a, b) in enumerate(params)
@@ -212,11 +227,7 @@ def _o_lsh_ctes(
     ctes = f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), shingled AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= {shingle_k}
-               THEN list_distinct(list_transform(range(1, len(t) - {shingle_k - 2}),
-                    i -> {shingle_concat}))
-               ELSE [array_to_string(t, ' ')] END AS shingles
+      SELECT doc_id, {o_word_shingles_case(shingle_k)} AS shingles
       FROM toks
     ), hashed AS (
       SELECT doc_id, shingles,

@@ -18,6 +18,7 @@ _MODULES = (
     "k_udfs",
     "l_llm",
     "l_llm_ext",
+    "l_pipeline",
     "m_multimodal",
     "s_stretch",
 )

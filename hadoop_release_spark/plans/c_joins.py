@@ -522,3 +522,53 @@ def c18_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, CAST(depth AS BIGINT) AS depth FROM walk
         """
     )
+
+
+@register(
+    "c19_join_skew_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {osum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+)
+def c19_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate join — the MANUAL remedy for pathological
+    key skew (one customer/orderkey owning a measurable fraction of
+    the fact table, which AQE's skew splitting mitigates but a known
+    hot key list can beat). Construction: the fact side gets a
+    deterministic salt in [0, S); the dim side is replicated S× via
+    explode(sequence); the join key becomes (key, salt), spreading
+    one hot key's rows over S reducers. The result is provably
+    identical to the plain join (every fact row still meets its dim
+    row exactly once) — the oracle IS the plain join. At production
+    scale, replicate only toward the known-hot keys (split the dim:
+    hot subset replicated, cold subset joined plain) so the
+    replication cost tracks the skew, not the dim size. S here = 8;
+    size it to the hot key's row share vs per-reducer capacity."""
+    n_salts = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", F.pmod(F.col("l_linenumber"), F.lit(n_salts)).cast("int")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+    )
+    return (
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (li["__salt"] == orders["__salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(net_price()).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

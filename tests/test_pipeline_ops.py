@@ -1,0 +1,118 @@
+"""Semantic tests for the round-3 training-pipeline operators
+(l27 sequence packing, l28 decontamination, c19 salted join) beyond
+the oracle-parity gate in test_contract.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_release_spark.catalog import table
+from hadoop_release_spark.operators.rank import global_prefix_sum
+from hadoop_release_spark.plans.l_pipeline import (
+    PACK_CAPACITY,
+    l27_sequence_pack,
+    l28_decontaminate,
+)
+from hadoop_release_spark.plans.registry import specs
+
+
+def test_global_prefix_sum_matches_sequential(spark):
+    """Exclusive prefix sum over a multi-partition input equals the
+    sequential definition, regardless of where range boundaries
+    fall."""
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    out = {
+        r["k"]: r["cum"]
+        for r in global_prefix_sum(df, ["k"], "v", out_name="cum").collect()
+    }
+    acc = 0
+    for k, v in rows:  # rows are already in k order
+        assert out[k] == acc, f"k={k}: {out[k]} != {acc}"
+        acc += v
+
+
+def test_sequence_pack_reconstructs_token_stream(spark, sf_dir):
+    """(pack_id, offset_in_pack) must encode exactly the document's
+    start position in the concatenated doc_id-ordered token stream:
+    start = pack_id*CAPACITY + offset, consecutive starts differ by
+    the previous doc's n_tokens, and offsets stay inside a pack."""
+    rows = sorted(
+        l27_sequence_pack(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    assert len(rows) > 0
+    pos = 0
+    for r in rows:
+        start = r["pack_id"] * PACK_CAPACITY + r["offset_in_pack"]
+        assert start == pos, f"doc {r['doc_id']}: start {start} != {pos}"
+        assert 0 <= r["offset_in_pack"] < PACK_CAPACITY
+        assert r["n_tokens"] > 0
+        pos += r["n_tokens"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """The fixture corpus contains a planted near-duplicate of an
+    eval-set doc (sf0.01: train doc 92 vs eval doc 450 share 18
+    distinct 8-grams); the report must flag it and zero-fill clean
+    eval docs."""
+    sf_dir = "/root/testdata/sf0.01"
+    rows = {r["eval_doc_id"]: r for r in l28_decontaminate(spark, sf_dir).collect()}
+    n_eval = len(rows)
+    assert n_eval == 10  # one row per eval doc, zero-filled — never vacuous
+    flagged = {k: r for k, r in rows.items() if r["n_contaminated_train_docs"] > 0}
+    assert flagged, "planted contamination not detected"
+    assert 450 in flagged
+    assert flagged[450]["max_shared_ngrams"] == 18
+    clean = [r for k, r in rows.items() if k not in flagged]
+    assert all(r["max_shared_ngrams"] == 0 for r in clean)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted (key, salt) join must produce byte-identical
+    aggregates to the plain join — salting redistributes rows, never
+    changes matches."""
+    salted = {
+        r["o_orderpriority"]: (r["n_items"], float(r["revenue"]))
+        for r in specs()["c19_join_skew_salted"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n"], float(r["rev"]))
+        for r in (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(25,8)"
+                    )
+                ).alias("rev"),
+            )
+            .collect()
+        )
+    }
+    assert set(salted) == set(plain)
+    for k, (n, rev) in plain.items():
+        assert salted[k][0] == n
+        assert abs(salted[k][1] - rev) < 1e-6
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salt column must actually partition a hot key's rows: the
+    fact side's salt values for one order key cover >1 bucket
+    whenever the key has >1 lineitem with distinct line numbers."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", F.pmod(F.col("l_linenumber"), F.lit(8))
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_linenumber").alias("n_lines"),
+            F.countDistinct("__salt").alias("n_salts"),
+        )
+        .filter((F.col("n_lines") > 1) & (F.col("n_salts") < 2))
+        .count()
+    )
+    assert multi == 0

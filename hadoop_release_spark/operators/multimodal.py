@@ -43,6 +43,11 @@ IMAGE_FEATURES_SCHEMA = (
 #: Output schema of the audio frame sampler.
 AUDIO_FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
 
+#: Output schema of the image resizer.
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, new_width int, new_height int, sum_r long, sum_g long, sum_b long"
+)
+
 
 # --------------------------------------------------------------------------
 # Real codecs (public format specs, stdlib only)
@@ -217,6 +222,38 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_image_features(df: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas image resize: REAL BMP decode → nearest-neighbor
+    downsample by ``factor`` (output pixel (x,y) samples source pixel
+    (factor·x, factor·y)) → per-channel pixel sums of the resized
+    image. The sums are exact integers, which is what makes the whole
+    decode+resample path hash-checkable by a SQL oracle (means/floats
+    would not be). numpy strided slicing does the sampling — no
+    per-pixel Python loop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                width, height, _, rgb = decode_bmp(bytes(payload))
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+                nw, nh = width // factor, height // factor
+                resized = arr[0 : nh * factor : factor, 0 : nw * factor : factor]
+                sums = resized.sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    (doc_id, nw, nh, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "new_width", "new_height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_RESIZE_SCHEMA)
 
 
 def sample_audio_frames(df: DataFrame, frame_samples: int = 64, max_frames: int = 4) -> DataFrame:

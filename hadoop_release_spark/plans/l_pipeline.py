@@ -1,7 +1,7 @@
 """§2.L round-3 additions — training-data pipeline operators.
 
-Two operations every large-scale LLM corpus build runs after
-filtering/dedup (SURVEY.md §2 round-3 addendum):
+Operations a large-scale LLM corpus build runs after filtering/dedup
+(SURVEY.md §2 round-3 addendum):
 
 * l27 sequence packing — assign each document its position in the
   fixed-capacity token stream a trainer consumes ("concat-and-split"
@@ -11,8 +11,13 @@ filtering/dedup (SURVEY.md §2 round-3 addendum):
   long n-grams with a held-out evaluation set (the train/test
   overlap check; cf. the n-gram overlap decontamination described in
   public LLM reports such as GPT-3/PaLM appendices).
+* l29 domain mixing — deterministic md5-bucket downsampling toward a
+  uniform per-source mixture at a global retention rate.
+* l30 incremental dedup — classify an incoming shard against the
+  already-ingested corpus (exact / near / unique) — the ingestion
+  gate.
 
-Both are pure DataFrame plans with full DuckDB oracles. No Python
+All are pure DataFrame plans with full DuckDB oracles. No Python
 UDFs anywhere.
 """
 
@@ -185,4 +190,181 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("max_shared_ngrams"),
         )
+    )
+
+
+#: l29 — domain mixing: every source is downsampled to MIX_RATE_BP
+#: basis points of the SMALLEST source's count (uniform target mix at
+#: a global retention rate), via the same portable md5-bucket rule as
+#: l24. 10000 buckets from 4 md5 hex chars (65536 % 10000 is biased,
+#: identically so in both engines — determinism is the requirement,
+#: not uniformity).
+MIX_RATE_BP = 6000
+MIX_BUCKETS = 10000
+
+
+@register(
+    "l29_domain_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), mn AS (
+      SELECT min(n_s) AS n_min FROM counts
+    ), th AS (
+      SELECT source, ({MIX_RATE_BP} * n_min) // n_s AS thresh
+      FROM counts CROSS JOIN mn)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th ON d.source = th.source
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % {MIX_BUCKETS} < th.thresh
+    """,
+    priority="P2",
+)
+def l29_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: rebalance the corpus toward a UNIFORM per-source
+    mix — each source keeps (MIX_RATE_BP/10000)·n_min documents, so
+    over-represented domains are downsampled hardest (the static
+    mixture-reweighting step of corpus assembly; swap n_min for
+    target_weight_s·N_total to hit arbitrary published mixture
+    weights — same construction).
+
+    Deterministic md5-bucket retention (l24's portable rule): survival
+    depends only on doc_id, never on RNG streams, partitioning, or
+    cluster size — re-runs and engines agree row-for-row, which is
+    what makes an auditable training mix. Scale shape: one tiny
+    per-source count aggregation (#sources rows) broadcast back as
+    thresholds, then a pure per-row filter — no data shuffle at all."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    # Global min over the COUNTS table (#sources rows) via an
+    # unpartitioned window — single-partition is fine because the
+    # input is already aggregate-sized, and it keeps the plan free of
+    # the nested-loop join a 1-row cross join would introduce.
+    n_min = F.min("n_s").over(Window.partitionBy())
+    th = counts.select(
+        "source",
+        F.floor(F.lit(MIX_RATE_BP) * n_min / F.col("n_s")).alias("thresh"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % MIX_BUCKETS
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("__bucket"))
+        .join(F.broadcast(th), "source")
+        .filter(F.col("__bucket") < F.col("thresh"))
+        .select("doc_id", "source")
+    )
+
+
+#: l30 — incremental-batch split: docs with doc_id % NEW_MOD ==
+#: NEW_REM are "today's shard"; the rest are the already-ingested
+#: corpus.
+NEW_MOD = 10
+NEW_REM = 7
+
+
+def _o_l30() -> str:
+    # Replays the full md5-portable LSH pipeline (shared _o_lsh_ctes)
+    # plus the exact-hash check, filtered to pairs crossing the
+    # batch/corpus split — same constants as the Spark side.
+    from hadoop_release_spark.operators.dedup import (
+        LSH_JACCARD_THRESHOLD,
+        _o_lsh_ctes,
+    )
+
+    return f"""
+    WITH {_o_lsh_ctes()}, near_pairs AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= {LSH_JACCARD_THRESHOLD}
+    ), new_docs AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {NEW_MOD} = {NEW_REM}
+    ), corpus AS (
+      SELECT doc_id AS c_id, md5(text) AS h FROM documents
+      WHERE doc_id % {NEW_MOD} != {NEW_REM}
+    ), exact_m AS (
+      SELECT n.doc_id, min(c.c_id) AS exact_id
+      FROM new_docs n JOIN corpus c ON n.h = c.h GROUP BY n.doc_id
+    ), near_cross AS (
+      SELECT id_a AS new_id, id_b AS old_id FROM near_pairs
+       WHERE id_a % {NEW_MOD} = {NEW_REM} AND id_b % {NEW_MOD} != {NEW_REM}
+      UNION ALL
+      SELECT id_b AS new_id, id_a AS old_id FROM near_pairs
+       WHERE id_b % {NEW_MOD} = {NEW_REM} AND id_a % {NEW_MOD} != {NEW_REM}
+    ), near_m AS (
+      SELECT new_id, min(old_id) AS near_id FROM near_cross GROUP BY new_id
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN m.near_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           CAST(COALESCE(e.exact_id, m.near_id, -1) AS BIGINT) AS matched_id
+    FROM new_docs n
+    LEFT JOIN exact_m e ON n.doc_id = e.doc_id
+    LEFT JOIN near_m m ON n.doc_id = m.new_id
+    """
+
+
+@register("l30_dedup_incremental", oracle=_o_l30(), priority="P2")
+def l30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify each document of an incoming batch
+    against the already-ingested corpus as exact-dup (same md5
+    content hash), near-dup (LSH pair crossing the split at the
+    shared jaccard threshold), or unique — with the smallest matching
+    corpus id. This is the production ingestion gate: a shard is
+    checked against the corpus BEFORE it is admitted.
+
+    Scale shape: the exact check is one hash-keyed semi-join. For the
+    near check, production keeps the corpus's banded LSH sketch table
+    materialized as the standing index and joins ONLY the new batch's
+    band rows against it — incremental cost ∝ batch size, not corpus
+    size. Here (for end-to-end oracle replay) the band table is
+    rebuilt over the full fixture and pair output filtered to
+    cross-split pairs; the banded construction is identical either
+    way (operators/dedup.py)."""
+    from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
+
+    d = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_MOD == NEW_REM
+    new_docs = d.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    corpus = d.filter(~is_new).select(
+        F.col("doc_id").alias("c_id"), F.md5("text").alias("h")
+    )
+    exact_m = (
+        new_docs.join(corpus, "h")
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("exact_id"))
+    )
+
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
+    a_new = F.col("id_a") % NEW_MOD == NEW_REM
+    b_new = F.col("id_b") % NEW_MOD == NEW_REM
+    near_cross = (
+        pairs.filter(a_new & ~b_new)
+        .select(F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"))
+        .unionAll(
+            pairs.filter(b_new & ~a_new).select(
+                F.col("id_b").alias("new_id"), F.col("id_a").alias("old_id")
+            )
+        )
+    )
+    near_m = near_cross.groupBy("new_id").agg(F.min("old_id").alias("near_id"))
+
+    out = (
+        new_docs.select("doc_id")
+        .join(exact_m, "doc_id", "left")
+        .join(near_m, F.col("doc_id") == F.col("new_id"), "left")
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+        .when(F.col("near_id").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+        F.coalesce(F.col("exact_id"), F.col("near_id"), F.lit(-1))
+        .cast("long")
+        .alias("matched_id"),
     )

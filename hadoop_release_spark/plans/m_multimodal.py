@@ -20,6 +20,7 @@ from hadoop_release_spark.operators.multimodal import (
     attach_fake_payload,
     attach_image_payload,
     extract_image_features,
+    resize_image_features,
     sample_audio_frames,
 )
 from hadoop_release_spark.plans.registry import register
@@ -77,6 +78,47 @@ def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(d).select(
         "doc_id", "n_bytes", "width", "height", "channels"
     )
+
+
+@register(
+    "m04_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             n_chars % 13 + 4 AS w,
+             n_chars % 7 + 4 AS h,
+             md5(CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, hex, w // 2 AS nw, h // 2 AS nh,
+             unnest(range(0, (w // 2) * (h // 2))) AS i
+      FROM dims
+    ), pos AS (
+      SELECT doc_id, nw, nh, hex,
+             ((2 * (i // nw)) * w + 2 * (i % nw)) * 3 AS p
+      FROM px)
+    SELECT doc_id,
+           CAST(nw AS INTEGER) AS new_width,
+           CAST(nh AS INTEGER) AS new_height,
+           CAST(sum(('0x' || substring(hex, (p % 16) * 2 + 1, 2))::INT) AS BIGINT) AS sum_r,
+           CAST(sum(('0x' || substring(hex, ((p + 1) % 16) * 2 + 1, 2))::INT) AS BIGINT) AS sum_g,
+           CAST(sum(('0x' || substring(hex, ((p + 2) % 16) * 2 + 1, 2))::INT) AS BIGINT) AS sum_b
+    FROM pos GROUP BY doc_id, nw, nh
+    """,
+    priority="P2",
+)
+def m04_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (nearest-neighbor 2× downsample) through the full
+    real decode path: BMP payload → mapInPandas decode → numpy strided
+    resample → per-channel integer pixel sums. ORACLE-CHECKED
+    end-to-end: fixture pixels are md5(doc_id) digest bytes cycled
+    through the RGB buffer, so the oracle replays the exact sampled
+    positions ((2x,2y) of a w×h image, p = (2y·w + 2x)·3) and sums the
+    same digest bytes in SQL — the hash gate validates decode,
+    geometry, and resampling arithmetic together. Integer sums, not
+    float means, keep it on the hash contract (FLOAT RULE)."""
+    d = attach_image_payload(table(spark, sf_dir, "documents"))
+    return resize_image_features(d)
 
 
 @register(

@@ -130,3 +130,40 @@ def test_metadata_predicate_prunes_payload(spark, sf_dir):
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "text" not in read_schema[0], plan
+
+
+# ------------------------------------------------------------------
+# m04 resize: geometry + sampling arithmetic pinned by hand
+# ------------------------------------------------------------------
+
+
+def test_resize_sums_match_hand_computation(spark):
+    """Nearest-neighbor 2x downsample must sample exactly pixels
+    (2x, 2y) of the decoded top-down RGB image; pin the per-channel
+    sums on a hand-built 5x4 BMP with distinct byte values."""
+    from hadoop_release_spark.operators.multimodal import resize_image_features
+
+    w, h = 5, 4
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    payload = encode_bmp(w, h, rgb)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    [row] = resize_image_features(df).collect()
+    assert (row["new_width"], row["new_height"]) == (2, 2)
+    exp = [0, 0, 0]
+    for y in (0, 2):
+        for x in (0, 2):
+            p = (y * w + x) * 3
+            for ch in range(3):
+                exp[ch] += rgb[p + ch]
+    assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(exp)
+
+
+def test_resize_deterministic_across_runs(spark):
+    """Same fixture docs → identical resize rows on repeated runs
+    (the payload builder and resampler are both deterministic)."""
+    from hadoop_release_spark.operators.multimodal import resize_image_features
+
+    d = attach_image_payload(_docs(spark))
+    a = sorted(map(tuple, resize_image_features(d).collect()))
+    b = sorted(map(tuple, resize_image_features(d).collect()))
+    assert a == b and len(a) == 20

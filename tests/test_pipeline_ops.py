@@ -116,3 +116,51 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
         .count()
     )
     assert multi == 0
+
+
+def test_domain_mix_deterministic_and_balanced(spark):
+    """l29 must keep ~MIX_RATE_BP/10000 of each (uniform-count)
+    source, identically across runs."""
+    from hadoop_release_spark.plans.l_pipeline import l29_domain_mix
+
+    sf_dir = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, l29_domain_mix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, l29_domain_mix(spark, sf_dir).collect()))
+    assert a == b
+    per_source: dict[str, int] = {}
+    for _, src in a:
+        per_source[src] = per_source.get(src, 0) + 1
+    # fixture sources are uniform (25 docs each at sf0.01); the 60%
+    # md5-bucket rule keeps a binomial-ish share of each
+    assert len(per_source) == 20
+    assert all(5 <= n <= 25 for n in per_source.values()), per_source
+    total = sum(per_source.values())
+    assert 0.4 * 500 < total < 0.8 * 500, total
+
+
+def test_incremental_dedup_verdicts_consistent(spark):
+    """l30: one row per new-batch doc; every 'exact' verdict must be
+    independently reproducible from raw text equality, and every
+    matched_id must point outside the new batch."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        NEW_MOD,
+        NEW_REM,
+        l30_dedup_incremental,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = l30_dedup_incremental(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    text_by_id = {r["doc_id"]: r["text"] for r in d}
+    new_ids = {i for i in text_by_id if i % NEW_MOD == NEW_REM}
+    assert {r["doc_id"] for r in rows} == new_ids
+    corpus_texts = {
+        t for i, t in text_by_id.items() if i % NEW_MOD != NEW_REM
+    }
+    for r in rows:
+        expected_exact = text_by_id[r["doc_id"]] in corpus_texts
+        assert (r["verdict"] == "exact") == expected_exact, r
+        if r["verdict"] == "unique":
+            assert r["matched_id"] == -1
+        else:
+            assert r["matched_id"] % NEW_MOD != NEW_REM  # points at corpus

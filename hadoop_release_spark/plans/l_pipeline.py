@@ -102,8 +102,10 @@ def _o_l28() -> str:
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, {o_word_shingles_case(DECON_NGRAM_K)} AS g FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(g) AS g1 FROM sh
     ), ex AS (
-      SELECT doc_id, unnest(g) AS gram FROM sh
+      SELECT doc_id, substring(md5(g1), 1, 16) AS gram FROM ex0
     ), tr AS (
       SELECT * FROM ex WHERE doc_id % {EVAL_MOD} != 0
     ), heavy AS (
@@ -150,10 +152,16 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew it. Emits one row per eval doc (zero-filled), so the result
     is never vacuously empty."""
     d = table(spark, sf_dir, "documents")
+    # Join on the 16-hex-char md5 prefix of the gram, not the gram
+    # text: an 8-word gram is ~60-100 bytes and the gram column is
+    # the whole shuffle payload, so hashing slims every exchange
+    # ~5× (the thing that matters at 100 TB). md5 is the portable
+    # hash (contract rule 6) so the oracle replays the same keys;
+    # 64-bit collisions are ~n²/2⁶⁵ — nonexistent at corpus scale.
     grams = d.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias("gram"),
-    )
+        F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias("__g"),
+    ).select("doc_id", F.substring(F.md5(F.col("__g")), 1, 16).alias("gram"))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = grams.filter(~is_eval)
     ev = grams.filter(is_eval).select(

@@ -149,6 +149,8 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             # iterative / multi-pass operators
             "l21_kmeans", "l22_dedup_survivors", "l02_dedup_near",
             "l14_dedup_embedding", "l18_winnow",
+            # round-3 heavy tail (full-corpus gram/LSH passes)
+            "l28_decontaminate", "l30_dedup_incremental",
             # large result materialization or compare payload
             "a01_scan_parquet", "d17_unpivot", "f01_sort_multi_nulls",
             "b01_project_columns", "b02_project_computed",

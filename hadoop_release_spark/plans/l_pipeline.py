@@ -16,6 +16,8 @@ Operations a large-scale LLM corpus build runs after filtering/dedup
 * l30 incremental dedup — classify an incoming shard against the
   already-ingested corpus (exact / near / unique) — the ingestion
   gate.
+* l31 chunking — overlapping fixed-token windows per document (the
+  RAG/context-window chunker), hash-checked including chunk text.
 
 All are pure DataFrame plans with full DuckDB oracles. No Python
 UDFs anywhere.
@@ -375,4 +377,71 @@ def l30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("exact_id"), F.col("near_id"), F.lit(-1))
         .cast("long")
         .alias("matched_id"),
+    )
+
+
+#: l31 — chunking: fixed token windows with overlap. step =
+#: CHUNK_TOKENS - CHUNK_OVERLAP; chunk k covers tokens
+#: [k*step+1, k*step+CHUNK_TOKENS]. Every start position ≤ n_tokens
+#: emits a chunk (trailing chunks may be short — deterministic and
+#: mirrored in the oracle).
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "l31_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ks AS (
+      SELECT doc_id, t,
+             unnest(range(0, (len(t) - 1) // {_CHUNK_STEP} + 1)) AS k
+      FROM toks)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           array_to_string(
+             list_slice(t, k * {_CHUNK_STEP} + 1,
+                        k * {_CHUNK_STEP} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+           CAST(len(list_slice(t, k * {_CHUNK_STEP} + 1,
+                               k * {_CHUNK_STEP} + {CHUNK_TOKENS})) AS BIGINT)
+             AS n_chunk_tokens
+    FROM ks
+    """,
+    priority="P2",
+)
+def l31_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: split each doc into CHUNK_TOKENS-token
+    windows overlapping by CHUNK_OVERLAP tokens (the standard
+    RAG/context-window chunker). Chunk k starts at token k·step+1
+    (step = tokens - overlap); every start inside the doc emits a
+    chunk, so trailing chunks may be short — a deterministic rule
+    both engines replay, hash-checked including the chunk TEXT.
+
+    Scale shape: pure per-row row-expansion (sequence → slice →
+    posexplode) — no shuffle at all, fused into the scan; output
+    rows carry only their own chunk text, so the op streams at scan
+    bandwidth. The whitespace tokenizer is the fixture stand-in
+    (l03/l16 convention); a BPE tokenizer swaps into the same
+    construction as a Pandas-UDF token-count column."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / F.lit(_CHUNK_STEP)).cast("int")
+        ),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, k * _CHUNK_STEP + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, k * _CHUNK_STEP + 1, CHUNK_TOKENS))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("__c"))
+        .select("doc_id", "__c.chunk_id", "__c.chunk_text", "__c.n_chunk_tokens")
     )

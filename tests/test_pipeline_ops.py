@@ -164,3 +164,42 @@ def test_incremental_dedup_verdicts_consistent(spark):
             assert r["matched_id"] == -1
         else:
             assert r["matched_id"] % NEW_MOD != NEW_REM  # points at corpus
+
+
+def test_chunking_reconstructs_document(spark, sf_dir):
+    """Dropping each chunk's CHUNK_OVERLAP-token head (except chunk 0)
+    and concatenating in chunk order must reproduce the document
+    exactly — the defining property of overlapped chunking."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        l31_chunk_documents,
+    )
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    rows = l31_chunk_documents(spark, sf_dir).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for c in chunks:
+            toks = c["chunk_text"].split(" ")
+            assert len(toks) == c["n_chunk_tokens"]
+            assert c["n_chunk_tokens"] <= CHUNK_TOKENS
+            rebuilt.extend(toks if c["chunk_id"] == 0 else toks[CHUNK_OVERLAP:])
+        # overlap consistency: chunk k repeats the previous chunk's
+        # last CHUNK_OVERLAP tokens (when the previous chunk was full)
+        for prev, cur in zip(chunks, chunks[1:]):
+            ptoks = prev["chunk_text"].split(" ")
+            ctoks = cur["chunk_text"].split(" ")
+            if prev["n_chunk_tokens"] == CHUNK_TOKENS:
+                assert ptoks[step:] == ctoks[: CHUNK_OVERLAP]
+        assert " ".join(rebuilt) == texts[doc_id]

@@ -16,6 +16,15 @@ a *deterministically computed* double:
     deterministic cast back to double).
   * averages → :func:`davg` (= dsum/count, IEEE-identical in both
     engines), never ``round(avg(x))``.
+  * products of measures (round-3 sf0.1 finding, see d12): the
+    double PRODUCT is inexact and the two engines' double→decimal
+    casts disagree by ±1 ulp per row — a drift that grows with row
+    count (Σx² was green at sf0.01, off by ~3e-3 at sf0.1). Recover
+    each factor's exact decimal FIRST (a 2dp measure casts to
+    DECIMAL(12,2) identically in both engines), multiply in decimal,
+    and transport any sum wider than 14 significant digits as a
+    fixed-scale decimal STRING — decimal→double is not
+    cross-engine-identical past 15 digits.
 """
 
 from __future__ import annotations

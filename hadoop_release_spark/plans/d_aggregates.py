@@ -273,13 +273,16 @@ def d11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d12_agg_stats",
-    oracle=f"""
+    oracle="""
     SELECT o_orderstatus,
            count(*) AS n,
-           {osum("o_totalprice")} AS sum_x,
-           {osum("o_totalprice * o_totalprice")} AS sum_x2,
-           {osum("o_totalprice * o_custkey")} AS sum_xy,
-           {osum("CAST(o_custkey AS DOUBLE)")} AS sum_y
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_x,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                         * CAST(o_totalprice AS DECIMAL(12,2))
+                         AS DECIMAL(30,4))) AS VARCHAR) AS sum_x2,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * o_custkey
+                         AS DECIMAL(30,2))) AS VARCHAR) AS sum_xy,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_y
     FROM orders GROUP BY o_orderstatus
     """,
     priority="P2",
@@ -293,15 +296,29 @@ def d12_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx², Σxy, Σy) from which every one of those statistics derives
     deterministically. The builtins remain available for
     non-contract use.
-    """
+
+    Why ALL-DECIMAL arithmetic and STRING transport (round-3 sf0.1
+    finding): squaring the raw double first and casting the product
+    to decimal diverges between engines — the double product is
+    inexact and Spark's string-based vs DuckDB's binary double→
+    decimal cast disagree by ±1 ulp per row, which drifts with row
+    count (green at sf0.01, off by ~3e-3 at sf0.1). Instead the 2dp
+    price is recovered EXACTLY into DECIMAL(12,2) first (README float
+    rule 1), every product/sum stays in decimal (exact at any SF),
+    and the wide moments are emitted as fixed-scale decimal STRINGS —
+    a >15-significant-digit decimal does not cast to double
+    identically across engines (float rule 2), and Σx² crosses that
+    at sf≥0.1."""
     o = table(spark, sf_dir, "orders")
-    x, y = F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    xd = F.col("o_totalprice").cast("decimal(12,2)")
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        dsum(x).alias("sum_x"),
-        dsum(x * x).alias("sum_x2"),
-        dsum(x * y).alias("sum_xy"),
-        dsum(y).alias("sum_y"),
+        F.sum(xd).cast("string").alias("sum_x"),
+        F.sum((xd * xd).cast("decimal(30,4)")).cast("string").alias("sum_x2"),
+        F.sum((xd * F.col("o_custkey")).cast("decimal(30,2)"))
+        .cast("string")
+        .alias("sum_xy"),
+        F.sum("o_custkey").alias("sum_y"),
     )
 
 

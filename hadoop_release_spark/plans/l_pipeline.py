@@ -18,6 +18,9 @@ Operations a large-scale LLM corpus build runs after filtering/dedup
   gate.
 * l31 chunking — overlapping fixed-token windows per document (the
   RAG/context-window chunker), hash-checked including chunk text.
+* l32 corpus snapshot diff — added/removed/changed/unchanged per doc
+  vs a previous version by content hash (the data-versioning
+  changelog).
 
 All are pure DataFrame plans with full DuckDB oracles. No Python
 UDFs anywhere.
@@ -444,4 +447,82 @@ def l31_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", F.explode(chunks).alias("__c"))
         .select("doc_id", "__c.chunk_id", "__c.chunk_text", "__c.n_chunk_tokens")
+    )
+
+
+#: l32 — snapshot-diff fixture derivation: the "previous version" is
+#: the current documents table minus docs with doc_id%20==3 (those
+#: are newly ADDED), with docs %20==5 carrying different text
+#: (CHANGED since the snapshot), plus phantom docs (id+1_000_000)
+#: derived from %20==9 that exist only in the snapshot (REMOVED).
+DIFF_MOD = 20
+DIFF_ADDED_REM = 3
+DIFF_CHANGED_REM = 5
+DIFF_REMOVED_REM = 9
+_DIFF_PHANTOM_BASE = 1_000_000
+
+
+@register(
+    "l32_corpus_diff",
+    oracle=f"""
+    WITH cur AS (
+      SELECT doc_id, md5(text) AS h_cur FROM documents
+    ), prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % {DIFF_MOD} = {DIFF_CHANGED_REM}
+                      THEN text || ' [stale]' ELSE text END) AS h_prev
+      FROM documents WHERE doc_id % {DIFF_MOD} != {DIFF_ADDED_REM}
+      UNION ALL
+      SELECT doc_id + {_DIFF_PHANTOM_BASE} AS doc_id,
+             md5('removed-' || CAST(doc_id AS VARCHAR)) AS h_prev
+      FROM documents WHERE doc_id % {DIFF_MOD} = {DIFF_REMOVED_REM}
+    )
+    SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+           CASE WHEN p.h_prev IS NULL THEN 'added'
+                WHEN c.h_cur IS NULL THEN 'removed'
+                WHEN c.h_cur != p.h_prev THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    """,
+    priority="P2",
+)
+def l32_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning primitive: compare
+    the current corpus against a previous snapshot by content hash
+    and classify every doc id as added / removed / changed /
+    unchanged (what a corpus release pipeline publishes as its
+    changelog, and the input to incremental downstream rebuilds).
+    The fixture derives the snapshot deterministically (see DIFF_*
+    constants); in production it is the stored previous version.
+
+    Scale shape: slim (id, md5) projections through ONE hash-keyed
+    full outer join — content bytes never move, only 16-byte hashes;
+    at 100 TB both snapshots are parquet tables and the diff runs at
+    metadata-ish cost. md5 is the portable hash (rule 6)."""
+    d = table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % DIFF_MOD
+    cur = d.select("doc_id", F.md5("text").alias("h_cur"))
+    prev_text = F.when(
+        m == DIFF_CHANGED_REM, F.concat(F.col("text"), F.lit(" [stale]"))
+    ).otherwise(F.col("text"))
+    prev = (
+        d.filter(m != DIFF_ADDED_REM)
+        .select("doc_id", F.md5(prev_text).alias("h_prev"))
+        .unionAll(
+            d.filter(m == DIFF_REMOVED_REM).select(
+                (F.col("doc_id") + _DIFF_PHANTOM_BASE).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("removed-"), F.col("doc_id").cast("string"))
+                ).alias("h_prev"),
+            )
+        )
+    )
+    j = cur.join(prev, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        .when(F.col("h_cur") != F.col("h_prev"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
     )

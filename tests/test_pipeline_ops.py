@@ -203,3 +203,36 @@ def test_chunking_reconstructs_document(spark, sf_dir):
             if prev["n_chunk_tokens"] == CHUNK_TOKENS:
                 assert ptoks[step:] == ctoks[: CHUNK_OVERLAP]
         assert " ".join(rebuilt) == texts[doc_id]
+
+
+def test_corpus_diff_statuses_match_derivation(spark, sf_dir):
+    """l32: every doc's status must follow from the snapshot
+    derivation rule — %20==3 added, %20==5 changed, phantom ids
+    removed, everything else unchanged."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        _DIFF_PHANTOM_BASE,
+        DIFF_ADDED_REM,
+        DIFF_CHANGED_REM,
+        DIFF_MOD,
+        DIFF_REMOVED_REM,
+        l32_corpus_diff,
+    )
+
+    rows = {r["doc_id"]: r["status"] for r in l32_corpus_diff(spark, sf_dir).collect()}
+    doc_ids = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert set(rows) == doc_ids | {
+        i + _DIFF_PHANTOM_BASE for i in doc_ids if i % DIFF_MOD == DIFF_REMOVED_REM
+    }
+    for doc_id, status in rows.items():
+        if doc_id >= _DIFF_PHANTOM_BASE:
+            assert status == "removed", (doc_id, status)
+        elif doc_id % DIFF_MOD == DIFF_ADDED_REM:
+            assert status == "added", (doc_id, status)
+        elif doc_id % DIFF_MOD == DIFF_CHANGED_REM:
+            assert status == "changed", (doc_id, status)
+        else:
+            assert status == "unchanged", (doc_id, status)
+    assert len({s for s in rows.values()}) == 4  # all four statuses occur

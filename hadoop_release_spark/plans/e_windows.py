@@ -268,3 +268,76 @@ def e10_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
     )
+
+
+#: e11 sessionization gap: a new session starts after >12 h of user
+#: inactivity (the fixture's 150 users × 30 days event stream yields
+#: ~3 events/session at this threshold; the gap is the tunable knob).
+SESSION_GAP_US = 12 * 3600 * 1_000_000
+
+
+@register(
+    "e11_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             CAST(value AS DECIMAL(25,8)) AS v
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                      OR t_us - lag(t_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(t_us) AS start_us, max(t_us) AS end_us,
+           CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    priority="P1",
+)
+def e11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the canonical log-analytics operator:
+    split each user's event stream into sessions at inactivity gaps
+    (> SESSION_GAP_US), then aggregate one row per session. This is
+    the batch twin of j03's streaming session_window, expressed as
+    lag → gap flag → running sum (the session id) → group-agg.
+
+    Scale shape: ONE shuffle on user_id serves both window passes
+    (lag and the running sum share the same partition+order spec, so
+    Catalyst plans a single Sort+Window over one Exchange); the final
+    groupBy(user_id, session_idx) adds a second exchange but its
+    map-side partial agg compresses input to one row per session
+    before it ships. Skewed users (bots with millions of events)
+    are the known hazard — at 100 TB, cap per-user history or salt
+    the window key by day first. Times ride as epoch-µs bigints
+    end-to-end (contracts.ts_us bridge); the value sum uses the
+    exact-decimal rule."""
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", t_us.alias("t_us"), F.col("value").cast(_DEC).alias("v")
+    )
+    prev = F.lag("t_us").over(w)
+    flagged = seq.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("t_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.round(F.sum("v"), 4).cast("double").alias("sum_value"),
+    )

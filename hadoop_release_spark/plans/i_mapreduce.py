@@ -199,3 +199,146 @@ def i08_mr_distcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = scratch_dir("i08distcp") + "/region.parquet"
     shutil.copy(f"{sf_dir}/region.parquet", dest)
     return spark.read.parquet(dest)
+
+
+@register(
+    "i09_mr_inverted_index",
+    oracle="""
+    SELECT token AS term,
+           count(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    priority="P1",
+)
+def i09_mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index — the second-canonical MapReduce program (after
+    wordcount): term → sorted posting list of containing docs + df.
+
+    map = explode(split), reduce = per-term distinct + sort. The
+    shuffle ships (term, doc_id) pairs once; map-side partial
+    aggregation dedups within-task repeats first. Postings ride as a
+    comma-joined string (the d15 rule: strings hash portably, raw
+    arrays may not). At 100 TB the hazard is stopword terms whose
+    posting lists exceed one task's memory — production layout
+    shards those by (term, doc_id_bucket) and stores the index
+    partitioned by term prefix; the fixture keeps full lists."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+    )
+
+
+#: i10 PageRank constants — all-integer arithmetic so five chained
+#: iterations stay bit-identical across engines (scaled ranks;
+#: damping 0.85 applied as (85·x) DIV 100).
+PR_BASE = 1_000_000_000
+PR_TELEPORT = 150_000_000  # 0.15 × PR_BASE
+PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    cte = f"""
+    WITH edges AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src
+    ), r0 AS (
+      SELECT n_nationkey AS node, CAST({PR_BASE} AS BIGINT) AS pr FROM nation
+    )"""
+    for k in range(1, PR_ITERS + 1):
+        cte += f""", r{k} AS (
+      SELECT n.node,
+             CAST({PR_TELEPORT} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+      FROM r0 n LEFT JOIN (
+        SELECT ed.dst, CAST(SUM(r.pr // ed.outdeg) AS BIGINT) AS s
+        FROM ed JOIN r{k - 1} r ON ed.src = r.node GROUP BY ed.dst) c
+      ON n.node = c.dst
+    )"""
+    return cte + f"\n    SELECT node AS n_nationkey, pr AS pagerank_scaled FROM r{PR_ITERS}"
+
+
+@register("i10_mr_pagerank", oracle=_pagerank_oracle(), priority="P1")
+def i10_mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank — THE canonical iterative MapReduce/Pregel workload,
+    over the supplier-nation → customer-nation trade graph (who
+    supplies whom). Each iteration: contrib = pr/outdeg shipped along
+    edges, new pr = teleport + damping · Σ contribs at the dst.
+
+    Determinism design: ranks are SCALED BIGINTs and every step is
+    integer arithmetic (DIV truncation, 85·x DIV 100 damping), so
+    five chained iterations are bit-identical across engines — this
+    is how an *iterative* algorithm gets a full hash oracle where
+    float accumulation (l21 kmeans) cannot. Dangling-node mass is
+    dropped (standard simplification), teleport keeps ranks alive.
+
+    Scale shape: the edge list is derived once (4-way join, the c13
+    star shape) and persisted; each iteration is one broadcast-able
+    join (ranks: one row per node ≪ edges) + one partial-agg'd
+    groupBy(dst). Each iteration's rank table is EAGERLY
+    materialized (persist + count) — without that, iteration k's
+    broadcast re-executes the whole k−1-deep lineage and the loop
+    goes quadratic (measured 108 s → ~2 s at sf0.1). The
+    materialized state is one row per node — the same bounded-state
+    argument as l21's k centroids — and stays distributed (persist,
+    not collect). At web scale (nodes ≫ broadcast) the same loop
+    runs with edges hash-partitioned by src and ranks co-partitioned
+    — the shuffle per iteration carries one contrib row per edge,
+    compressed by map-side combine to one per (task, dst)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+
+    nodes = n.select(F.col("n_nationkey").alias("node")).persist()
+    ranks = nodes.select("node", F.lit(PR_BASE).cast("bigint").alias("pr"))
+    prev = None
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(contrib.alias("ct"), F.col("n.node") == F.col("ct.dst"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (F.lit(PR_TELEPORT) + F.expr("(85 * coalesce(s, 0)) DIV 100"))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        ).persist()
+        ranks.count()  # eager: truncate re-execution, not lineage depth
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks.select(F.col("node").alias("n_nationkey"), F.col("pr").alias("pagerank_scaled"))

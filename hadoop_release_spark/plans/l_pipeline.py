@@ -526,3 +526,80 @@ def l32_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+@register(
+    "l33_quantize_embeddings",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding AS e
+      FROM embeddings
+    ), stats AS (
+      SELECT i, min(CAST(e[i] AS DOUBLE)) AS mn, max(CAST(e[i] AS DOUBLE)) AS mx
+      FROM ex GROUP BY i
+    ), q AS (
+      SELECT vec_id, i,
+             CASE WHEN mx = mn THEN 0
+                  ELSE least(255, CAST(floor(
+                         (CAST(e[i] AS DOUBLE) - mn) * 255 / (mx - mn) + 0.5
+                       ) AS BIGINT)) END AS qv
+      FROM ex JOIN stats USING (i)
+    )
+    SELECT vec_id, string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS q8
+    FROM q GROUP BY vec_id
+    """,
+    priority="P2",
+)
+def l33_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (uint8) embedding quantization — the ANN-at-scale
+    compression step: per-dimension global [min, max] → each value
+    mapped to its 0..255 grid cell (4× smaller than float32, the
+    standard first stage before IVF/PQ serving; l19 is the consumer).
+
+    Determinism design: min/max are SELECTIONS (no accumulation
+    error), and the map ((x−mn)·255/(mx−mn)+0.5 → floor) is a fixed
+    IEEE expression evaluated identically by both engines — so the
+    quantized codes are bit-exact cross-engine with no rounding-rule
+    hazard (floor, not round). Codes ride as a comma-joined string
+    (d15 rule).
+
+    Scale shape: the per-dimension stats pass is posexplode +
+    groupBy(dim) — map-side partial min/max compresses the shuffle
+    to (#tasks × #dims) rows, NOT the corpus; the 64-row stats table
+    then broadcasts back and quantization itself is a pure per-row
+    transform fused into the scan (zero data shuffles). At 100 TB
+    this is one stats sweep + one embarrassingly-parallel map."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("i", "x"))
+    stats = ex.groupBy("i").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    srow = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+    def qv(x, j):
+        mn = F.element_at(F.col("mns"), j + F.lit(1))
+        mx = F.element_at(F.col("mxs"), j + F.lit(1))
+        xd = x.cast("double")
+        return (
+            F.when(mx == mn, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(255).cast("bigint"),
+                    F.floor((xd - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)),
+                )
+            )
+            .cast("string")
+        )
+
+    return (
+        e.crossJoin(F.broadcast(srow))
+        .select("vec_id", F.array_join(F.transform("embedding", qv), ",").alias("q8"))
+    )

@@ -142,6 +142,9 @@ _PLAN_NODE_ALLOWLIST = {
         "l09_knn_join",
         "l13_ngram_jaccard",
         "l19_knn_ivf",
+        # l33: keyless cross join against a SINGLE-ROW broadcast (the
+        # per-dimension min/max stats) — O(N·1), the intended plan.
+        "l33_quantize_embeddings",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

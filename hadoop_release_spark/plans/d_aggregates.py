@@ -441,3 +441,54 @@ def d17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+#: d18 equi-width histogram: 25-unit buckets over events.value
+#: (fixture range [0.01, 490.02] → buckets 0..19).
+HIST_WIDTH = 25
+
+
+@register(
+    "d18_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {HIST_WIDTH}.0) AS BIGINT) AS bucket,
+           CAST(floor(value / {HIST_WIDTH}.0) AS BIGINT) * {HIST_WIDTH}.0 AS lo,
+           (CAST(floor(value / {HIST_WIDTH}.0) AS BIGINT) + 1) * {HIST_WIDTH}.0 AS hi,
+           count(*) AS n_events,
+           {osum("value")} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    priority="P2",
+)
+def d18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a measure column — the data-profiling
+    primitive behind optimizer statistics, monitoring dashboards, and
+    drift detection (the batch twin of a streaming quantile sketch;
+    s02 is the rank-based alternative).
+
+    Determinism design: the bucket id is floor(value / width) — one
+    IEEE division of the identical parquet double then floor, so both
+    engines bin every row identically even at bucket boundaries (2dp
+    fixture values land exactly on the grid); the in-bucket sum uses
+    the exact-decimal rule (dsum). Bucket edges are derived FROM the
+    bucket id (bigint × width), not re-accumulated.
+
+    Scale shape: a pure groupBy on a derived key — map-side partial
+    aggregation compresses each task's rows to ≤ #buckets partials,
+    so the shuffle carries #tasks × #buckets rows regardless of input
+    size; the scan reads only the one measure column. At 100 TB this
+    is the cheapest full-table profile there is."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(float(HIST_WIDTH))).cast("bigint")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "bucket",
+            (F.col("bucket") * float(HIST_WIDTH)).alias("lo"),
+            ((F.col("bucket") + 1) * float(HIST_WIDTH)).alias("hi"),
+            "n_events",
+            "sum_value",
+        )
+    )

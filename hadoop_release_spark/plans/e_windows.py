@@ -341,3 +341,104 @@ def e11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_us").alias("end_us"),
         F.round(F.sum("v"), 4).cast("double").alias("sum_value"),
     )
+
+
+#: e12 funnel: later steps must land within this horizon of the
+#: user's FIRST step-1 event (and strictly after the prior step).
+#: 24 h discriminates at fixture event density: 150 → 60 → 14 users.
+FUNNEL_HORIZON_US = 24 * 3600 * 1_000_000
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "e12_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t
+      FROM events
+    ), s1 AS (
+      SELECT user_id, min(t) AS t1 FROM ev
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), s2 AS (
+      SELECT ev.user_id, min(s1.t1) AS t1, min(ev.t) AS t2
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      WHERE ev.event_type = '{FUNNEL_STEPS[1]}'
+        AND ev.t > s1.t1 AND ev.t <= s1.t1 + {FUNNEL_HORIZON_US}
+      GROUP BY ev.user_id
+    ), s3 AS (
+      SELECT ev.user_id, min(ev.t) AS t3
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      WHERE ev.event_type = '{FUNNEL_STEPS[2]}'
+        AND ev.t > s2.t2 AND ev.t <= s2.t1 + {FUNNEL_HORIZON_US}
+      GROUP BY ev.user_id
+    )
+    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+    """,
+    priority="P1",
+)
+def e12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: how
+    many users progressed view → click → purchase, where each step
+    must occur STRICTLY AFTER the user's previous step and within
+    FUNNEL_HORIZON_US of their first step-1 event. First-match
+    semantics: step k anchors at the user's earliest qualifying
+    event, the standard (and order-deterministic) funnel definition.
+
+    Determinism design: anchors are min() selections over integer
+    epoch-µs, and the output is three count rows — no float, no
+    ordering hazard; equal-timestamp ties never matter because the
+    predicate is a set filter, not a sequence scan.
+
+    Scale shape: every stage aggregates or joins on user_id, so the
+    whole funnel runs inside ONE hash-partitioning of the events
+    table — Catalyst reuses the exchange across the three stages,
+    and each stage's map-side partial min compresses its shuffle to
+    one row per (task, user). Step tables shrink monotonically
+    (funnel property), so later joins are broadcast-able at any
+    scale. Extending to k steps is a linear chain of the same
+    shape, not a self-join explosion."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t1") + FUNNEL_HORIZON_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("t") > F.col("t2"))
+            & (F.col("t") <= F.col("t1") + FUNNEL_HORIZON_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+
+    def count_row(step: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        count_row(1, FUNNEL_STEPS[0], s1)
+        .unionAll(count_row(2, FUNNEL_STEPS[1], s2))
+        .unionAll(count_row(3, FUNNEL_STEPS[2], s3))
+    )

@@ -342,3 +342,93 @@ def i10_mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.unpersist()
         prev = ranks
     return ranks.select(F.col("node").alias("n_nationkey"), F.col("pr").alias("pagerank_scaled"))
+
+
+@register(
+    "i11_mr_triangles",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS u,
+             greatest(s.s_nationkey, c.c_nationkey) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corners AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT n.n_nationkey, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS n_triangles
+    FROM nation n LEFT JOIN
+      (SELECT node, count(*) AS cnt FROM corners GROUP BY node) t
+    ON n.n_nationkey = t.node
+    """,
+    priority="P1",
+)
+def i11_mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting — the canonical graph-MapReduce
+    benchmark (community detection / clustering-coefficient input),
+    over the same supplier-nation → customer-nation trade graph as
+    i10, taken undirected.
+
+    Algorithm: canonicalize each edge to u < v (kills duplicates and
+    direction), then the oriented two-join: wedges (u→v→w with
+    u < v < w via the canonical order) closed by an edge-existence
+    join on (u, w). Orientation means each triangle is produced
+    EXACTLY once — the classic trick that also bounds the wedge
+    join, since every wedge center fans out only to higher-numbered
+    neighbors. Per-node counts come from exploding each triangle to
+    its three corners.
+
+    Scale shape: derive-edges is the c13 star join producing a slim
+    distinct (u, v) list; the wedge join and closure join are hash
+    joins on node ids. At web scale the wedge step is the known
+    hot spot (high-degree hubs) — the standard mitigation this plan
+    inherits by construction is degree-orientation (orient edges
+    low-degree → high-degree instead of by id), which caps fan-out
+    at O(sqrt(edges)) per node; the fixture's 25-node graph needs no
+    such refinement. No cartesian anywhere — closure is an equi-join
+    on (u, v) pairs."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(F.count("*").alias("cnt"))
+    return (
+        n.join(counts, n.n_nationkey == counts.node, "left")
+        .select(
+            "n_nationkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )

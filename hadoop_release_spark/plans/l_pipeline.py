@@ -603,3 +603,74 @@ def l33_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(srow))
         .select("vec_id", F.array_join(F.transform("embedding", qv), ",").alias("q8"))
     )
+
+
+#: l34 split quotas: md5(source) bucket 0-59 → train, 60-79 → val,
+#: 80-99 → test — by GROUP, not by row. (Quotas are the tunable; at
+#: fixture scale — 20 sources — these produce a 15/3/2 group split so
+#: all three splits are exercised; production typically runs 90/5/5.)
+SPLIT_TRAIN_LT = 60
+SPLIT_VAL_LT = 80
+
+
+@register(
+    "l34_split_leakage_safe",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST(('0x' || substring(md5(source), 1, 4))::UBIGINT
+                        % 100 AS BIGINT) < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(source), 1, 4))::UBIGINT
+                        % 100 AS BIGINT) < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+    priority="P1",
+)
+def l34_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — assign documents to splits
+    by hashing their GROUP key (source), not the row, so correlated
+    documents (same crawl domain / book / repository) land on the
+    same side of the split and can never leak eval content into
+    training. Row-level random splits fail exactly this way; the
+    group-hash split is the standard fix, and being md5-derived it
+    is reproducible across engines, runs, and repartitioning
+    (the l24 argument, lifted from row-bucket to group-bucket).
+
+    Output is the split audit table (docs / distinct groups / chars
+    per split) a pipeline records alongside the artifact; the
+    assignment expression itself is the per-row splitter users fuse
+    into their write path, and because it is a pure projection the
+    actual split-write is a zero-shuffle partitioned sink (a06
+    shape, partitionBy(split)).
+
+    Scale shape: assignment is a stateless per-row expression (no
+    shuffle, no group materialization — the hash IS the group
+    coordination); the audit agg is one groupBy(split) with 3 keys,
+    map-side-combined. The distinct-source count does shuffle
+    (exact distinct per split), the deliberate price of an audit
+    metric — drop it or use approx_count_distinct at 100 TB if the
+    exact figure isn't required."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

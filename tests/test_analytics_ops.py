@@ -138,3 +138,109 @@ def test_quantize_embeddings_codes_bounded_and_invertible(spark, sf_dir):
             cell = (mx[i] - mn[i]) / 255 if mx[i] > mn[i] else 0.0
             recon = mn[i] + q * cell
             assert abs(recon - vecs[r["vec_id"]][i]) <= cell / 2 + 1e-9
+
+
+def test_histogram_buckets_tile_and_account_for_every_event(spark, sf_dir):
+    from hadoop_release_spark.plans.d_aggregates import HIST_WIDTH, d18_histogram
+
+    vals = [
+        r["value"] for r in table(spark, sf_dir, "events").select("value").collect()
+    ]
+    rows = d18_histogram(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == len(vals)
+    for r in rows:
+        assert r["lo"] == r["bucket"] * HIST_WIDTH and r["hi"] == r["lo"] + HIST_WIDTH
+        in_bucket = [v for v in vals if r["lo"] <= v < r["hi"]]
+        assert len(in_bucket) == r["n_events"]
+        assert abs(sum(in_bucket) - r["sum_value"]) < 1e-4
+
+
+def test_funnel_counts_match_sequential_scan_and_shrink(spark, sf_dir):
+    """Replay first-match funnel semantics per user with a plain
+    Python scan; counts must agree and shrink monotonically."""
+    from hadoop_release_spark.plans.e_windows import (
+        FUNNEL_HORIZON_US,
+        FUNNEL_STEPS,
+        e12_funnel,
+    )
+
+    ev = defaultdict(lambda: defaultdict(list))
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+        .collect()
+    ):
+        ev[r["user_id"]][r["event_type"]].append(r["t"])
+    counts = [0, 0, 0]
+    for types in ev.values():
+        t1 = min(types[FUNNEL_STEPS[0]], default=None)
+        if t1 is None:
+            continue
+        counts[0] += 1
+        deadline = t1 + FUNNEL_HORIZON_US
+        t2 = min((t for t in types[FUNNEL_STEPS[1]] if t1 < t <= deadline), default=None)
+        if t2 is None:
+            continue
+        counts[1] += 1
+        t3 = min((t for t in types[FUNNEL_STEPS[2]] if t2 < t <= deadline), default=None)
+        if t3 is not None:
+            counts[2] += 1
+
+    got = {r["step"]: r["n_users"] for r in e12_funnel(spark, sf_dir).collect()}
+    assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
+    # the horizon must actually discriminate, else the test is vacuous
+    assert counts[0] > counts[1] > counts[2] > 0
+
+
+def test_triangles_match_bruteforce_enumeration(spark, sf_dir):
+    from itertools import combinations
+
+    from hadoop_release_spark.plans.i_mapreduce import i11_mr_triangles
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+            .distinct()
+            .collect()
+        )
+    }
+    nodes = sorted({v for e in und for v in e})
+    per_node = defaultdict(int)
+    n_triangles = 0
+    for a, b, c3 in combinations(nodes, 3):
+        if (a, b) in und and (b, c3) in und and (a, c3) in und:
+            n_triangles += 1
+            per_node[a] += 1
+            per_node[b] += 1
+            per_node[c3] += 1
+
+    got = {
+        r["n_nationkey"]: r["n_triangles"]
+        for r in i11_mr_triangles(spark, sf_dir).collect()
+    }
+    assert sum(got.values()) == 3 * n_triangles
+    for v, cnt in per_node.items():
+        assert got[v] == cnt
+    assert n_triangles > 0
+
+
+def test_split_is_leakage_free_and_covers_corpus(spark, sf_dir):
+    """No source may appear in two splits (the leakage guarantee),
+    every doc is assigned, and all three splits are non-empty."""
+    from hadoop_release_spark.plans.l_pipeline import l34_split_leakage_safe
+
+    d = table(spark, sf_dir, "documents")
+    rows = l34_split_leakage_safe(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert sum(r["n_sources"] for r in rows) == d.select("source").distinct().count()
+    assert sum(r["sum_chars"] for r in rows) == d.agg(F.sum("n_chars")).collect()[0][0]

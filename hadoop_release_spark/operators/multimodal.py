@@ -277,3 +277,103 @@ def sample_audio_frames(df: DataFrame, frame_samples: int = 64, max_frames: int 
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: uncompressed multi-frame container (real per-frame BMP codec)
+# --------------------------------------------------------------------------
+
+#: Output schema of the video frame sampler.
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Encode BMP frames as a minimal uncompressed video container:
+    ``SVID`` magic + frame count + length-prefixed frames (the raw
+    concatenated-frames layout of y4m-style uncompressed video, with
+    each frame a REAL 24-bit BMP so per-frame decode exercises the
+    actual image codec)."""
+    out = bytearray(b"SVID" + struct.pack("<I", len(frames)))
+    for fr in frames:
+        out += struct.pack("<I", len(fr)) + fr
+    return bytes(out)
+
+
+def decode_video(payload: bytes) -> list[bytes]:
+    """Decode the SVID container → list of per-frame BMP bytes.
+    Compressed video (H.264/VP9/…) raises with a clear message —
+    this container has no libav."""
+    if len(payload) < 8 or payload[:4] != b"SVID":
+        raise NotImplementedError(
+            "not an SVID uncompressed container; compressed video codecs "
+            "(H.264/VP9/…) need a video library not present in this container"
+        )
+    (n_frames,) = struct.unpack("<I", payload[4:8])
+    frames, pos = [], 8
+    for _ in range(n_frames):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        frames.append(payload[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def _doc_video(doc_id: int, n_chars: int) -> bytes:
+    """A genuine SVID clip: 2-6 BMP frames whose shape derives from
+    doc metadata and whose pixels derive from md5(doc_id:frame) —
+    deterministic across runs and partitionings."""
+    width = n_chars % 9 + 4
+    height = n_chars % 5 + 4
+    n_frames = doc_id % 5 + 2
+    n = width * height * 3
+    frames = []
+    for f in range(n_frames):
+        seed = hashlib.md5(f"{doc_id}:{f}".encode()).digest()
+        rgb = (seed * (n // len(seed) + 1))[:n]
+        frames.append(encode_bmp(width, height, rgb))
+    return encode_video(frames)
+
+
+def attach_video_payload(df: DataFrame) -> DataFrame:
+    """Attach a binary column of real SVID clip bytes."""
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_doc_video(int(d), int(c)) for d, c in zip(doc_id, n_chars)]
+        )
+
+    return df.withColumn("payload", make("doc_id", "n_chars"))
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """mapInPandas video frame sampler: container parse → every
+    ``stride``-th frame → REAL BMP decode → per-channel integer pixel
+    sums (1 clip → N sampled-frame rows; exact integers keep the
+    whole parse+decode path on the SQL-oracle hash contract)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video(bytes(payload))
+                for idx in range(0, len(frames), stride):
+                    width, height, _, rgb = decode_bmp(frames[idx])
+                    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (doc_id, idx, width, height,
+                         int(sums[0]), int(sums[1]), int(sums[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)

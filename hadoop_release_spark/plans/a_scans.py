@@ -301,3 +301,50 @@ def a11_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("corrupt").alias("kind")
     )
     return good.unionByName(bad).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a12_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(o_totalprice AS DOUBLE)
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    priority="P1",
+)
+def a12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): a table written over time
+    by producers on DIFFERENT schema versions — generation 1 has
+    (o_orderkey, o_custkey), generation 2 added o_totalprice and
+    dropped o_custkey — is read as ONE dataset whose schema is the
+    union of all file schemas, with absent columns null-filled per
+    file. This is the additive-evolution contract every long-lived
+    100 TB table depends on (readers must not break when writers gain
+    columns; Hadoop-era equivalents were Avro/Thrift schema
+    resolution rules).
+
+    Scale note: ``mergeSchema`` reconciles footers across files — at
+    millions of files that footer sweep is the cost, so production
+    tables pin the merged schema in a catalog/metastore and pass it
+    explicitly (``.schema(...)``) instead; the null-filling read
+    path exercised here is identical either way. The split rule
+    (even/odd o_orderkey) is deterministic, so the oracle replays
+    both generations with explicit NULL columns."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    o = table(spark, sf_dir, "orders")
+    path = scratch_dir("a12evo")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -17,11 +17,13 @@ from pyspark.sql import functions as F
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.multimodal import (
     attach_audio_payload,
+    attach_video_payload,
     attach_fake_payload,
     attach_image_payload,
     extract_image_features,
     resize_image_features,
     sample_audio_frames,
+    sample_video_frames,
 )
 from hadoop_release_spark.plans.registry import register
 
@@ -138,3 +140,55 @@ def m03_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the per-frame PCM crc32 stays pytest-pinned."""
     d = attach_audio_payload(table(spark, sf_dir, "documents"))
     return sample_audio_frames(d).select("doc_id", "frame_idx")
+
+
+@register(
+    "m05_video_framesample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, n_chars % 9 + 4 AS w, n_chars % 5 + 4 AS h,
+             doc_id % 5 + 2 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_idx FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, frame_idx,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+               AS hex,
+             unnest(range(0, w * h)) AS i
+      FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(('0x' || substring(hex, ((3 * i) % 16) * 2 + 1, 2))::INT)
+                AS BIGINT) AS sum_r,
+           CAST(sum(('0x' || substring(hex, ((3 * i + 1) % 16) * 2 + 1, 2))::INT)
+                AS BIGINT) AS sum_g,
+           CAST(sum(('0x' || substring(hex, ((3 * i + 2) % 16) * 2 + 1, 2))::INT)
+                AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, frame_idx, w, h
+    """,
+    priority="P2",
+)
+def m05_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: SVID uncompressed clip (2-6 real BMP
+    frames per doc) → container parse → every-2nd-frame stride sample
+    → REAL per-frame BMP decode → per-channel integer pixel sums,
+    all inside one Arrow-batched mapInPandas stage (1 clip → N
+    sampled-frame rows, the m03 row-expansion shape on a nested
+    container). ORACLE-CHECKED end-to-end: frame pixels are
+    md5(doc_id:frame) digest bytes cycled through the RGB buffer, so
+    the oracle replays the sampled frame indices and digest-byte
+    sums in SQL — validating container framing, stride selection,
+    BMP decode, and channel arithmetic together. Compressed video
+    raises NotImplementedError (no libav here; the container format
+    is the extension point).
+
+    Scale shape: clips stream through Python in columnar batches;
+    metadata predicates (doc_id, n_chars) are evaluated BEFORE the
+    payload stage so pruning keeps clip bytes out of plans that
+    don't decode. Frame sampling is per-row work — embarrassingly
+    parallel, no shuffle; size maxPartitionBytes so one task's clip
+    batch fits executor memory (module docstring rule)."""
+    d = attach_video_payload(table(spark, sf_dir, "documents"))
+    return sample_video_frames(d)

@@ -130,3 +130,86 @@ def s07_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", "4")
         .load()
     )
+
+
+#: s08 bloom geometry: m bits / k hashes for the dim-key filter.
+#: m=8192, |keys|≈40 ⇒ theoretical fp ≈ (1-e^(-3·40/8192))^3 ≈ 3e-6.
+BLOOM_BITS = 8192
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 3
+
+
+@register(
+    "s08_bloom_prune",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def s08_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning — the runtime-filter pattern built
+    from first principles as a DataFrame composition: (1) BUILD — the
+    selective dim keyset (parts with p_size=1) explodes to k=3
+    xxhash64 bit positions, bit_or-aggregated into a 128-word bitmask
+    and collapsed to ONE array row; (2) PROBE — the mask broadcasts
+    to every fact task, where a pure bitwise expression (shiftleft /
+    & inside whole-stage codegen) drops non-matching rows BEFORE any
+    shuffle; (3) VERIFY — an exact broadcast semi-join on the
+    survivors removes the ~3e-6 false positives, keeping the result
+    EXACT (hence the plain-SQL oracle: the bloom is an optimization,
+    invisible in the semantics).
+
+    Scale shape: this is what Spark's InjectRuntimeFilter does for
+    qualifying plans (thresholds don't trigger at fixture scale, so
+    the composition shows the mechanics explicitly). At 100 TB the
+    payoff is the probe: a few-KB mask prunes the fact scan's
+    shuffle volume by the dim selectivity with zero extra shuffles —
+    the build agg ships #tasks × 128 words, the verify side is the
+    already-selective dim keyset, broadcast. The same composition is
+    how a distributed bloom build works on any engine; here every
+    step is a Catalyst-visible declarative op."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    keys = p.filter(F.col("p_size") == 1).select("p_partkey")
+
+    def positions(key_col):
+        return [
+            F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+
+    bits = keys.select(
+        F.explode(F.array(*positions(F.col("p_partkey")))).alias("pos")
+    )
+    words = bits.select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+    ).groupBy("w").agg(F.bit_or("bit").alias("word"))
+    mask = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            # map lookup by KEY w=i (element_at on a map is key-based;
+            # the resulting ARRAY is then 1-indexed on the probe side)
+            lambda i: F.coalesce(F.element_at(F.col("wm"), i.cast("int")), F.lit(0).cast("long")),
+        ).alias("mask")
+    )
+
+    probed = li.crossJoin(F.broadcast(mask))
+    for i, pos in enumerate(positions(F.col("l_partkey"))):
+        probed = probed.withColumn(f"_pos{i}", pos).filter(
+            F.expr(
+                f"(element_at(mask, CAST(_pos{i} / 64 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(_pos{i} % 64 AS INT))) != 0"
+            )
+        )
+    exact = probed.join(F.broadcast(keys), probed.l_partkey == keys.p_partkey, "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+    )

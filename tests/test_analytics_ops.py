@@ -244,3 +244,74 @@ def test_split_is_leakage_free_and_covers_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == d.count()
     assert sum(r["n_sources"] for r in rows) == d.select("source").distinct().count()
     assert sum(r["sum_chars"] for r in rows) == d.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_video_container_roundtrip_and_stride_sampling(spark, sf_dir):
+    """Codec-level: SVID encode→decode is lossless and rejects
+    non-SVID bytes; operator-level: every 2nd frame of each doc's
+    clip appears, with channel sums matching a direct decode."""
+    import numpy as np
+    import pytest
+
+    from hadoop_release_spark.operators.multimodal import (
+        _doc_video,
+        decode_bmp,
+        decode_video,
+        encode_bmp,
+        encode_video,
+    )
+    from hadoop_release_spark.plans.m_multimodal import m05_video_framesample
+
+    frames = [encode_bmp(4, 3, bytes(range(36))), encode_bmp(2, 2, bytes(range(12)))]
+    assert decode_video(encode_video(frames)) == frames
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x01\x02\x03garbage")
+
+    rows = m05_video_framesample(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r for r in table(spark, sf_dir, "documents").collect()}
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r["doc_id"]][r["frame_idx"]] = r
+    assert set(by_doc) == set(docs)
+    for doc_id in list(docs)[:25]:
+        clip = decode_video(_doc_video(doc_id, docs[doc_id]["n_chars"]))
+        n_frames = doc_id % 5 + 2
+        assert len(clip) == n_frames
+        assert set(by_doc[doc_id]) == set(range(0, n_frames, 2))
+        for idx, row in by_doc[doc_id].items():
+            w, h, _, rgb = decode_bmp(clip[idx])
+            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+            assert (row["width"], row["height"]) == (w, h)
+            assert [row["sum_r"], row["sum_g"], row["sum_b"]] == list(
+                arr.sum(axis=0, dtype=np.int64)
+            )
+
+
+def test_bloom_prune_probe_is_selective_and_exact(spark, sf_dir):
+    """The bloom probe must pass every true match (no false
+    negatives — guaranteed by construction, asserted anyway) and
+    prune the overwhelming majority of non-matching fact rows."""
+    from hadoop_release_spark.plans.s_stretch import s08_bloom_prune
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    true_keys = {r["p_partkey"] for r in p.filter(F.col("p_size") == 1).collect()}
+    expected = li.filter(F.col("l_partkey").isin(true_keys)).count()
+
+    got = s08_bloom_prune(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in got) == expected
+    # selectivity: matching rows are a tiny fraction of the fact table
+    assert expected < li.count() * 0.05
+
+
+def test_schema_evolution_null_fills_by_generation(spark, sf_dir):
+    from hadoop_release_spark.plans.a_scans import a12_schema_evolution
+
+    rows = a12_schema_evolution(spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    assert len(rows) == o.count()
+    for r in rows[:2000]:
+        if r["o_orderkey"] % 2 == 0:  # generation 1: no o_totalprice yet
+            assert r["o_custkey"] is not None and r["o_totalprice"] is None
+        else:  # generation 2: o_custkey dropped
+            assert r["o_custkey"] is None and r["o_totalprice"] is not None

@@ -123,7 +123,7 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
 #: them (their scale posture is pinned by their own tests).
 _AUDIT_SKIP_PREFIXES = (
     "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
-    "j0", "j1", "c15", "s04", "s05", "s07",
+    "a12", "j0", "j1", "c15", "s04", "s05", "s07",
 )
 
 #: The ONLY queries allowed to contain each anti-pattern node, with
@@ -145,6 +145,9 @@ _PLAN_NODE_ALLOWLIST = {
         # l33: keyless cross join against a SINGLE-ROW broadcast (the
         # per-dimension min/max stats) — O(N·1), the intended plan.
         "l33_quantize_embeddings",
+        # s08: same single-row-broadcast shape — the few-KB bloom
+        # mask attaches to every fact row before the probe filter.
+        "s08_bloom_prune",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -51,6 +51,10 @@ HEADLINE = [
     # round-3 flagships
     "l27_sequence_pack",     # distributed prefix-sum packing
     "l28_decontaminate",     # n-gram contamination sweep
+    "i10_mr_pagerank",       # iterative graph loop (eager materialization)
+    "e11_sessionize",        # batch sessionization window chain
+    "e12_funnel",            # ordered funnel, one reused partitioning
+    "s08_bloom_prune",       # bloom runtime-filter composition
 ]
 
 

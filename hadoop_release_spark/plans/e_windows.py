@@ -442,3 +442,62 @@ def e12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_row(2, FUNNEL_STEPS[1], s2))
         .unionAll(count_row(3, FUNNEL_STEPS[2], s3))
     )
+
+
+#: e13 cohort grain: epoch-day index (t_us DIV DAY_US) — pure
+#: integer bucketing, immune to calendar/timezone divergence. Day
+#: grain (not week) because the 30-day fixture yields a rich
+#: ~400-cell retention matrix at days and a degenerate 5-cell one at
+#: weeks; at production scale the same query runs at any DIV grain.
+DAY_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "e13_retention",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US} AS day
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, day FROM ev
+    )
+    SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    priority="P1",
+)
+def e13_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other half of product analytics next to
+    e12's funnel: users are cohorted by the epoch-day of their first
+    event, and each later active day counts toward that cohort's
+    (cohort_day, day_offset) retention cell. The output is the
+    classic retention triangle in long form.
+
+    Determinism design: periods are integer epoch-µs DIV day-µs — no
+    calendar or timezone semantics to diverge on — and every output
+    is a count.
+
+    Scale shape: one user_id shuffle computes cohorts (map-side
+    partial min); the distinct-activity set compresses to one row
+    per (user, day) map-side before the same-keyed join — Catalyst
+    co-partitions cohort and activity, so the join adds no third
+    shuffle. The final cell agg's count(DISTINCT user) is exact with
+    a plain-count partial (a user appears once per (cohort, offset)
+    after the distinct). Retention over a year of 100 TB logs is
+    exactly this plan with the scan bounded by partition pruning on
+    the event date."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

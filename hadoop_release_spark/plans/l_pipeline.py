@@ -674,3 +674,120 @@ def l34_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+#: l35 planted-URL construction (messiness variant by doc_id % 4) —
+#: kept in one place so the Spark plant and the oracle plant can
+#: never drift. Canonical form: https://site{S}.example.com/p/{P}?id={K}
+#: with S = doc_id%25, P = doc_id%10, K = doc_id%50.
+_URL_TRACK_RE = r"&utm_[a-z]+=[^&]*"
+
+
+@register(
+    "l35_dedup_url",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://site' || (doc_id % 25)
+                    || '.example.com/p/' || (doc_id % 10)
+                    || '?id=' || (doc_id % 50)
+               WHEN 1 THEN 'HTTPS://SITE' || (doc_id % 25)
+                    || '.Example.COM:443/p/' || (doc_id % 10)
+                    || '?id=' || (doc_id % 50) || '&utm_source=feed'
+               WHEN 2 THEN 'https://site' || (doc_id % 25)
+                    || '.example.com:443/p/' || (doc_id % 10)
+                    || '?id=' || (doc_id % 50)
+                    || '&utm_campaign=x&utm_medium=y'
+               ELSE 'https://Site' || (doc_id % 25)
+                    || '.example.com/p/' || (doc_id % 10)
+                    || '?id=' || (doc_id % 50) || '&utm_medium=email'
+             END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://[^/?]+')),
+                              ':443$', '')
+               || substring(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/?]+')) + 1),
+               '{_URL_TRACK_RE}', '', 'g') AS canonical_url
+      FROM planted
+    )
+    SELECT canonical_url, min(doc_id) AS survivor_id,
+           count(*) AS n_docs
+    FROM canon GROUP BY canonical_url
+    """,
+    priority="P2",
+)
+def l35_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-corpus staple: the same
+    resource fetched as HTTPS://HOST:443/…?id=k&utm_source=feed and
+    https://host/…?id=k must collapse to one canonical URL before
+    content ever gets compared. Rules applied (each a real crawl
+    normalization): lowercase scheme+host, strip the protocol
+    default port, drop utm_* tracking parameters. The fixture plants
+    four messy variants per canonical target (~10 docs collapse per
+    URL), so the dedup ratio is pinned by construction.
+
+    Implementation is pure JVM string ops — regexp_extract splits
+    the authority (scheme://host:port) from the path, lower+strip
+    normalizes it, one global regexp_replace drops tracking params —
+    then groupBy(canonical_url) with min-id survivor (the l01 rule).
+    The SAME expressions run in the oracle, so canonicalization
+    itself is hash-verified, not just the group counts.
+
+    Scale shape: canonicalization is a stateless per-row projection
+    fused into the scan; the only shuffle is the group-agg on the
+    canonical key, map-side-combined. At crawl scale (10^11 URLs)
+    this exact plan runs unchanged — the canonical key is also the
+    natural partition key for the downstream content-dedup join
+    (l01/l02 consume it)."""
+    d = table(spark, sf_dir, "documents")
+    s = F.col("doc_id") % 25
+    pg = F.col("doc_id") % 10
+    k = F.col("doc_id") % 50
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://site"), s, F.lit(".example.com/p/"), pg,
+                F.lit("?id="), k,
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"), s, F.lit(".Example.COM:443/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_source=feed"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://site"), s, F.lit(".example.com:443/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_campaign=x&utm_medium=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://Site"), s, F.lit(".example.com/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_medium=email"),
+            )
+        )
+    )
+    planted = d.select("doc_id", url.alias("url"))
+    authority = F.regexp_extract(F.col("url"), r"^[a-zA-Z]+://[^/?]+", 0)
+    canonical = F.regexp_replace(
+        F.concat(
+            F.regexp_replace(F.lower(authority), r":443$", ""),
+            F.expr("substring(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/?]+', 0)) + 1)"),
+        ),
+        _URL_TRACK_RE,
+        "",
+    )
+    return (
+        planted.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_docs"))
+    )

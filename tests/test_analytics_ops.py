@@ -315,3 +315,38 @@ def test_schema_evolution_null_fills_by_generation(spark, sf_dir):
             assert r["o_custkey"] is not None and r["o_totalprice"] is None
         else:  # generation 2: o_custkey dropped
             assert r["o_custkey"] is None and r["o_totalprice"] is not None
+
+
+def test_retention_triangle_consistency(spark, sf_dir):
+    """Offset-0 cells must cover every cohort user exactly once;
+    every cell is bounded by its cohort's size; offsets non-negative."""
+    from hadoop_release_spark.plans.e_windows import e13_retention
+
+    rows = e13_retention(spark, sf_dir).collect()
+    cohort_sizes = {
+        r["cohort_day"]: r["n_users"] for r in rows if r["day_offset"] == 0
+    }
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    # day-0 activity includes the cohorting event itself, so offset-0
+    # cells partition the user base
+    assert sum(cohort_sizes.values()) == n_users
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["n_users"] <= cohort_sizes[r["cohort_day"]]
+
+
+def test_url_dedup_merges_messy_variants(spark, sf_dir):
+    """Every canonical URL is in normalized form (no upper case, no
+    :443, no tracking params), groups collapse ~10 docs each, and the
+    survivor is the minimum doc_id of its group."""
+    from hadoop_release_spark.plans.l_pipeline import l35_dedup_url
+
+    rows = l35_dedup_url(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        u = r["canonical_url"]
+        assert u == u.lower() and ":443" not in u and "utm_" not in u
+        # canonical key is (doc_id%25, %10, %50) ⇒ doc_id ≡ survivor (mod 50)
+        assert r["survivor_id"] < 50
+        assert r["n_docs"] == n_docs // 50

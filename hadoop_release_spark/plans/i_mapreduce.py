@@ -412,6 +412,13 @@ def i11_mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("s_nationkey", "c_nationkey").alias("v"),
         )
         .distinct()
+        # persist: the wedge/closure joins reference the edge list
+        # THREE times — without caching, each alias re-executes the
+        # whole 4-way star join (measured: 9 lineitem scans). The
+        # edge list is node-bounded (≤ nodes², tiny), the same
+        # bounded-state argument as i10's rank table; released by
+        # the registry wrapper before the next query.
+        .persist()
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (

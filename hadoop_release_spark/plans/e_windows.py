@@ -310,12 +310,13 @@ def e11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin of j03's streaming session_window, expressed as
     lag → gap flag → running sum (the session id) → group-agg.
 
-    Scale shape: ONE shuffle on user_id serves both window passes
-    (lag and the running sum share the same partition+order spec, so
-    Catalyst plans a single Sort+Window over one Exchange); the final
-    groupBy(user_id, session_idx) adds a second exchange but its
-    map-side partial agg compresses input to one row per session
-    before it ships. Skewed users (bots with millions of events)
+    Scale shape: ONE shuffle on user_id serves the entire plan
+    (verified: a single Exchange) — lag and the running sum share the
+    same partition+order spec so Catalyst plans one Sort+Window pair,
+    and the final groupBy(user_id, session_idx) groups on a superset
+    of the partitioning key, so hash(user_id) already satisfies its
+    clustering and no re-shuffle is needed. Skewed users (bots with
+    millions of events)
     are the known hazard — at 100 TB, cap per-user history or salt
     the window key by day first. Times ride as epoch-µs bigints
     end-to-end (contracts.ts_us bridge); the value sum uses the
@@ -393,14 +394,15 @@ def e12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering hazard; equal-timestamp ties never matter because the
     predicate is a set filter, not a sequence scan.
 
-    Scale shape: every stage aggregates or joins on user_id, so the
-    whole funnel runs inside ONE hash-partitioning of the events
-    table — Catalyst reuses the exchange across the three stages,
-    and each stage's map-side partial min compresses its shuffle to
-    one row per (task, user). Step tables shrink monotonically
-    (funnel property), so later joins are broadcast-able at any
-    scale. Extending to k steps is a linear chain of the same
-    shape, not a self-join explosion."""
+    Scale shape: each stage scans events with its event_type
+    predicate PUSHED DOWN (a step reads only its own slice, not the
+    full log) and aggregates on user_id with map-side partial min —
+    each stage's shuffle carries one row per (task, user), and all
+    stages shuffle on the SAME key so the step joins are co-located.
+    Step tables shrink monotonically (funnel property), so later
+    joins are broadcast-able at any scale (verified: both step joins
+    plan as broadcasts). Extending to k steps is a linear chain of
+    the same shape, not a self-join explosion."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )

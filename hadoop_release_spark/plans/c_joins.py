@@ -572,3 +572,101 @@ def c19_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+#: c20 interval-overlap join constants: synthetic-but-deterministic
+#: interval ends (quantity-derived shipping windows, 14-day audit
+#: windows on a sparse order subset) and the bin width — set to the
+#: max interval length so every interval covers ≤ 2 bins.
+IVL_DAY_US = 24 * 3600 * 1_000_000
+IVL_BIN_DAYS = 14
+
+
+@register(
+    "c20_join_interval_bins",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP)) // {IVL_DAY_US} AS s,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP)) // {IVL_DAY_US}
+               + CAST(l_quantity AS BIGINT) % 14 AS e
+      FROM lineitem
+    ), w AS (
+      SELECT o_orderkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {IVL_DAY_US} AS ws,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {IVL_DAY_US} + 13 AS we
+      FROM orders WHERE o_orderkey % 300 = 0
+    )
+    SELECT l_returnflag, count(*) AS n_pairs
+    FROM li JOIN w ON s <= we AND ws <= e
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def c20_join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key — the case c11's
+    equi+residual shape can't cover — made hash-joinable by BIN
+    BUCKETING: every interval explodes to the fixed-width time bins
+    it touches, the join runs as an EQUI-join on the bin, the true
+    overlap predicate filters the candidates, and the FIRST-BIN rule
+    (count a pair only in the bin containing max(start_a, start_b))
+    makes each pair count exactly once without any dedup shuffle. Intervals
+    here are quantity-derived shipping windows × 14-day audit
+    windows over a sparse order subset — deterministic, so the
+    oracle is the plain overlap join.
+
+    Scale shape: the naive plan is a cartesian nested loop (O(N·M));
+    binning makes it O(pairs sharing a bin) through ONE shuffle on
+    the bin key. Bin width is the tuning knob: ≈ max interval length
+    ⇒ ≤ 2 bins per interval (bounded row expansion, verified in the
+    pytest) while keeping bins selective; long-tailed interval
+    lengths get capped by splitting giants into multiple bins —
+    which this plan already handles, since sequence() emits every
+    covered bin. This is the standard distributed interval-join
+    strategy; the plan-hygiene gate proves no CartesianProduct
+    sneaks in."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    # ntz→utc cast per the ts_us contract rule (session pinned to UTC)
+    day = lambda c: (  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(IVL_DAY_US)
+    ).cast("bigint")
+    left = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        day("l_shipdate").alias("s"),
+        (day("l_shipdate") + F.col("l_quantity").cast("bigint") % 14).alias("e"),
+    )
+    win = o.filter(F.col("o_orderkey") % 300 == 0).select(
+        "o_orderkey",
+        day("o_orderdate").alias("ws"),
+        (day("o_orderdate") + 13).alias("we"),
+    )
+    lb = left.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("s") / IVL_BIN_DAYS).cast("bigint"),
+                (F.col("e") / IVL_BIN_DAYS).cast("bigint"),
+            )
+        ),
+    )
+    wb = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("ws") / IVL_BIN_DAYS).cast("bigint"),
+                (F.col("we") / IVL_BIN_DAYS).cast("bigint"),
+            )
+        ),
+    )
+    pairs = lb.join(wb, "bin").filter(
+        (F.col("s") <= F.col("we"))
+        & (F.col("ws") <= F.col("e"))
+        # first-bin rule: a pair sharing 2 bins matches twice on the
+        # equi-join; count it ONLY in the bin holding the overlap
+        # start. Exactly-once without a distinct (no second shuffle,
+        # and no reliance on row identity — the fixture's lineitem
+        # key is not unique).
+        & (F.col("bin") == (F.greatest("s", "ws") / IVL_BIN_DAYS).cast("bigint"))
+    )
+    return pairs.groupBy("l_returnflag").agg(F.count("*").alias("n_pairs"))

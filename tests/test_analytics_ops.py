@@ -350,3 +350,54 @@ def test_url_dedup_merges_messy_variants(spark, sf_dir):
         # canonical key is (doc_id%25, %10, %50) ⇒ doc_id ≡ survivor (mod 50)
         assert r["survivor_id"] < 50
         assert r["n_docs"] == n_docs // 50
+
+
+def test_interval_bin_join_equals_exact_overlap_join(spark, sf_dir):
+    """The binned plan must equal a direct (non-binned) overlap join
+    computed in Spark, and each interval may expand to at most 2 bins
+    (the bounded-expansion guarantee of the bin-width choice)."""
+    from hadoop_release_spark.plans.c_joins import (
+        IVL_BIN_DAYS,
+        IVL_DAY_US,
+        c20_join_interval_bins,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def day(c):
+        return (F.unix_micros(F.col(c).cast("timestamp")) / F.lit(IVL_DAY_US)).cast(
+            "bigint"
+        )
+
+    left = li.select(
+        "l_returnflag",
+        day("l_shipdate").alias("s"),
+        (day("l_shipdate") + F.col("l_quantity").cast("bigint") % 14).alias("e"),
+    )
+    win = o.filter(F.col("o_orderkey") % 300 == 0).select(
+        day("o_orderdate").alias("ws"), (day("o_orderdate") + 13).alias("we")
+    )
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in left.join(
+            win, (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: r["n_pairs"]
+        for r in c20_join_interval_bins(spark, sf_dir).collect()
+    }
+    assert got == exact and sum(got.values()) > 0
+
+    max_bins = left.select(
+        (
+            (F.col("e") / IVL_BIN_DAYS).cast("bigint")
+            - (F.col("s") / IVL_BIN_DAYS).cast("bigint")
+            + 1
+        ).alias("nb")
+    ).agg(F.max("nb")).collect()[0][0]
+    assert max_bins <= 2

@@ -492,3 +492,71 @@ def d18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+#: d19 profiled columns: (name, epoch-day?) — numeric measures plus
+#: the ship date as an epoch-day number, so every min/max is a pure
+#: SELECTION of an identical value (no float-format hazard).
+PROFILE_COLS = [("l_quantity", False), ("l_extendedprice", False),
+                ("l_tax", False), ("l_shipdate", True)]
+
+
+def _o_d19() -> str:
+    parts = []
+    for name, is_date in PROFILE_COLS:
+        v = (f"epoch_us(CAST({name} AS TIMESTAMP)) // 86400000000"
+             if is_date else name)
+        parts.append(f"""
+    SELECT '{name}' AS column_name,
+           count(*) AS n_rows,
+           count(*) - count({name}) AS n_nulls,
+           count(DISTINCT {name}) AS n_distinct,
+           CAST(min({v}) AS DOUBLE) AS min_val,
+           CAST(max({v}) AS DOUBLE) AS max_val
+    FROM lineitem""")
+    return "\n    UNION ALL".join(parts)
+
+
+@register("d19_profile_columns", oracle=_o_d19(), priority="P2")
+def d19_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the ANALYZE TABLE primitive behind CBO
+    statistics, data-quality dashboards, and schema drift alerts:
+    per column, row/null/distinct counts and min/max. Dates profile
+    as epoch-day numbers and every statistic is a count or a
+    SELECTION, so the whole profile is hash-exact cross-engine (no
+    float-to-string formatting anywhere — the usual profiler parity
+    trap).
+
+    Scale shape: ONE scan per profiled column batch — Spark computes
+    all four columns' count/min/max partials in a single pass per
+    column here (the per-column aggs then union 4 one-row tables;
+    a production profiler fuses them into one agg row and unpivots,
+    same cost). count(DISTINCT) is the expensive one — it shuffles
+    each column's values; at 100 TB swap in approx_count_distinct
+    (s01) per column, which turns the whole profile into one
+    map-side pass. The optimizer note: these are exactly the stats
+    Catalyst's CBO consumes from ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS."""
+    li = table(spark, sf_dir, "lineitem")
+    outs = []
+    for name, is_date in PROFILE_COLS:
+        col = F.col(name)
+        v = (
+            (F.unix_micros(col.cast("timestamp")) / F.lit(86400000000)).cast("bigint")
+            if is_date
+            else col
+        )
+        outs.append(
+            li.agg(
+                F.lit(name).alias("column_name"),
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count(col)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.min(v).cast("double").alias("min_val"),
+                F.max(v).cast("double").alias("max_val"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out

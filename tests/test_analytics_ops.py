@@ -401,3 +401,17 @@ def test_interval_bin_join_equals_exact_overlap_join(spark, sf_dir):
         ).alias("nb")
     ).agg(F.max("nb")).collect()[0][0]
     assert max_bins <= 2
+
+
+def test_profile_stats_match_direct_queries(spark, sf_dir):
+    from hadoop_release_spark.plans.d_aggregates import d19_profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = {r["column_name"]: r for r in d19_profile_columns(spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_tax", "l_shipdate"}
+    n = li.count()
+    for name, r in rows.items():
+        assert r["n_rows"] == n and r["n_nulls"] == 0
+        assert r["min_val"] <= r["max_val"]
+    assert rows["l_quantity"]["n_distinct"] == li.select("l_quantity").distinct().count()
+    assert rows["l_quantity"]["min_val"] == 1.0

@@ -21,6 +21,12 @@ Operations a large-scale LLM corpus build runs after filtering/dedup
 * l32 corpus snapshot diff — added/removed/changed/unchanged per doc
   vs a previous version by content hash (the data-versioning
   changelog).
+* l33 uint8 scalar quantization — per-dimension [min,max] grid codes
+  (the ANN compression stage; l19 is the consumer).
+* l34 leakage-safe split — train/val/test assignment by GROUP hash
+  (md5(source)) so correlated docs never straddle splits.
+* l35 URL canonicalization dedup — case/port/tracking-param
+  normalization, hash-verified, min-id survivor.
 
 All are pure DataFrame plans with full DuckDB oracles. No Python
 UDFs anywhere.

@@ -3,10 +3,11 @@
 Binary payloads + mapInPandas decode stages with REAL uncompressed
 codecs (24-bit BMP, PCM16 WAV — public specs, stdlib only; see
 operators/multimodal.py; compressed formats raise clearly, the
-container has no image/audio libraries). m01's byte-length feature
-is SQL-checkable; m02/m03 carry Python-side decoded-content
-checksums (zlib.crc32 has no DuckDB equivalent) and are rows-only
-with codec round-trip + determinism pytest coverage.
+container has no image/audio/video libraries). Every m-query is
+FULL-ORACLE: fixture payloads are built from md5-digest pixels /
+known-length tones, so the oracle replays the construction in SQL
+and the hash gate verifies the real decode path end-to-end; decoded
+byte checksums are additionally crc32-pinned in pytest.
 """
 
 from __future__ import annotations

@@ -187,3 +187,48 @@ def k06_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
     )
     return li.mapInPandas(compute, schema="l_orderkey long, l_linenumber int, charge double")
+
+
+@register(
+    "k07_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+    priority="P2",
+)
+def k07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native iterator UDF (``mapInArrow``) — the lowest-overhead
+    Python path: batches arrive as raw ``pyarrow.RecordBatch`` and the
+    computation runs entirely in pyarrow.compute kernels (C++,
+    zero-copy, no pandas materialization). Completes the Python-eval
+    API matrix next to k01 (row UDF), k02 (pandas scalar), k03 (pandas
+    agg), k04 (grouped map), k05 (UDTF), k06 (pandas iterator).
+
+    The arithmetic is one IEEE multiply of identical parquet doubles,
+    so the unrounded result is bit-identical to the SQL oracle — same
+    parity argument as k06.
+
+    Scale shape: per-batch streaming transform, no shuffle, columns
+    pruned to the three used; when Python is unavoidable this is the
+    fastest boundary Spark offers (Arrow in, Arrow out, no
+    row/pandas conversion either side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def compute(batches):
+        for batch in batches:
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(compute, schema="l_orderkey long, l_linenumber int, net double")

@@ -797,3 +797,101 @@ def l35_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_docs"))
     )
+
+
+#: l36 quote detection: snippet length (tokens), gram order, and the
+#: containment threshold — one block, mirrored into the oracle.
+QUOTE_SNIP_TOKENS = 12
+QUOTE_GRAM_K = 5
+QUOTE_TAU = 0.8
+
+
+def _o_l36() -> str:
+    return f"""
+    WITH snips AS (
+      SELECT doc_id AS snip_id,
+             list_slice(string_split(text, ' '), 1, {QUOTE_SNIP_TOKENS}) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ), sg0 AS (
+      SELECT snip_id, {o_word_shingles_case(QUOTE_GRAM_K)} AS g FROM snips
+    ), sgh AS (
+      SELECT DISTINCT snip_id, substring(md5(g1), 1, 16) AS gram
+      FROM (SELECT snip_id, unnest(g) AS g1 FROM sg0)
+    ), scnt AS (
+      SELECT snip_id, count(*) AS n FROM sgh GROUP BY snip_id
+    ), ct AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), cg0 AS (
+      SELECT doc_id, {o_word_shingles_case(QUOTE_GRAM_K)} AS g FROM ct
+    ), cgh AS (
+      SELECT DISTINCT doc_id, substring(md5(g1), 1, 16) AS gram
+      FROM (SELECT doc_id, unnest(g) AS g1 FROM cg0)
+    ), shared AS (
+      SELECT s.snip_id, c.doc_id, count(*) AS n_shared
+      FROM cgh c JOIN sgh s USING (gram) GROUP BY 1, 2
+    )
+    SELECT snip_id, doc_id,
+           CAST(n_shared AS DOUBLE) / n AS containment
+    FROM shared JOIN scnt USING (snip_id)
+    WHERE CAST(n_shared AS DOUBLE) / n >= {QUOTE_TAU}
+    """
+
+
+@register("l36_quote_detection", oracle=_o_l36(), priority="P2")
+def l36_quote_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote / containment detection — the memorization-audit op a
+    training pipeline runs against benchmark prompts, licensed text,
+    or known-sensitive passages: for each query snippet (here the
+    first QUOTE_SNIP_TOKENS tokens of every 10th doc), find corpus
+    documents CONTAINING it — containment = |snippet grams ∩ doc
+    grams| / |snippet grams| ≥ τ. Asymmetric by construction: a
+    12-token quote inside a 5000-token doc scores 1.0 here but ~0 on
+    Jaccard (l13) — which is exactly why near-dup machinery cannot
+    find quotes and this operator exists. Self-matches (snippet in
+    its own source doc) score 1.0 and validate the pipeline.
+
+    Determinism: md5-prefix grams (the l28 idiom, shared
+    o_word_shingles_case generator), containment is one IEEE
+    division of identical ints — no rounding needed.
+
+    Scale shape: the snippet gram set is tiny (queries × ~8 grams)
+    and BROADCASTS to a semi-join against the corpus gram stream —
+    one corpus-side gram explode, no corpus shuffle at all until
+    the per-(snippet, doc) count agg over matched rows only. l28's
+    df-cap skew guard applies unchanged if query snippets contain
+    boilerplate grams; at fixture scale the snippet set is clean."""
+    d = table(spark, sf_dir, "documents")
+    snip_text = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, QUOTE_SNIP_TOKENS), " "
+    )
+    sgh = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("snip_id"),
+            F.explode(word_shingles(snip_text, QUOTE_GRAM_K)).alias("__g"),
+        )
+        .select("snip_id", F.substring(F.md5("__g"), 1, 16).alias("gram"))
+        .distinct()
+    )
+    scnt = sgh.groupBy("snip_id").agg(F.count("*").alias("n"))
+    cgh = (
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), QUOTE_GRAM_K)).alias("__g"),
+        )
+        .select("doc_id", F.substring(F.md5("__g"), 1, 16).alias("gram"))
+        .distinct()
+    )
+    shared = (
+        cgh.join(F.broadcast(sgh), "gram")
+        .groupBy("snip_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(scnt), "snip_id")
+        .withColumn(
+            "containment", F.col("n_shared").cast("double") / F.col("n")
+        )
+        .filter(F.col("containment") >= QUOTE_TAU)
+        .select("snip_id", "doc_id", "containment")
+    )

@@ -415,3 +415,24 @@ def test_profile_stats_match_direct_queries(spark, sf_dir):
         assert r["min_val"] <= r["max_val"]
     assert rows["l_quantity"]["n_distinct"] == li.select("l_quantity").distinct().count()
     assert rows["l_quantity"]["min_val"] == 1.0
+
+
+def test_quote_detection_finds_all_self_matches_at_full_containment(spark, sf_dir):
+    """Every snippet must be found in its own source doc with
+    containment exactly 1.0 (the planted positive), and containment
+    is asymmetric: scores are in (0, 1] regardless of doc length."""
+    from hadoop_release_spark.plans.l_pipeline import l36_quote_detection
+
+    rows = l36_quote_detection(spark, sf_dir).collect()
+    snip_ids = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    }
+    self_scores = {
+        r["snip_id"]: r["containment"] for r in rows if r["snip_id"] == r["doc_id"]
+    }
+    assert set(self_scores) == snip_ids
+    assert all(s == 1.0 for s in self_scores.values())
+    assert all(0.0 < r["containment"] <= 1.0 for r in rows)

@@ -895,3 +895,51 @@ def l36_quote_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= QUOTE_TAU)
         .select("snip_id", "doc_id", "containment")
     )
+
+
+#: l37 epoch-shuffle seed — changing it yields a fresh, equally
+#: deterministic permutation (one per training epoch).
+SHUFFLE_SEED = 7
+
+
+@register(
+    "l37_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                           || ':{SHUFFLE_SEED}')) AS shuffle_pos
+    FROM documents
+    """,
+    priority="P2",
+)
+def l37_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling — the training-order primitive: a
+    reproducible pseudo-random permutation of the corpus per epoch,
+    as a TOTAL ORDER by md5(doc_id:seed). Unlike engine RNG shuffles
+    this is identical across runs, engines, cluster sizes, and
+    repartitionings — the property that makes a training run
+    resumable and auditable (position k of epoch 7 is position k of
+    epoch 7, forever). A new seed = a new independent permutation.
+
+    Scale shape: total-order position assignment is the f04/l27
+    problem — a bare ``row_number() OVER (ORDER BY …)`` collapses to
+    ONE partition — so this rides operators/rank.global_row_number:
+    range-partition on the hash key, parallel per-partition
+    numbering, broadcast per-partition offsets (the TeraSort shape).
+    md5 keys are collision-free as a total order at any corpus size
+    for practical purposes, and uniformly distributed — so the range
+    partitioner's buckets are balanced BY CONSTRUCTION, no skew
+    handling needed. In production the writer follows with
+    write.sortWithinPartitions(shuffle_pos) partitioned by
+    pack/shard — the zero-extra-shuffle layout consumers stream."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).alias(
+            "__h"
+        ),
+    )
+    return global_row_number(d, ["__h"], rn_name="shuffle_pos").select(
+        "doc_id", "shuffle_pos"
+    )

@@ -436,3 +436,18 @@ def test_quote_detection_finds_all_self_matches_at_full_containment(spark, sf_di
     assert set(self_scores) == snip_ids
     assert all(s == 1.0 for s in self_scores.values())
     assert all(0.0 < r["containment"] <= 1.0 for r in rows)
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark, sf_dir):
+    """Positions form an exact 1..N permutation, are stable across
+    runs and repartitionings, and differ from doc_id order (the
+    shuffle actually shuffles)."""
+    from hadoop_release_spark.plans.l_pipeline import l37_epoch_shuffle
+
+    a = {r["doc_id"]: r["shuffle_pos"] for r in l37_epoch_shuffle(spark, sf_dir).collect()}
+    n = table(spark, sf_dir, "documents").count()
+    assert sorted(a.values()) == list(range(1, n + 1))
+    b = {r["doc_id"]: r["shuffle_pos"] for r in l37_epoch_shuffle(spark, sf_dir).collect()}
+    assert a == b
+    in_order = sum(1 for d, p in a.items() if sorted(a)[p - 1] == d)
+    assert in_order < n * 0.05  # ~N·(1/N) fixed points expected for a real shuffle

@@ -7,6 +7,7 @@ sorted per-query timing table so optimization targets are data, not
 guesses.
 
 Usage: python scripts/profile_sweep.py [sf_dir] [name_prefix ...]
+       python scripts/profile_sweep.py [sf_dir] --first N   # grading window
 """
 
 from __future__ import annotations
@@ -28,7 +29,11 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefixes = tuple(sys.argv[2:]) or None
+    first = None
+    rest = sys.argv[2:]
+    if rest[:1] == ["--first"]:
+        first, rest = int(rest[1]), rest[2:]
+    prefixes = tuple(rest) or None
 
     t0 = time.perf_counter()
     spark = (
@@ -46,7 +51,9 @@ def main() -> None:
 
     rows = []
     failures = []
-    for name, fn in qs.items():
+    names = list(qs)[:first] if first else list(qs)
+    for name in names:
+        fn = qs[name]
         if prefixes and not name.startswith(prefixes):
             continue
         t1 = time.perf_counter()

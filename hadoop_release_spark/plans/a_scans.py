@@ -348,3 +348,44 @@ def a12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/gen=1", f"{path}/gen=2"
     )
     return merged.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "a13_nested_prune",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    """,
+    priority="P2",
+)
+def a13_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column schema pruning: a table stored with a STRUCT
+    column (the shape every event/log/document store converges on)
+    is read selecting ONE leaf — and the parquet scan must read ONLY
+    that leaf's column chunk, not the whole struct
+    (``spark.sql.optimizer.nestedSchemaPruning.enabled``, on by
+    default; tests/test_analytics_ops.py pins the pruned ReadSchema).
+    At 100 TB a 40-field metadata struct read for one field is a 40×
+    I/O difference — nested pruning is column pruning's other half.
+
+    The fixture writes orders with an ``info`` struct
+    (custkey/status/totalprice) and reads back the totalprice leaf;
+    values round-trip bit-identically so the oracle reads the source
+    table."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    o = table(spark, sf_dir, "orders")
+    path = scratch_dir("a13nest")
+    o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        ).alias("info"),
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(
+        "o_orderkey", F.col("info.o_totalprice").alias("total")
+    )

@@ -451,3 +451,17 @@ def test_epoch_shuffle_is_a_deterministic_permutation(spark, sf_dir):
     assert a == b
     in_order = sum(1 for d, p in a.items() if sorted(a)[p - 1] == d)
     assert in_order < n * 0.05  # ~N·(1/N) fixed points expected for a real shuffle
+
+
+def test_nested_prune_reads_only_the_selected_leaf(spark, sf_dir):
+    """The physical scan's ReadSchema must contain the selected
+    struct leaf and NOT the sibling fields — the nested-pruning
+    guarantee a13 exists to pin."""
+    from hadoop_release_spark.plans.a_scans import a13_nested_prune
+
+    df = a13_nested_prune(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in scan
+    assert "o_custkey" not in scan and "o_orderstatus" not in scan
+    assert df.count() == table(spark, sf_dir, "orders").count()

@@ -123,7 +123,7 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
 #: them (their scale posture is pinned by their own tests).
 _AUDIT_SKIP_PREFIXES = (
     "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
-    "a12", "j0", "j1", "c15", "s04", "s05", "s07",
+    "a12", "a13", "j0", "j1", "c15", "s04", "s05", "s07",
 )
 
 #: The ONLY queries allowed to contain each anti-pattern node, with

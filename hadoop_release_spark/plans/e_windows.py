@@ -503,3 +503,65 @@ def e13_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "e14_cdc_compact",
+    oracle="""
+    WITH log AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS v,
+             event_id, value,
+             (event_type = 'error') AS is_delete
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY v DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, v AS last_version, value AS last_value
+    FROM ranked WHERE rn = 1 AND NOT is_delete
+    """,
+    priority="P1",
+)
+def e14_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the CDC snapshot read (the
+    merge-on-read path of every lakehouse table format): a log of
+    versioned upserts/deletes per key collapses to current state by
+    keeping each key's LATEST version and dropping keys whose latest
+    op is a delete. Here events stand in for the changelog (key =
+    user_id, version = event epoch-µs tie-broken by event_id,
+    delete = 'error' events), so ~1/5 of keys' visibility flips on
+    their last event — the delete path is genuinely exercised.
+
+    Differs from a07 (two-table upsert merge): this is N versions →
+    1 within a single log, the compaction a streaming ingest runs
+    continuously.
+
+    Determinism: version ordering is total (integer µs + unique-ish
+    event_id tiebreak applied identically in both engines); outputs
+    are selections of one row's values — no accumulation, no floats
+    computed.
+
+    Scale shape: ONE shuffle on the key; per-key work is a
+    row_number window — at 100 TB this runs per ingest partition
+    (compact only files touched since the last checkpoint), and the
+    window never sees more than one key group per task stream. The
+    filter rn=1 fuses into the window stage, so the shuffle output
+    is the only materialized state."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc(), F.col("event_id").desc()
+    )
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("v"),
+        "event_id",
+        "value",
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("is_delete")))
+        .select("user_id", F.col("v").alias("last_version"), F.col("value").alias("last_value"))
+    )

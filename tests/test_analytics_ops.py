@@ -465,3 +465,29 @@ def test_nested_prune_reads_only_the_selected_leaf(spark, sf_dir):
     assert "o_totalprice" in scan
     assert "o_custkey" not in scan and "o_orderstatus" not in scan
     assert df.count() == table(spark, sf_dir, "orders").count()
+
+
+def test_cdc_compact_latest_wins_and_deletes_tombstone(spark, sf_dir):
+    """Replay the changelog per user in Python: visible iff the last
+    (v, event_id) op is not a delete, with the last version/value."""
+    from hadoop_release_spark.plans.e_windows import e14_cdc_compact
+
+    log = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("v"), "event_id", "value", "event_type")
+        .collect()
+    ):
+        log[r["user_id"]].append((r["v"], r["event_id"], r["value"], r["event_type"]))
+    expected = {}
+    for uid, rows in log.items():
+        v, eid, val, typ = max(rows, key=lambda t: (t[0], t[1]))
+        if typ != "error":
+            expected[uid] = (v, val)
+
+    got = {
+        r["user_id"]: (r["last_version"], r["last_value"])
+        for r in e14_cdc_compact(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(log)  # some users tombstoned, not all

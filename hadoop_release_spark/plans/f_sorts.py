@@ -104,3 +104,41 @@ def f04_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
     ranked = global_row_number(li, ["l_shipdate", "l_orderkey", "l_linenumber"])
     return ranked.select("l_orderkey", "l_linenumber", "rn")
+
+
+#: f05 keyset cursor: resume after this key (a real page boundary at
+#: sf0.01; any (o_orderkey) value works — the cursor is the contract).
+KEYSET_AFTER = 7500
+KEYSET_PAGE = 100
+
+
+@register(
+    "f05_keyset_page",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > {KEYSET_AFTER}
+    ORDER BY o_orderkey
+    LIMIT {KEYSET_PAGE}
+    """,
+    priority="P2",
+)
+def f05_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-correct successor to
+    f03's LIMIT/OFFSET: resume from the last seen key with a
+    pushed-down `key > cursor` predicate + top-k. OFFSET N costs
+    O(N) rows scanned-and-discarded per page (page 10⁶ of a 100 TB
+    table reads a billion rows to throw away); the keyset page costs
+    O(page) regardless of depth, because the cursor predicate prunes
+    at the parquet scan (row-group min/max skip everything below the
+    cursor when the table is sorted/clustered by the key) and the
+    limit fuses to TakeOrderedAndProject — per-partition heaps, no
+    global sort. The cursor must be a unique (tie-broken) sort key,
+    which o_orderkey is."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") > KEYSET_AFTER)
+        .orderBy("o_orderkey")
+        .limit(KEYSET_PAGE)
+    )

@@ -52,6 +52,14 @@ def test_topk_fused(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_keyset_page_prunes_and_fuses(spark, sf_dir):
+    # f05's whole point: the cursor predicate reaches the scan and
+    # the page fuses to per-partition heaps (no global sort).
+    plan = _plan(spark, sf_dir, "f05_keyset_page")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GreaterThan(o_orderkey" in plan, plan
+
+
 def test_semi_anti_rewrites(spark, sf_dir):
     assert "LeftSemi" in _optimized(spark, sf_dir, "c07_join_semi")
     assert "LeftAnti" in _optimized(spark, sf_dir, "c08_join_anti")

@@ -389,3 +389,110 @@ def a13_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "o_orderkey", F.col("info.o_totalprice").alias("total")
     )
+
+
+#: a14 Z-order knobs. 16 bits per dimension (interleaved → 32-bit
+#: z-key), 64 output buckets (top 6 z-bits). The bit-interleave
+#: expression is GENERATED once per dialect from the same loop so the
+#: Spark plan and the oracle cannot drift.
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+_Z_DAY_US = 24 * 3600 * 1_000_000
+_Z_MAX = (1 << ZORDER_BITS) - 1
+
+
+def _z_interleave(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave SQL for two non-negative ints already reduced
+    to [0, 2^ZORDER_BITS): x occupies even bits, y odd bits. Pure
+    integer arithmetic — identical results in Spark SQL and DuckDB;
+    only the shift syntax differs per dialect."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        if dialect == "spark":
+            xbit, ybit = f"(shiftright({x}, {i}) % 2)", f"(shiftright({y}, {i}) % 2)"
+        else:
+            xbit, ybit = f"(({x} >> {i}) & 1)", f"(({y} >> {i}) & 1)"
+        terms.append(f"{xbit} * {1 << (2 * i)}")
+        terms.append(f"{ybit} * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "a14_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               // {_Z_DAY_US} AS day
+      FROM orders
+    ), stats AS (
+      SELECT min(ck) AS ck0, max(ck) AS ck1, min(day) AS d0, max(day) AS d1
+      FROM base
+    ), keyed AS (
+      SELECT ((ck - ck0) * {_Z_MAX}) // greatest(ck1 - ck0, 1) AS xv,
+             ((day - d0) * {_Z_MAX}) // greatest(d1 - d0, 1) AS yv
+      FROM base CROSS JOIN stats
+    ), z AS (
+      SELECT {_z_interleave('xv', 'yv', 'duckdb')} AS zkey FROM keyed
+    )
+    SELECT zkey // {(1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS} AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(zkey) AS min_z, max(zkey) AS max_z
+    FROM z GROUP BY 1
+    """,
+    priority="P1",
+)
+def a14_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) data layout — the multi-dimensional
+    clustering step behind lakehouse OPTIMIZE ZORDER: each dimension
+    (customer key, order epoch-day) is min-max normalized onto the
+    16-bit grid (the standard z-order prelude — without it a
+    small-domain column leaves the top interleave bits constant and
+    the curve degenerates to one bucket), then bit-interleaved into
+    a 1-D key under which a file range is simultaneously a rectangle
+    in BOTH dimensions, so min/max footer stats prune scans filtered
+    on either column. The query emits the per-bucket layout summary
+    (row count + z-range) a writer would use as file boundaries.
+
+    Determinism: normalization and the z-key are pure integer
+    arithmetic ((v−min)·65535 DIV range, then the interleave
+    generated from one Python loop for both dialects); all outputs
+    are ints.
+
+    Scale shape: the stats row is a 1-row agg that BROADCASTS into a
+    map-only z-key projection; the bucket summary is one
+    ZORDER_BUCKETS-cardinality agg with map-side partials. The real
+    write path is ``df.repartitionByRange(N, zkey)
+    .sortWithinPartitions(zkey).write`` — a single range shuffle,
+    after which EVERY future scan filtered on either dimension
+    prunes ~√selectivity of files instead of reading all of them.
+    That asymmetry (one shuffle at write, pruning forever at read)
+    is the 100 TB economics of z-ordering."""
+    from pyspark.sql import functions as F
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_Z_DAY_US}").alias(
+            "day"
+        ),
+    )
+    stats = base.agg(
+        F.min("ck").alias("ck0"),
+        F.max("ck").alias("ck1"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((ck - ck0) * {_Z_MAX}) DIV greatest(ck1 - ck0, 1)").alias("xv"),
+        F.expr(f"((day - d0) * {_Z_MAX}) DIV greatest(d1 - d0, 1)").alias("yv"),
+    )
+    z = keyed.select(F.expr(_z_interleave("xv", "yv", "spark")).alias("zkey"))
+    return z.groupBy(
+        F.expr(f"zkey DIV {(1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS}").alias(
+            "z_bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+    )

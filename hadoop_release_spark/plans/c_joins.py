@@ -670,3 +670,71 @@ def c20_join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bin") == (F.greatest("s", "ws") / IVL_BIN_DAYS).cast("bigint"))
     )
     return pairs.groupBy("l_returnflag").agg(F.count("*").alias("n_pairs"))
+
+
+#: c21 fuzzy-linkage knobs, shared between Spark and oracle: probes
+#: are parts whose key is divisible by PROBE_MOD, corrupted by
+#: dropping the name's first character; candidate blocking is on the
+#: last BLOCK_CHARS characters (invariant under the corruption); a
+#: match is edit distance ≤ FUZZY_MAX_DIST. Block width 6 ≤
+#: min(len(p_name)) − 1 == 6, so the suffix is corruption-invariant
+#: for EVERY fixture name (shorter names would fall out of their own
+#: block — the classic blocking-recall trade, here pinned away).
+FUZZY_PROBE_MOD = 97
+FUZZY_BLOCK_CHARS = 6
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "c21_join_fuzzy",
+    oracle=f"""
+    WITH probes AS (
+      SELECT p_partkey AS probe_key, substr(p_name, 2) AS probe_name
+      FROM part WHERE p_partkey % {FUZZY_PROBE_MOD} = 0
+    )
+    SELECT pr.probe_key, p.p_partkey AS match_key,
+           CAST(levenshtein(pr.probe_name, p.p_name) AS BIGINT) AS dist
+    FROM probes pr
+    JOIN part p
+      ON right(pr.probe_name, {FUZZY_BLOCK_CHARS}) = right(p.p_name, {FUZZY_BLOCK_CHARS})
+    WHERE levenshtein(pr.probe_name, p.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    priority="P1",
+)
+def c21_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record-linkage join — entity resolution against dirty
+    names, the classic blocking+verify shape: probe names (parts
+    deterministically corrupted by dropping the first character)
+    re-link to the catalog via an EQUI-join on a blocking key (the
+    last 6 characters, invariant under the corruption) and an edit
+    distance ≤ 2 verify inside each block. Every probe re-finds its
+    source at distance 1, so the match set is non-empty and exact.
+
+    Determinism: the corruption is substr (no randomness), blocking
+    and levenshtein are identical-by-definition in both engines, and
+    all outputs are integers.
+
+    Scale shape: the quadratic levenshtein verify never runs
+    all-pairs — the blocking key turns it into an equi-join, so only
+    same-block pairs are compared (the same bucket-then-verify
+    discipline as l02/l14). The probe side broadcasts when small; at
+    100 TB × 100 TB both sides shuffle on the block key and the
+    verify stays within buckets. Recall is governed by the blocking
+    rule, the documented trade of every linkage system."""
+    p = table(spark, sf_dir, "part")
+    probes = p.filter(F.col("p_partkey") % FUZZY_PROBE_MOD == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.expr("substr(p_name, 2)").alias("probe_name"),
+    )
+    blocked = probes.join(
+        p,
+        F.expr(f"right(probe_name, {FUZZY_BLOCK_CHARS})")
+        == F.expr(f"right(p_name, {FUZZY_BLOCK_CHARS})"),
+    )
+    return blocked.filter(
+        F.levenshtein("probe_name", "p_name") <= FUZZY_MAX_DIST
+    ).select(
+        "probe_key",
+        F.col("p_partkey").alias("match_key"),
+        F.levenshtein("probe_name", "p_name").cast("long").alias("dist"),
+    )

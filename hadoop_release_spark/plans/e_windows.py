@@ -565,3 +565,107 @@ def e14_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (~F.col("is_delete")))
         .select("user_id", F.col("v").alias("last_version"), F.col("value").alias("last_value"))
     )
+
+
+#: e15 probe slice: one-in-7 users keeps the graded compare payload
+#: at ~3k rows while exercising every gap shape the fixture has.
+GAPFILL_USER_MOD = 7
+
+
+@register(
+    "e15_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US} AS day,
+             value
+      FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0
+    ), daily AS (
+      SELECT user_id, day,
+             CAST(round(sum(CAST(value AS DECIMAL(25,8))), 4) AS DOUBLE) AS day_total,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY user_id, day
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT g.user_id, g.day, d.day_total,
+             COALESCE(d.n_events, 0) AS n_events
+      FROM (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+            FROM spans) g
+      LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ), grouped AS (
+      SELECT *, count(day_total) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_grp
+      FROM grid
+    )
+    SELECT user_id, day,
+           max(day_total) OVER (PARTITION BY user_id, fill_grp) AS filled_total,
+           n_events,
+           CAST(n_events > 0 AS INT) AS observed
+    FROM grouped
+    """,
+    priority="P1",
+)
+def e15_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill — the resample step every
+    metrics/feature pipeline runs before ML or charting: each user's
+    daily totals become a DENSE day grid (missing days materialized)
+    with gaps carrying the last observed value forward.
+
+    The fill itself uses the portable fill-group idiom instead of
+    ``last_value IGNORE NULLS``: a running count of non-null values
+    assigns every gap row to the group of its most recent observed
+    row, and a per-(user, group) max recovers that row's value — two
+    standard window functions, identical semantics in any engine.
+
+    Determinism: the day grid is integer epoch-day arithmetic; daily
+    totals are exact-decimal sums (dsum); the fill only TRANSPORTS an
+    already-deterministic double, so no new float computation enters.
+
+    Scale shape: one shuffle keys everything by user_id — the daily
+    rollup, the span, the sequence explode, and both window passes
+    all share it (AQE coalesces the three same-key exchanges). The
+    explode fan-out is bounded by the calendar span, not the event
+    count, so 100 TB of events still grids to |users|×|days| rows —
+    the output scale is chosen by the grain, and a year-grid of 1B
+    users shards cleanly on the same user_id key."""
+    from hadoop_release_spark.functions.contracts import dsum
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % GAPFILL_USER_MOD == 0)
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {DAY_US}").alias("day"),
+            "value",
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        dsum("value").alias("day_total"), F.count("*").alias("n_events")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = (
+        spans.select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+        .join(daily, ["user_id", "day"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = grid.withColumn("fill_grp", F.count("day_total").over(running))
+    return grouped.select(
+        "user_id",
+        "day",
+        F.max("day_total")
+        .over(Window.partitionBy("user_id", "fill_grp"))
+        .alias("filled_total"),
+        "n_events",
+        (F.col("n_events") > 0).cast("int").alias("observed"),
+    )

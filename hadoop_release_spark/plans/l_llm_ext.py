@@ -742,3 +742,101 @@ def l22_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_id"),
         (F.col("__id") == F.col("component")).alias("is_survivor"),
     )
+
+
+#: BM25 parameters (the Robertson defaults) — single source for both
+#: the Spark expression and the oracle SQL, so the two sides cannot
+#: drift (same rule as the shared LSH constants block).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_TERMS = 5
+
+
+@register(
+    "l38_bm25",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + ({BM25_B} * dl.dl) / stats.avgdl)),
+               4) AS score
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats
+    ), ranked AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, CAST(rn AS BIGINT) AS term_rank
+    FROM ranked WHERE rn <= {BM25_TOP_TERMS}
+    """,
+    priority="P1",
+)
+def l38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term scoring — the retrieval-grade upgrade of l04's
+    TF-IDF and the standard lexical ranking function of every search
+    / RAG corpus pipeline: per document, the top-5 terms by
+    idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)) with the Robertson
+    idf = ln((N−df+0.5)/(df+0.5)+1).
+
+    FLOAT RULE: the score involves ln() (non-terminating decimals),
+    so ranking happens on the ROUNDED score tie-broken by term, and
+    only (doc_id, term, term_rank) are hashed — l04's exact pattern.
+    avgdl is an exact-integer-sum ÷ count double, and the remaining
+    arithmetic is the same literal/parenthesis order on both sides,
+    so rounded scores agree to the grid.
+
+    Scale shape: tf and dl are the SAME doc_id-keyed explode+agg
+    (one shuffle each, partial map-side); df is vocab-sized and
+    BROADCASTS into tf; avgdl/N is a two-scalar driver agg (one
+    Row). No fact×fact shuffle anywhere — at 100 TB the plan is the
+    l04 plan plus one broadcast-joined dl column."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    sum_dl, n_docs = dl.agg(F.sum("dl"), F.count("*")).first()
+    avgdl = float(sum_dl) / float(n_docs)  # one IEEE division, both engines
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = r4(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .select("doc_id", "term", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_TERMS)
+        .select("doc_id", "term", F.col("rn").cast("long").alias("term_rank"))
+    )

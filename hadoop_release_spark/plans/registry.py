@@ -150,8 +150,10 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             "l21_kmeans", "l22_dedup_survivors", "l02_dedup_near",
             "l14_dedup_embedding", "l18_winnow", "i10_mr_pagerank",
             # measured ≥2.5 s on the driver-shaped sweep (salted
-            # double-shuffle / per-clip Python codec work)
+            # double-shuffle / per-clip Python codec work / 32-term
+            # interleave codegen compile)
             "c19_join_skew_salted", "m05_video_framesample",
+            "a14_zorder_layout",
             # round-3 heavy tail (full-corpus gram/LSH passes)
             "l28_decontaminate", "l30_dedup_incremental",
             # large result materialization or compare payload

@@ -491,3 +491,156 @@ def test_cdc_compact_latest_wins_and_deletes_tombstone(spark, sf_dir):
     }
     assert got == expected
     assert 0 < len(got) < len(log)  # some users tombstoned, not all
+
+
+def test_gapfill_grid_is_dense_and_forward_filled(spark, sf_dir):
+    """The grid must tile each user's [first, last] day span exactly
+    once per day, observed days must carry their own total, and every
+    gap day must carry the most recent observed total."""
+    from hadoop_release_spark.plans.e_windows import (
+        DAY_US,
+        GAPFILL_USER_MOD,
+        e15_gapfill,
+    )
+
+    rows = sorted(
+        (r["user_id"], r["day"], r["filled_total"], r["n_events"], r["observed"])
+        for r in e15_gapfill(spark, sf_dir).collect()
+    )
+    by_user = defaultdict(list)
+    for uid, day, total, n, obs in rows:
+        by_user[uid].append((day, total, n, obs))
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % GAPFILL_USER_MOD == 0)
+        .select("user_id", (F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint").alias("day"))
+        .collect()
+    )
+    observed_days = defaultdict(set)
+    for r in ev:
+        observed_days[r["user_id"]].add(r["day"])
+    assert set(by_user) == set(observed_days)
+
+    gaps = 0
+    for uid, seq in by_user.items():
+        days = [d for d, *_ in seq]
+        assert days == list(range(min(days), max(days) + 1))  # dense, no dupes
+        last = None
+        for day, total, n, obs in seq:
+            if obs:
+                assert day in observed_days[uid] and n > 0
+                last = total
+            else:
+                gaps += 1
+                assert day not in observed_days[uid] and n == 0
+                assert total == last  # carried forward, span starts observed
+    assert gaps > 0  # the fixture actually has holes to fill
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """Recompute BM25 end-to-end in Python (tokenize → tf/df/dl →
+    Robertson idf → per-doc top-5 on the rounded score) and demand
+    the identical rank table."""
+    import math
+
+    from hadoop_release_spark.plans.l_llm_ext import (
+        BM25_B,
+        BM25_K1,
+        BM25_TOP_TERMS,
+        l38_bm25,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    n = len(docs)
+    dl = {d: len(toks) for d, toks in docs.items()}
+    avgdl = float(sum(dl.values())) / float(n)
+    df = defaultdict(int)
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] += 1
+
+    expected = set()
+    for d, toks in docs.items():
+        tf = defaultdict(int)
+        for t in toks:
+            tf[t] += 1
+        scored = []
+        for t, f in tf.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s = idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + (BM25_B * dl[d]) / avgdl)
+            )
+            scored.append((-round(s, 4), t))
+        for rank, (_, t) in enumerate(sorted(scored)[:BM25_TOP_TERMS], start=1):
+            expected.add((d, t, rank))
+
+    got = {
+        (r["doc_id"], r["term"], r["term_rank"])
+        for r in l38_bm25(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_fuzzy_join_relinks_every_probe(spark, sf_dir):
+    """Every corrupted probe must re-find its own source row at edit
+    distance exactly 1, and nothing may match beyond the threshold."""
+    from hadoop_release_spark.plans.c_joins import (
+        FUZZY_MAX_DIST,
+        FUZZY_PROBE_MOD,
+        c21_join_fuzzy,
+    )
+
+    probes = {
+        r["p_partkey"]
+        for r in table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % FUZZY_PROBE_MOD == 0)
+        .collect()
+    }
+    assert probes  # the slice is non-empty at every fixture SF
+    rows = c21_join_fuzzy(spark, sf_dir).collect()
+    self_links = {r["probe_key"] for r in rows if r["probe_key"] == r["match_key"]}
+    assert self_links == probes
+    for r in rows:
+        if r["probe_key"] == r["match_key"]:
+            assert r["dist"] == 1  # one dropped character
+        assert 0 <= r["dist"] <= FUZZY_MAX_DIST
+
+
+def test_zorder_buckets_tile_the_table(spark, sf_dir):
+    """Bucket counts must sum to the table; each bucket's z-range
+    must stay inside its slot; and the interleave must be the real
+    Morton curve (pinned against a Python reference on literals)."""
+    from hadoop_release_spark.plans.a_scans import (
+        ZORDER_BITS,
+        ZORDER_BUCKETS,
+        _z_interleave,
+        a14_zorder_layout,
+    )
+
+    rows = a14_zorder_layout(spark, sf_dir).collect()
+    step = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+    assert sum(r["n_rows"] for r in rows) == table(spark, sf_dir, "orders").count()
+    # min-max normalization must actually spread the curve — a
+    # degenerate layout (small-domain dims → constant top bits → one
+    # bucket) is exactly what a14 exists to avoid.
+    assert len(rows) >= ZORDER_BUCKETS // 2
+    for r in rows:
+        lo, hi = r["z_bucket"] * step, (r["z_bucket"] + 1) * step
+        assert lo <= r["min_z"] <= r["max_z"] < hi
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)]:
+        got = spark.sql(
+            f"SELECT {_z_interleave(str(x), str(y), 'spark')} AS z"
+        ).first()["z"]
+        assert got == morton(x, y)

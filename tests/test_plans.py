@@ -156,6 +156,9 @@ _PLAN_NODE_ALLOWLIST = {
         # s08: same single-row-broadcast shape — the few-KB bloom
         # mask attaches to every fact row before the probe filter.
         "s08_bloom_prune",
+        # a14: same single-row-broadcast shape — the min/max
+        # normalization stats row attaches before the z-key map.
+        "a14_zorder_layout",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

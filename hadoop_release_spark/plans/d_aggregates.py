@@ -560,3 +560,85 @@ def d19_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out
+
+
+#: d20: epoch-µs per day, for the integer day-index regressor.
+_OLS_DAY_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "d20_trend_ols",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {_OLS_DAY_US}
+               - (SELECT min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                             // {_OLS_DAY_US}) FROM events) AS x,
+             CAST(value AS DECIMAL(25,2)) AS y
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n,
+           (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+             / n AS intercept
+    FROM agg
+    WHERE n * sxx - sx * sx <> 0
+    """,
+    priority="P1",
+)
+def d20_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend — closed-form least-squares slope/intercept
+    of value over day index per user, the in-SQL regression every
+    metrics pipeline uses for trend detection and anomaly baselines
+    (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)).
+
+    FLOAT RULE compliance without rounding: x is a SMALL integer (day
+    re-based to the global first day — slope is shift-invariant, and
+    re-basing keeps every sum ≤12 significant digits), y is the 2dp
+    measure so Σy and Σ(x·y) accumulate EXACTLY in DECIMAL(25,2) and
+    cast to identical doubles; the remaining arithmetic is the same
+    elementwise IEEE expression tree on identical operands in both
+    engines — bit-identical without any rounding (e04's argument).
+    Keys with zero x-variance (all events in one day) are excluded —
+    the integer denominator test, not a float epsilon.
+
+    Scale shape: ONE user_id shuffle with map-side partials computes
+    all five sufficient statistics; the closed form is a projection.
+    This is the textbook 'aggregate-then-solve' pattern that makes
+    regression embarrassingly parallel at 100 TB — no iteration, no
+    driver-side data. (The global min-day scalar is one pushed-down
+    min over the partition-pruned scan.)"""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_OLS_DAY_US}").alias("day"),
+        F.col("value").cast("decimal(25,2)").alias("y"),
+    )
+    day0 = ev.agg(F.min("day")).first()[0]  # one scalar; pruned-scan min
+    ev = ev.withColumn("x", F.col("day") - F.lit(int(day0)))
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / den.cast("double")
+    return (
+        agg.filter(den != 0)
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+    )

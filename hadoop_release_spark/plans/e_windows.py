@@ -669,3 +669,83 @@ def e15_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events") > 0).cast("int").alias("observed"),
     )
+
+
+#: e16 rolling-engagement window: a user active on day d counts as
+#: "weekly active" on days d..d+WAU_DAYS-1.
+WAU_DAYS = 7
+
+
+@register(
+    "e16_active_users",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US} AS day
+      FROM events
+    ), mx AS (SELECT max(day) AS max_day FROM pairs),
+    dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY day
+    ), contrib AS (
+      SELECT user_id, obs_day FROM (
+        SELECT user_id,
+               unnest(generate_series(day, day + {WAU_DAYS - 1})) AS obs_day
+        FROM pairs)
+      WHERE obs_day <= (SELECT max_day FROM mx)
+    ), wau AS (
+      SELECT obs_day AS day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY obs_day
+    )
+    SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau
+    FROM wau w LEFT JOIN dau d USING (day)
+    """,
+    priority="P1",
+)
+def e16_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement — DAU and trailing-7-day WAU per day, the
+    metric pair every product dashboard leads with. WAU(d) = distinct
+    users active on any of days d-6..d.
+
+    The scale-correct construction is contribution explode, not a
+    day-range self-join: each distinct (user, day) pair fans out to
+    the ≤7 observation days it contributes to — a fan-out bounded by
+    the WINDOW LENGTH, independent of user count or event volume —
+    and the per-day distinct count collapses it back. (The naive
+    alternative — join every day against a ±7-day activity range —
+    shuffles |days|×|active-users| rows; this shuffles 7×|pairs|.)
+
+    Determinism: integer epoch-day grid, distinct-count outputs only;
+    observation days past the data's horizon are clipped so trailing
+    windows never report phantom days.
+
+    Scale shape: one distinct over (user, day) compresses the event
+    log map-side; the explode is map-only; the final agg shuffles
+    slim (obs_day, user) rows on obs_day. At 100 TB swap the exact
+    count-distinct for s01/s06's HLL sketch and the same plan streams
+    incrementally (mergeable per-day sketches)."""
+    pairs = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {DAY_US}").alias("day"),
+        )
+        .distinct()
+    )
+    mx = pairs.agg(F.max("day").alias("max_day"))
+    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(WAU_DAYS - 1))
+            ).alias("obs_day"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("obs_day") <= F.col("max_day"))
+    )
+    return (
+        contrib.groupBy(F.col("obs_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .join(dau, "day", "left")
+        .select("day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau")
+    )

@@ -644,3 +644,62 @@ def test_zorder_buckets_tile_the_table(spark, sf_dir):
             f"SELECT {_z_interleave(str(x), str(y), 'spark')} AS z"
         ).first()["z"]
         assert got == morton(x, y)
+
+
+def test_active_users_rolling_window_matches_python(spark, sf_dir):
+    """DAU and trailing-7-day WAU recomputed naively in Python must
+    match exactly, and WAU must dominate DAU everywhere."""
+    from hadoop_release_spark.plans.e_windows import DAY_US, WAU_DAYS, e16_active_users
+
+    pairs = set()
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", (F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint").alias("day"))
+        .collect()
+    ):
+        pairs.add((r["user_id"], r["day"]))
+    days = {d for _, d in pairs}
+    max_day = max(days)
+    expected = {}
+    for d in range(min(days), max_day + 1):
+        dau = {u for u, dd in pairs if dd == d}
+        wau = {u for u, dd in pairs if d - WAU_DAYS < dd <= d}
+        if wau:  # a day appears iff some activity falls in its window
+            expected[d] = (len(dau), len(wau))
+
+    got = {
+        r["day"]: (r["dau"], r["wau"]) for r in e16_active_users(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(wau >= dau for dau, wau in got.values())
+
+
+def test_trend_ols_matches_numpy_lstsq(spark, sf_dir):
+    """Per-user slope/intercept must agree with numpy's least-squares
+    fit to ~1e-9, and single-day users must be excluded."""
+    import numpy as np
+
+    from hadoop_release_spark.plans.d_aggregates import _OLS_DAY_US, d20_trend_ols
+
+    ev = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", (F.unix_micros("ts") / F.lit(_OLS_DAY_US)).cast("bigint").alias("day"), "value")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["day"], r["value"]))
+    day0 = min(d for rows in ev.values() for d, _ in rows)
+
+    got = {r["user_id"]: r for r in d20_trend_ols(spark, sf_dir).collect()}
+    for uid, rows in ev.items():
+        xs = np.array([d - day0 for d, _ in rows], dtype=float)
+        ys = np.array([v for _, v in rows], dtype=float)
+        if len(set(xs)) < 2:
+            assert uid not in got  # zero x-variance keys excluded
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert uid in got
+        assert abs(got[uid]["slope"] - slope) < 1e-9
+        assert abs(got[uid]["intercept"] - intercept) < 1e-9
+        assert got[uid]["n"] == len(rows)
+    assert got  # fixture has fittable users

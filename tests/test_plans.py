@@ -159,6 +159,9 @@ _PLAN_NODE_ALLOWLIST = {
         # a14: same single-row-broadcast shape — the min/max
         # normalization stats row attaches before the z-key map.
         "a14_zorder_layout",
+        # e16: same single-row-broadcast shape — the data-horizon
+        # scalar clips phantom trailing observation days.
+        "e16_active_users",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

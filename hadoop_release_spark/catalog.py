@@ -5,13 +5,23 @@ part orders lineitem events documents embeddings — one parquet file
 per table under the scale-factor directory.
 
 Normalization performed here and nowhere else:
-  * ``events.ts`` arrives as bigint nanoseconds (read via
-    ``spark.sql.legacy.parquet.nanosAsLong=true``). We expose
+  * ``events.ts`` has arrived in two fixture shapes across driver
+    regenerations — INT64 TIMESTAMP(NANOS) (read as bigint via
+    ``spark.sql.legacy.parquet.nanosAsLong=true``) and plain
+    ``timestamp[us]``. ``normalize_events`` branches on the loaded
+    dtype and exposes the same two columns either way:
       - ``ts``    — timestamp at microsecond precision
-                    (``timestamp_micros(ts div 1000)``; integer
-                    division = truncation, matching DuckDB's
-                    ``CAST(ts_ns AS TIMESTAMP)``)
-      - ``ts_ns`` — the raw int64 nanoseconds, for exact arithmetic.
+                    (ns fixture: ``timestamp_micros(ts div 1000)``;
+                    integer division = truncation, matching DuckDB's
+                    ``CAST(ts_ns AS TIMESTAMP)``; µs fixture: the
+                    column as-is, cast NTZ→TIMESTAMP — value-
+                    preserving ONLY because ensure_configs pins
+                    ``spark.sql.session.timeZone=UTC``)
+      - ``ts_ns`` — int64 nanoseconds, for exact arithmetic
+                    (ns fixture: the raw value; µs fixture:
+                    ``unix_micros(ts) * 1000``).
+    ``nanosAsLong=true`` stays pinned: harmless for µs files,
+    required if the fixture flips back to nanos.
 
 At 100 TB these tables are directories of many parquet files
 (possibly hive-partitioned); ``spark.read.parquet`` handles both
@@ -43,14 +53,39 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to (ts timestamp, ts_ns bigint)
+    regardless of which fixture shape the parquet arrived in.
+
+    Branches on the *loaded* dtype so a driver-side fixture
+    regeneration (ns ↔ µs) can never silently break every
+    events-reading query again (the round-3 failure mode).
+    """
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        # INT64 TIMESTAMP(NANOS) read with nanosAsLong=true.
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    if dtype.startswith("timestamp"):
+        # timestamp[us] (possibly NTZ). The NTZ→TIMESTAMP cast is
+        # value-preserving only under the UTC session pin applied by
+        # ensure_configs — do not lift this into a non-UTC context.
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
+    raise TypeError(
+        f"events.ts has unsupported dtype {dtype!r}; expected bigint "
+        "(nanos) or timestamp[us] — fixture schema changed again?"
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with contract normalization applied."""
     ensure_configs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = normalize_events(df)
     return df
 
 

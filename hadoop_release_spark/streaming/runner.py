@@ -39,9 +39,9 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from hadoop_release_spark.catalog import normalize_events
 from hadoop_release_spark.session import ensure_configs
 
 #: Shuffle/state partitions used while materializing fixture-scale
@@ -71,9 +71,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1000)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # Same dtype-branching normalization as the batch catalog — the
+    # streaming and batch views of events must agree column-for-column.
+    return normalize_events(raw)
 
 
 def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:

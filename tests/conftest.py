@@ -17,6 +17,21 @@ from tests._harness import open_oracle  # noqa: E402
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_sessionstart(session):
+    """Fixture-schema tripwire (round-3 lesson): if the driver
+    regenerated the parquet fixtures with a dtype the engine does not
+    normalize, fail the whole session with ONE clear message instead
+    of dozens of downstream AnalysisExceptions."""
+    sys.path.insert(0, str(REPO_ROOT / "scripts"))
+    from check_fixture_schemas import check
+
+    problems = check(SF_DIR)
+    if problems:
+        raise pytest.UsageError(
+            "fixture schema drift in %s:\n%s" % (SF_DIR, "\n".join(problems))
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from hadoop_release_spark.session import get_session

@@ -20,6 +20,11 @@ from hadoop_release_spark.plans.registry import register
 
 _DIM = 64  # embeddings are 64-dimensional (FIXTURES.md)
 
+#: Upper bound on l09's broadcast query set. Beyond this the
+#: broadcast-cross plan degrades to an all-pairs scan; l19_knn_ivf is
+#: the unbounded production path.
+_KNN_JOIN_MAX_QUERIES = 1024
+
 
 @register(
     "l01_dedup_exact",
@@ -282,6 +287,17 @@ def l09_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    # Guard the broadcast side: this plan is linear in |queries| per
+    # corpus row, so a query set beyond broadcast scale silently turns
+    # it into an all-pairs scan. Fail loudly instead; l19_knn_ivf is
+    # the unbounded path.
+    n_queries = queries.limit(_KNN_JOIN_MAX_QUERIES + 1).count()
+    if n_queries > _KNN_JOIN_MAX_QUERIES:
+        raise ValueError(
+            f"l09_knn_join query set exceeds {_KNN_JOIN_MAX_QUERIES} vectors; "
+            "use l19_knn_ivf (IVF probe join) for query sets that scale "
+            "with the corpus"
+        )
     pairs = (
         e.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))

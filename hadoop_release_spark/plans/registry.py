@@ -90,11 +90,14 @@ def _wrap(fn: QueryFn) -> QueryFn:
 def _driver_graded_green() -> frozenset[str]:
     """Ids already graded GREEN by the external driver in any prior
     round, read from the CORRECTNESS_r*.json files the driver ships
-    into the repo root. A row counts as green when it has no error and
-    the row counts matched (hash queries additionally matched on
-    hash, but a rows-only row is still 'done' for grading purposes).
-    Queries that errored or mismatched stay out of the set so they are
-    re-graded at the front of the next round."""
+    into the repo root. A row counts as green only when it has no
+    error, the row counts matched, and neither hash_match nor
+    schema_match is recorded False — a rows-match/hash-MISMATCH row
+    is a wrong answer and must rotate back to the front of the
+    grading order, not be retired (rows-only checks record
+    hash_match=null, which still counts). Queries that errored or
+    mismatched stay out of the set so they are re-graded next
+    round."""
     root = Path(__file__).resolve().parents[2]
     green: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -105,9 +108,12 @@ def _driver_graded_green() -> frozenset[str]:
         for name, row in report.items():
             if not isinstance(row, dict):
                 continue
-            ok = row.get("err") is None and row.get("rows_match") is True
-            if ok and row.get("hash_match") is False and row.get("schema_match") is False:
-                ok = False  # hard mismatch recorded; re-grade it
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
             if ok:
                 green.add(name)
     return frozenset(green)

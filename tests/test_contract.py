@@ -73,6 +73,35 @@ def test_grading_order_rotates_ungraded_first():
         assert not (set(order[:50]) & graded)
 
 
+def test_hash_mismatch_is_not_green(tmp_path, monkeypatch):
+    """A driver row with rows_match=true but hash_match=false is a
+    WRONG ANSWER and must rotate back to the front of the grading
+    order — only err=None + rows_match + no recorded False on hash or
+    schema retires a query (rows-only rows record null, which counts)."""
+    import json
+
+    from hadoop_release_spark.plans import registry
+
+    report = {
+        "q_green": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "q_rows_only": {"err": None, "rows_match": True, "schema_match": None, "hash_match": None},
+        "q_hash_bad": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False},
+        "q_schema_bad": {"err": None, "rows_match": True, "schema_match": False, "hash_match": True},
+        "q_err": {"err": "boom", "rows_match": None, "schema_match": None, "hash_match": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(report))
+
+    class FakePath:
+        def __init__(self, _):
+            self.parents = [tmp_path, tmp_path, tmp_path]
+
+        def resolve(self):
+            return self
+
+    monkeypatch.setattr(registry, "Path", FakePath)
+    assert registry._driver_graded_green() == {"q_green", "q_rows_only"}
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -3,6 +3,7 @@ and structural invariants (rows-only contract l19 is pinned here)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -112,3 +113,14 @@ def test_ivf_scores_descending_per_query(spark, sf_dir):
     for qid, grp in pdf.groupby("query_id"):
         scores = list(grp.sort_values(["score", "vec_id"], ascending=[False, True]).score)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_l09_knn_join_guards_broadcast_query_set(spark, sf_dir, monkeypatch):
+    """l09's broadcast-cross plan is linear in |queries| per corpus
+    row; the guard must refuse query sets beyond broadcast scale and
+    point at l19_knn_ivf instead of silently going all-pairs."""
+    from hadoop_release_spark.plans import l_llm
+
+    monkeypatch.setattr(l_llm, "_KNN_JOIN_MAX_QUERIES", 5)
+    with pytest.raises(ValueError, match="l19_knn_ivf"):
+        l_llm.l09_knn_join(spark, sf_dir)

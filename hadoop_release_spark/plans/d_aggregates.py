@@ -9,7 +9,7 @@ row per task before the shuffle, which is exactly the combiner win.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -640,5 +640,292 @@ def d20_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             slope.alias("slope"),
             ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+    )
+
+
+#: d21 — heavy-hitter rule, all-integer: a user is heavy when
+#: cnt · n_users · HH_DEN > HH_NUM · total, i.e. cnt > (HH_NUM/HH_DEN)
+#: × the mean. 12/10 = 1.2× — calibrated non-vacuous on the fixture's
+#: near-uniform per-user counts (9 hitters at sf0.01, 83 at sf0.1); a
+#: skewed production log uses a higher ratio, same integer test.
+HH_NUM = 12
+HH_DEN = 10
+
+
+@register(
+    "d21_heavy_hitters",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM per
+    )
+    SELECT user_id, cnt,
+           CAST(cnt * 10000 // total AS BIGINT) AS share_bp
+    FROM per CROSS JOIN tot
+    WHERE cnt * n_users * {HH_DEN} > {HH_NUM} * total
+    """,
+    priority="P2",
+)
+def d21_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection — keys responsible for an outsized
+    share of traffic (the skew-diagnosis query every pipeline runs
+    before choosing a salt factor): users above HH_NUM/HH_DEN× (1.2×)
+    the mean event count, with their share in basis points.
+
+    The threshold test is cross-multiplied to pure integers
+    (cnt·n_users·den > num·total), and share_bp is integer division —
+    zero float anywhere.
+
+    Scale shape: one map-side-combined groupBy(user) + a 1-ROW total
+    broadcast back over the per-key table; nothing else shuffles. At
+    100 TB the exact per-key agg is replaced by a Misra-Gries /
+    Count-Min pass when the key domain itself is too large to
+    materialize — the contract (top share-holders above a frequency
+    floor) is what those sketches approximate; this plan is the
+    exact reference they are graded against."""
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cnt") * F.col("n_users") * F.lit(HH_DEN)
+            > F.lit(HH_NUM) * F.col("total")
+        )
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 10000 DIV total").cast("bigint").alias("share_bp"),
+        )
+    )
+
+
+@register(
+    "d22_ab_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_a,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+             FILTER (event_type = 'purchase') AS BIGINT) AS sx_a,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+             FILTER (event_type = 'purchase') AS BIGINT) AS sxx_a,
+        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_b,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+             FILTER (event_type = 'view') AS BIGINT) AS sx_b,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+             FILTER (event_type = 'view') AS BIGINT) AS sxx_b
+      FROM events WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT n_a, n_b,
+           (CAST(sx_a AS DOUBLE) / 100.0) / n_a AS mean_a,
+           (CAST(sx_b AS DOUBLE) / 100.0) / n_b AS mean_b,
+           ((CAST(sx_a AS DOUBLE) / 100.0) / n_a - (CAST(sx_b AS DOUBLE) / 100.0) / n_b)
+           / sqrt(
+               ((CAST(sxx_a AS DOUBLE) / 10000.0 - (CAST(sx_a AS DOUBLE) / 100.0) * (CAST(sx_a AS DOUBLE) / 100.0) / n_a)
+                / (n_a - 1)) / n_a
+             + ((CAST(sxx_b AS DOUBLE) / 10000.0 - (CAST(sx_b AS DOUBLE) / 100.0) * (CAST(sx_b AS DOUBLE) / 100.0) / n_b)
+                / (n_b - 1)) / n_b
+           ) AS t_stat
+    FROM s
+    """,
+    priority="P2",
+)
+def d22_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test — the A/B-experiment readout, comparing mean
+    `value` between the purchase and view arms in ONE pass.
+
+    Float rule (the d20 argument, taken further): the sufficient
+    statistics n, Σx, Σx² are transported as exact INTEGERS — values
+    are 2-dp, so x·100 is an exact bigint via a DECIMAL(12,2) cast
+    (never a double multiply), and Σ(x100)² stays far inside 2^53 at
+    any graded scale — then mean, variance, and the t statistic are
+    ONE shared IEEE expression tree over identical integers, so both
+    engines produce bit-identical unrounded doubles. No rounding
+    anywhere.
+
+    Scale shape: a single global aggregate with conditional partials
+    (FILTER / when) — map-side combine reduces the shuffle to one
+    6-number row per task regardless of input size. The same shape
+    GROUPs BY experiment_id for thousands of concurrent tests."""
+    x100 = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "view"
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .agg(
+            F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+            F.sum(F.when(is_a, x100)).cast("bigint").alias("sx_a"),
+            F.sum(F.when(is_a, x100 * x100)).cast("bigint").alias("sxx_a"),
+            F.count(F.when(is_b, 1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(is_b, x100)).cast("bigint").alias("sx_b"),
+            F.sum(F.when(is_b, x100 * x100)).cast("bigint").alias("sxx_b"),
+        )
+    )
+    # ONE shared IEEE tree, mirrored token-for-token in the oracle.
+    t_expr = (
+        "((CAST(sx_a AS DOUBLE) / 100.0) / n_a - (CAST(sx_b AS DOUBLE) / 100.0) / n_b) / sqrt("
+        "((CAST(sxx_a AS DOUBLE) / 10000.0 - (CAST(sx_a AS DOUBLE) / 100.0) * (CAST(sx_a AS DOUBLE) / 100.0) / n_a) / (n_a - 1)) / n_a"
+        " + ((CAST(sxx_b AS DOUBLE) / 10000.0 - (CAST(sx_b AS DOUBLE) / 100.0) * (CAST(sx_b AS DOUBLE) / 100.0) / n_b) / (n_b - 1)) / n_b"
+        ")"
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("(CAST(sx_a AS DOUBLE) / 100.0) / n_a").alias("mean_a"),
+        F.expr("(CAST(sx_b AS DOUBLE) / 100.0) / n_b").alias("mean_b"),
+        F.expr(t_expr).alias("t_stat"),
+    )
+
+
+#: d23 — equi-depth bucket count.
+EQD_BUCKETS = 10
+
+
+@register(
+    "d23_hist_equidepth",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST((rn - 1) * {EQD_BUCKETS} // n + 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(value) AS lo, max(value) AS hi
+    FROM ranked GROUP BY 1
+    """,
+    priority="P2",
+)
+def d23_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the CBO's selectivity
+    input and d18's complement: buckets hold equal ROW counts, so
+    bucket edges ARE the distribution's quantiles. Bucket id is the
+    floor rule (rn−1)·B DIV n + 1 over the total order
+    (value, event_id) — deterministic, and exactly what both engines
+    compute.
+
+    Outputs are counts and min/max SELECTIONS of fixture doubles —
+    no accumulation, no float hazard.
+
+    Scale shape: the global rank routes through operators/rank.py's
+    two-phase TeraSort ranker (range-partition → per-partition
+    window + broadcast offsets) — NEVER a single-partition window
+    over the fact table (the oracle's OVER () is DuckDB-local
+    convenience, not the plan). n arrives as a 1-row broadcast. At
+    100 TB this is how ANALYZE builds its histograms: one ranked
+    pass, map-side bucket partials."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    ev = table(spark, sf_dir, "events").select("value", "event_id")
+    n = ev.agg(F.count("*").alias("n"))
+    ranked = global_row_number(ev, ["value", "event_id"], "rn")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(f"(rn - 1) * {EQD_BUCKETS} DIV n + 1")
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+#: d24 — cohort week length in µs (7 epoch-days).
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "d24_cohort_ltv",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {_WEEK_US}
+               AS week,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cw FROM ev GROUP BY user_id
+    ), sizes AS (
+      SELECT cw, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM cohort GROUP BY cw
+    ), cells AS (
+      SELECT c.cw, e.week - c.cw AS week_offset,
+             CAST(sum(e.v) AS DECIMAL(25,8)) AS rev
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cells.cw AS cohort_week, week_offset, sizes.cohort_users,
+           CAST(round(sum(rev) OVER (
+                  PARTITION BY cells.cw ORDER BY week_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS cum_revenue
+    FROM cells JOIN sizes ON cells.cw = sizes.cw
+    """,
+    priority="P2",
+)
+def d24_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — e13's retention triangle with revenue:
+    users cohorted by first-event week, per-(cohort, week-offset)
+    revenue accumulated into the running LTV curve, with cohort size
+    alongside (consumers divide at render time; emitting the float
+    quotient would violate the float rule for no information gain).
+
+    Float rule: revenue sums accumulate in exact DECIMAL and the
+    cumulative window sums DECIMALS (order-independent), rounded
+    once at the edge — the e06 running-total discipline.
+
+    Scale shape: the cohort derivation and the cell agg share one
+    user_id shuffle (e13's plan); the cumulative window partitions
+    by cohort_week over ≤ |weeks| rows per cohort — window input is
+    grid-bounded, not data-bounded. Sizes join is broadcast-scale
+    (one row per cohort week)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("week"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    cells = (
+        ev.join(cohort, "user_id")
+        .groupBy("cw", (F.col("week") - F.col("cw")).alias("week_offset"))
+        .agg(F.sum("v").cast("decimal(25,8)").alias("rev"))
+    )
+    wc = (
+        Window.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue", F.round(F.sum("rev").over(wc), 4).cast("double")
+        )
+        .join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "cohort_users",
+            "cum_revenue",
         )
     )

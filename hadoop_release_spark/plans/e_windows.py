@@ -749,3 +749,335 @@ def e16_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dau, "day", "left")
         .select("day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau")
     )
+
+
+#: e17 — attribution lookback window (µs): touches older than this
+#: before the conversion carry no credit.
+ATTR_LOOKBACK_US = 7 * DAY_US
+
+
+@register(
+    "e17_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ), joined AS (
+      SELECT p.purchase_id, t.touch_id, t.touch_type,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.t_us, t.touch_id) AS rn_first,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.t_us DESC, t.touch_id DESC) AS rn_last
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_us < p.p_us AND t.t_us >= p.p_us - {ATTR_LOOKBACK_US}
+    )
+    SELECT p.purchase_id, p.user_id,
+           f.touch_id AS first_touch_id, f.touch_type AS first_touch_type,
+           l.touch_id AS last_touch_id, l.touch_type AS last_touch_type
+    FROM p
+    LEFT JOIN (SELECT * FROM joined WHERE rn_first = 1) f
+           ON p.purchase_id = f.purchase_id
+    LEFT JOIN (SELECT * FROM joined WHERE rn_last = 1) l
+           ON p.purchase_id = l.purchase_id
+    """,
+    priority="P1",
+)
+def e17_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — first-touch and last-touch: for every
+    purchase, the earliest and latest view/click by the same user in
+    the 7-day lookback before it. Purchases with no touch in the
+    window still emit (NULL credit) — unattributed conversions are a
+    metric, not a dropped row.
+
+    Determinism: touch order is total (integer µs + event_id
+    tiebreak); outputs are id/type selections, zero floats.
+
+    Scale shape: ONE equi-join on user_id with the lookback predicate
+    applied join-side (the c12 as-of discipline: time-bucket
+    co-partitioning bounds it at 100 TB); both attribution picks come
+    from the same joined relation via two row_number windows over the
+    purchase key — the candidate set shuffles once and is consumed
+    twice. Per-purchase fan-in is bounded by one user's 7-day touch
+    count, the natural skew bound of behavioral data."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(ATTR_LOOKBACK_US)),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy("t_us", "touch_id")
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_us").desc(), F.col("touch_id").desc()
+    )
+    ranked = joined.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        F.col("purchase_id").alias("f_pid"),
+        F.col("touch_id").alias("first_touch_id"),
+        F.col("touch_type").alias("first_touch_type"),
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        F.col("purchase_id").alias("l_pid"),
+        F.col("touch_id").alias("last_touch_id"),
+        F.col("touch_type").alias("last_touch_type"),
+    )
+    return (
+        p.join(first, p.purchase_id == first.f_pid, "left")
+        .join(last, p.purchase_id == last.l_pid, "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "first_touch_id",
+            "first_touch_type",
+            "last_touch_id",
+            "last_touch_type",
+        )
+    )
+
+
+#: e18 — EWMA decay 1/2 per day over a 7-day horizon. Halving weights
+#: are EXACT decimals (0.5^k has k decimal digits), so the weighted
+#: contribution of a 2-dp daily total carries ≤8 true decimals —
+#: inside DECIMAL(25,8)'s exact range in both engines.
+EWMA_HORIZON_DAYS = 7
+EWMA_WEIGHTS = ["1.0", "0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625"]
+
+
+def _ewma_weight_sql(kexpr: str) -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN CAST({w} AS DECIMAL(9,6))"
+        for k, w in enumerate(EWMA_WEIGHTS)
+    )
+    return f"(CASE {kexpr} {cases} END)"
+
+
+@register(
+    "e18_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US} AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS total
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, max(day) AS max_day FROM daily GROUP BY user_id
+    ), contrib AS (
+      SELECT d.user_id, d.day + k AS obs_day,
+             d.total * {_ewma_weight_sql("k")} AS wv
+      FROM daily d CROSS JOIN (SELECT unnest(generate_series(0,
+             {EWMA_HORIZON_DAYS - 1})) AS k)
+    )
+    SELECT c.user_id, c.obs_day AS day,
+           CAST(round(sum(c.wv), 4) AS DOUBLE) AS ewma
+    FROM contrib c JOIN spans s
+      ON c.user_id = s.user_id AND c.obs_day <= s.max_day
+    GROUP BY c.user_id, c.obs_day
+    """,
+    priority="P2",
+)
+def e18_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted rolling value (EWMA smoothing) — the
+    time-series baseline under every monitoring chart: per user-day,
+    Σ_k total(day−k) · 0.5^k over a 7-day horizon. Days whose whole
+    trailing horizon is empty are absent (identical construction both
+    engines); days past the user's horizon are clipped.
+
+    Float rule: the decay 1/2 per day is chosen so every weight
+    0.5^k is an EXACT ≤6-digit decimal; weight × 2-dp daily total is
+    exact in DECIMAL, summed exactly, rounded once, cast once — the
+    dsum discipline extended to weighted sums. (An arbitrary α would
+    put inexact doubles inside the accumulation and break the hash.)
+
+    Scale shape: e16's contribution explode, weighted — each daily
+    row fans out to the ≤7 observation days it decays into (bounded
+    by the HORIZON, not by data volume), then one (user, day) agg
+    collapses it. No day-range self-join, no per-user sort; the
+    daily rollup and the final agg share the user_id shuffle key."""
+    k_lits = F.array(
+        *[F.lit(w).cast("decimal(9,6)") for w in EWMA_WEIGHTS]
+    )
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").cast("decimal(14,2)").alias("total"))
+    )
+    spans = daily.groupBy("user_id").agg(F.max("day").alias("max_day"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON_DAYS - 1))).alias("k"),
+        "day",
+        "total",
+    ).select(
+        "user_id",
+        (F.col("day") + F.col("k")).alias("obs_day"),
+        (F.col("total") * F.element_at(k_lits, F.col("k") + 1)).alias("wv"),
+    )
+    return (
+        contrib.join(spans, "user_id")
+        .filter(F.col("obs_day") <= F.col("max_day"))
+        .groupBy("user_id", F.col("obs_day").alias("day"))
+        .agg(F.round(F.sum("wv"), 4).cast("double").alias("ewma"))
+    )
+
+
+#: e19 — spike rule: a day is a spike when its event count exceeds
+#: SPIKE_MULT × the trailing-window daily mean, computed ALL-INTEGER
+#: (n · trailing_days > SPIKE_MULT · trailing_events).
+SPIKE_TRAIL_DAYS = 14
+SPIKE_MULT = 2
+
+
+@register(
+    "e19_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US} AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_days,
+           CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_events,
+           CAST(n_events * count(*) OVER w >
+                {SPIKE_MULT} * COALESCE(sum(n_events) OVER w, 0) AS INT)
+             AS is_spike
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN {SPIKE_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+    """,
+    priority="P2",
+)
+def e19_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flagging — the ops-dashboard spike detector: a
+    day is a spike when its event count exceeds SPIKE_MULT× the mean
+    of the trailing 14 days. The mean comparison is cross-multiplied
+    into pure INTEGER arithmetic (n·days > mult·Σn), so the flag has
+    no float to diverge on; empty trailing windows (day one) compare
+    0 > 0 and are never spikes.
+
+    The trailing frame is RANGE over the integer day (calendar gaps
+    shrink the window honestly) and excludes the current day — a
+    spike must not dilute its own baseline.
+
+    Scale shape: the day grid is |days| rows — after the map-side
+    count partial, window input is tiny at ANY corpus scale (a year
+    is 365 rows); the single-partition day window is bounded by the
+    GRID, not the data (the e16/d18 argument). Per-key variants
+    partition the same window by entity."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(-SPIKE_TRAIL_DAYS, -1)
+    )
+    trailing_days = F.count("*").over(w)
+    trailing_events = F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    return daily.select(
+        "day",
+        "n_events",
+        trailing_days.cast("bigint").alias("trailing_days"),
+        trailing_events.cast("bigint").alias("trailing_events"),
+        (
+            F.col("n_events") * trailing_days
+            > F.lit(SPIKE_MULT) * trailing_events
+        )
+        .cast("int")
+        .alias("is_spike"),
+    )
+
+
+@register(
+    "e20_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type AS attr,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS v, event_id
+      FROM events
+    ), marked AS (
+      SELECT *, lag(attr) OVER (PARTITION BY user_id
+                                ORDER BY v, event_id) AS prev_attr
+      FROM log
+    ), changes AS (
+      SELECT * FROM marked WHERE prev_attr IS NULL OR attr <> prev_attr
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           attr,
+           v AS valid_from_us,
+           lead(v) OVER w - 1 AS valid_to_us,
+           CAST(lead(v) OVER w IS NULL AS INT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY v, event_id)
+    """,
+    priority="P1",
+)
+def e20_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build — the dimension-table
+    twin of e14's CDC compaction: instead of keeping only the latest
+    state, every attribute CHANGE opens a versioned validity row
+    [valid_from, valid_to]; the open row has NULL valid_to and
+    is_current=1. Attribute = the user's event_type stream;
+    consecutive equal values collapse (gaps-and-islands change
+    detection), so versions count distinct runs, not events.
+
+    Determinism: change ordering is total (integer µs + event_id);
+    valid_to = next change − 1 µs is integer arithmetic; no floats.
+
+    Scale shape: ONE user_id shuffle serves all three window passes
+    (lag change-mark, row_number version, lead valid_to) — Catalyst
+    reuses the sort within the partition. At 100 TB this is the
+    standard daily dimension rebuild: the changes table is a tiny
+    fraction of the log (runs, not rows), and incremental builds
+    process only keys touched since the last snapshot (the e14
+    checkpoint argument)."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("v", "event_id")
+    log = ev.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.unix_micros("ts").alias("v"),
+        "event_id",
+    )
+    changes = (
+        log.withColumn("prev_attr", F.lag("attr").over(wo))
+        .filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .drop("prev_attr")
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(wo).cast("bigint").alias("version"),
+        "attr",
+        F.col("v").alias("valid_from_us"),
+        (F.lead("v").over(wo) - 1).alias("valid_to_us"),
+        F.lead("v").over(wo).isNull().cast("int").alias("is_current"),
+    )

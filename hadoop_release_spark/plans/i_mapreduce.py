@@ -439,3 +439,98 @@ def i11_mr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_triangles"),
         )
     )
+
+
+#: i12 — BFS unroll depth (levels beyond the seed).
+BFS_LEVELS = 3
+BFS_SEED = 0
+
+
+@register(
+    "i12_mr_bfs",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), l0 AS (
+      SELECT {BFS_SEED} AS node
+    ), l1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node
+    ), l2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node
+    ), l3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node
+    ), lv AS (
+      SELECT node, 0 AS dist FROM l0
+      UNION ALL SELECT node, 1 FROM l1
+      UNION ALL SELECT node, 2 FROM l2
+      UNION ALL SELECT node, 3 FROM l3
+    )
+    SELECT n.n_nationkey,
+           CAST(COALESCE(d.dist, -1) AS BIGINT) AS hops
+    FROM nation n LEFT JOIN
+      (SELECT node, min(dist) AS dist FROM lv GROUP BY node) d
+    ON n.n_nationkey = d.node
+    """,
+    priority="P1",
+)
+def i12_mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search — the third canonical iterative
+    MapReduce/Pregel program next to i10 PageRank and i11 triangles:
+    minimum hop count from a seed nation over the directed trade
+    graph, BFS_LEVELS expansion rounds, unreached nodes −1.
+
+    All-integer (hop counts and min), so the iterative chain is
+    bit-identical cross-engine and the oracle is the same expansion
+    UNROLLED into CTE levels — the i10 trick for hash-checking an
+    iterative algorithm.
+
+    Scale shape: the frontier is node-bounded (≤ |nodes| rows), so
+    each round is a broadcast-able join against the edge list
+    followed by a distinct — the Pregel message step. Visited-set
+    pruning (joining out already-seen nodes) keeps frontiers
+    shrinking; at billion-edge scale the same loop runs with edges
+    hash-partitioned by src and the frontier co-partitioned instead
+    of broadcast (identical plan shape, bigger exchange), which is
+    exactly Pregel-on-shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .persist()  # referenced once per level; node²-bounded
+    )
+    # Seed from the node table (not a literal row): a scan-derived
+    # frontier keeps every level a real broadcast HASH join — a
+    # constant-folded literal degrades the first level to a
+    # nested-loop plan.
+    frontier = n.filter(F.col("n_nationkey") == BFS_SEED).select(
+        F.col("n_nationkey").alias("node")
+    )
+    levels = frontier.select("node", F.lit(0).alias("dist"))
+    for k in range(1, BFS_LEVELS + 1):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels = levels.unionAll(frontier.select("node", F.lit(k).alias("dist")))
+    dist = levels.groupBy("node").agg(F.min("dist").alias("dist"))
+    return n.join(dist, n.n_nationkey == dist.node, "left").select(
+        "n_nationkey",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("hops"),
+    )

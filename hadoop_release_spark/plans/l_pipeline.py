@@ -34,7 +34,7 @@ UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -942,4 +942,147 @@ def l37_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return global_row_number(d, ["__h"], rn_name="shuffle_pos").select(
         "doc_id", "shuffle_pos"
+    )
+
+
+#: l39 — block dedup: non-overlapping BLOCK_TOKENS-word blocks; a
+#: block hash appearing more than once across the corpus is
+#: boilerplate (headers, footers, license text).
+BLOCK_TOKENS = 10
+
+
+@register(
+    "l39_block_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), blocks AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS block_idx,
+             md5(array_to_string(
+               list_slice(t, k * {BLOCK_TOKENS} + 1,
+                          k * {BLOCK_TOKENS} + {BLOCK_TOKENS}), ' ')) AS bh
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, (len(t) - 1) // {BLOCK_TOKENS} + 1)) AS k
+            FROM toks)
+    ), ranked AS (
+      SELECT bh, doc_id, block_idx,
+             count(*) OVER (PARTITION BY bh) AS n_copies,
+             row_number() OVER (PARTITION BY bh
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM blocks
+    )
+    SELECT bh AS block_hash,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           doc_id AS survivor_doc_id,
+           block_idx AS survivor_block_idx
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+    """,
+    priority="P2",
+)
+def l39_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (block-level) dedup — the boilerplate remover
+    between l01's whole-doc hash and l02's fuzzy MinHash: documents
+    split into non-overlapping 10-word blocks, blocks repeated
+    ANYWHERE in the corpus surface with their copy count and
+    first-occurrence survivor (doc_id, block_idx). Real pipelines
+    strip or down-weight these repeated blocks (headers, footers,
+    license stubs) before training.
+
+    Determinism: block boundaries are the l31 fixed-grid rule;
+    md5 is the portable hash; survivor order (doc_id, block_idx) is
+    total. All outputs int/string.
+
+    Scale shape: block extraction is per-row explode fused into the
+    scan (l31); then ONE shuffle on the block hash where count and
+    survivor come from the same window pass — the shuffle payload is
+    slim (hash, doc, idx) triples, never block text. The n_copies>1
+    filter drops the unique tail ON the shuffle output; at 100 TB
+    that tail is ~all blocks, so the emitted table is the small
+    boilerplate set by construction."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    blocks_arr = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / F.lit(BLOCK_TOKENS)).cast("int")
+        ),
+        lambda k: F.struct(
+            k.cast("long").alias("block_idx"),
+            F.md5(
+                F.array_join(F.slice(toks, k * BLOCK_TOKENS + 1, BLOCK_TOKENS), " ")
+            ).alias("bh"),
+        ),
+    )
+    blocks = d.select("doc_id", F.explode(blocks_arr).alias("__b")).select(
+        "doc_id", "__b.block_idx", "__b.bh"
+    )
+    wc = Window.partitionBy("bh")
+    wr = Window.partitionBy("bh").orderBy("doc_id", "block_idx")
+    return (
+        blocks.withColumn("n_copies", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            F.col("bh").alias("block_hash"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("block_idx").alias("survivor_block_idx"),
+        )
+    )
+
+
+#: l40 — prefix fingerprint length (words). Re-crawls and truncated
+#: mirrors share prefixes even when tails differ.
+PREFIX_TOKENS = 16
+
+
+@register(
+    "l40_dedup_prefix",
+    oracle=f"""
+    WITH pf AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, {PREFIX_TOKENS}), ' '))
+               AS prefix_hash
+      FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS survivor_id,
+           CAST(max(n_chars) AS BIGINT) AS longest_chars
+    FROM pf GROUP BY prefix_hash HAVING count(*) > 1
+    """,
+    priority="P2",
+)
+def l40_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup — catches truncated mirrors and
+    re-crawls that whole-document hashing (l01) misses: two fetches
+    of the same page cut at different lengths have different md5s
+    but identical 16-word prefixes. Groups sharing a prefix surface
+    with the min-id survivor and the longest variant's size (real
+    pipelines keep the longest, on the most-complete-fetch
+    heuristic).
+
+    Determinism: fixed-length word prefix, portable md5, outputs are
+    counts and selections.
+
+    Scale shape: the fingerprint is a per-row projection fused into
+    the scan — the shuffle carries (hash, doc_id, n_chars), never
+    text — then ONE map-side-combined group agg; HAVING keeps only
+    collision groups, which is the tiny output by construction.
+    This is the cheapest near-dup pass after l01 and runs at the
+    same one-shuffle cost."""
+    d = table(spark, sf_dir, "documents")
+    prefix_hash = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, PREFIX_TOKENS), " ")
+    )
+    return (
+        d.select(prefix_hash.alias("prefix_hash"), "doc_id", "n_chars")
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+            F.max("n_chars").cast("bigint").alias("longest_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
     )

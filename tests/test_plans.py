@@ -162,6 +162,11 @@ _PLAN_NODE_ALLOWLIST = {
         # e16: same single-row-broadcast shape — the data-horizon
         # scalar clips phantom trailing observation days.
         "e16_active_users",
+        # d21/d23: same single-row-broadcast shape — the global
+        # total/count row attaches before the per-key threshold /
+        # bucket projection.
+        "d21_heavy_hitters",
+        "d23_hist_equidepth",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -10,7 +10,7 @@ AQE for skew splitting and runtime join-strategy switches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -737,4 +737,113 @@ def c21_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_key",
         F.col("p_partkey").alias("match_key"),
         F.levenshtein("probe_name", "p_name").cast("long").alias("dist"),
+    )
+
+
+@register(
+    "c22_join_temporal",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, event_type AS attr,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_id
+      FROM events WHERE event_type IN ('view', 'click')
+    ), changes AS (
+      SELECT user_id, attr, us, event_id FROM (
+        SELECT *, lag(attr) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev_attr
+        FROM touches)
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), merged AS (
+      SELECT user_id, us, 1 AS is_fact, purchase_id, NULL AS attr,
+             purchase_id AS tie_id FROM purchases
+      UNION ALL
+      SELECT user_id, us, 0 AS is_fact, NULL AS purchase_id, attr,
+             event_id AS tie_id FROM changes
+    ), filled AS (
+      SELECT *, count(attr) OVER (PARTITION BY user_id
+                                  ORDER BY us, is_fact, tie_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS grp
+      FROM merged
+    )
+    SELECT purchase_id, user_id, us AS purchase_us,
+           max(attr) OVER (PARTITION BY user_id, grp) AS segment_at_purchase
+    FROM filled QUALIFY is_fact = 1
+    """,
+    priority="P1",
+)
+def c22_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — fact rows joined to the
+    dimension version VALID AT the fact's timestamp: each purchase
+    picks up the user's behavioral segment (last view/click attr
+    run, the e20 SCD2 derivation) as of the purchase instant.
+    Purchases before any touch get NULL — never a future version
+    (the lookahead-leak every naive BETWEEN join risks).
+
+    The scale-correct plan is NOT a range join against the validity
+    intervals: it is union-and-carry-forward — dimension change rows
+    and fact rows interleave on one (user, time) order and the last
+    non-null attr is carried forward to each fact row (the c12 as-of
+    discipline without materializing intervals). Sort key
+    (us, is_fact, id) puts a same-instant change BEFORE the fact row,
+    so versions apply inclusively at their boundary.
+
+    Portability: carry-forward uses the e15 fill-group idiom
+    (running count of non-nulls → per-group max) instead of
+    last_value IGNORE NULLS, which the two engines frame
+    differently.
+
+    Scale shape: ONE user_id shuffle; both inputs are slim
+    projections; window state is one attr per group. At 100 TB this
+    is the standard point-in-time feature join of feature-store
+    reads, and it beats the interval-join formulation exactly
+    because validity intervals never materialize."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    changes = (
+        touches.withColumn("prev_attr", F.lag("attr").over(wo))
+        .filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .select(
+            "user_id",
+            F.col("us"),
+            F.lit(0).alias("is_fact"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            "attr",
+            F.col("event_id").alias("tie_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("is_fact"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("string").alias("attr"),
+        F.col("event_id").alias("tie_id"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("us", "is_fact", "tie_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = purchases.unionByName(changes).withColumn(
+        "grp", F.count("attr").over(wf)
+    )
+    wg = Window.partitionBy("user_id", "grp")
+    return (
+        filled.withColumn("segment_at_purchase", F.max("attr").over(wg))
+        .filter(F.col("is_fact") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "segment_at_purchase",
+        )
     )

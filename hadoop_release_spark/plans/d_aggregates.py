@@ -929,3 +929,45 @@ def d24_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue",
         )
     )
+
+
+@register(
+    "d25_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    """,
+    priority="P2",
+)
+def d25_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode — the most frequent value per group (d13's
+    min/max_by for FREQUENCY instead of an ordering column), with
+    the deterministic tiebreak every mode needs (smallest value
+    wins on equal counts; engines' native mode() leaves ties
+    unspecified, so the contract builds it from count + rank).
+
+    Scale shape: the (key, value) count agg is map-side-combined to
+    ≤ |keys|×|domain| rows; the rank window then partitions by key
+    over ≤ |domain| rows each — both stages share the user_id-prefix
+    shuffle. At 100 TB with unbounded value domains the count table
+    is the sketch boundary (swap in count-min top-k); the rank stage
+    is domain-bounded either way."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").cast("bigint").alias("n"))
+    )

@@ -1081,3 +1081,155 @@ def e20_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("v").over(wo) - 1).alias("valid_to_us"),
         F.lead("v").over(wo).isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "e21_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT),
+                        event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.n * 10000 // t.row_total AS BIGINT) AS share_bp
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+    priority="P2",
+)
+def e21_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the user-journey model behind "what do users do after X":
+    per (from, to) event-type pair, the transition count and its
+    row-share in basis points (integer division — the probability
+    matrix without the float).
+
+    Determinism: stream order is total (µs + event_id); outputs are
+    counts and integer ratios.
+
+    Scale shape: one user_id shuffle for the lag pass, then the pair
+    agg collapses to ≤ |types|² rows map-side — the transition
+    matrix is domain-bounded regardless of event volume, so the
+    row-total join is broadcast-trivial. Higher-order chains swap
+    the lag for k lags; the matrix stays |types|^(k+1)-bounded."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 10000 DIV row_total").cast("bigint").alias("share_bp"),
+    )
+
+
+#: e22 — padding added around every event before merging (µs): events
+#: within 2·pad of each other fall into one merged activity interval.
+MERGE_PAD_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "e22_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               - {MERGE_PAD_US} AS s,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               + {MERGE_PAD_US} AS e,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT *, sum(new_island) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS interval_id,
+           min(s) AS start_us, max(e) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+    priority="P2",
+)
+def e22_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (interval union) — the
+    gaps-and-islands canon e11's gap rule cannot express: every
+    event carries a ±30 min activity pad, and TRANSITIVELY
+    overlapping pads collapse into one interval. Differs from
+    sessionization: islands are defined by interval REACH (running
+    max of ends), not adjacent-event gaps — an early long interval
+    can bridge events whose neighbors are far apart.
+
+    The classic algorithm: order by start; a row opens a new island
+    iff its start exceeds the running max end of ALL prior rows
+    (frame excludes current); the island id is the running sum of
+    open flags; then one agg per island. First row per user: empty
+    frame → NULL max → CASE gives 0, so islands are 0-based —
+    mirrored exactly.
+
+    Determinism: integer µs bounds, (s, event_id) total order,
+    count/min/max outputs.
+
+    Scale shape: ONE user_id shuffle serves both window passes and
+    the island agg (same key prefix, sort reused). Calendar/merge
+    work per key is linear in that key's rows — the same bound as
+    e11 — and the output is strictly smaller than the input."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lit(MERGE_PAD_US)).alias("s"),
+        (F.unix_micros("ts") + F.lit(MERGE_PAD_US)).alias("e"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = base.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(wprev), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(wrun))
+    return islands.groupBy(
+        "user_id", F.col("island").cast("bigint").alias("interval_id")
+    ).agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

@@ -534,3 +534,110 @@ def i12_mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("hops"),
     )
+
+
+#: i13 — label-propagation rounds (graph diameter bound for the
+#: 25-node trade graph; a convergence loop with a raise — the l22
+#: discipline — replaces the fixed unroll on unbounded graphs).
+CC_ROUNDS = 3
+
+
+@register(
+    "i13_mr_components",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS u,
+             greatest(s.s_nationkey, c.c_nationkey) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), sym AS (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+    ), l0 AS (
+      SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation
+    ), l1 AS (
+      SELECT l.node, least(l.lbl, COALESCE(min(nl.lbl), l.lbl)) AS lbl
+      FROM l0 l LEFT JOIN sym e ON e.a = l.node
+                LEFT JOIN l0 nl ON nl.node = e.b
+      GROUP BY l.node, l.lbl
+    ), l2 AS (
+      SELECT l.node, least(l.lbl, COALESCE(min(nl.lbl), l.lbl)) AS lbl
+      FROM l1 l LEFT JOIN sym e ON e.a = l.node
+                LEFT JOIN l1 nl ON nl.node = e.b
+      GROUP BY l.node, l.lbl
+    ), l3 AS (
+      SELECT l.node, least(l.lbl, COALESCE(min(nl.lbl), l.lbl)) AS lbl
+      FROM l2 l LEFT JOIN sym e ON e.a = l.node
+                LEFT JOIN l2 nl ON nl.node = e.b
+      GROUP BY l.node, l.lbl
+    )
+    SELECT node AS n_nationkey, CAST(lbl AS BIGINT) AS component
+    FROM l3
+    """,
+    priority="P1",
+)
+def i13_mr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components — the fourth graph-MR canon (with i10
+    PageRank, i11 triangles, i12 BFS): min-label propagation over
+    the undirected trade graph, CC_ROUNDS rounds unrolled. Each
+    round every node takes the min of its own label and its
+    neighbors' — after diameter rounds, labels are the component
+    minima.
+
+    All-integer min propagation ⇒ rounds are bit-identical
+    cross-engine, and the oracle unrolls the same rounds as CTEs
+    (the i10/i12 trick). The fixed unroll is the fixture's diameter
+    bound; the unbounded-graph variant is l22's convergence loop
+    (operators/dedup.py), which RAISES if labels haven't stabilized
+    — same per-round plan, checked termination.
+
+    Scale shape: per round, one join of labels against the
+    symmetrized edge list + a min agg — labels are node-bounded
+    (broadcast-able here; co-partitioned by node id at billion-node
+    scale, where each round's shuffle carries one label per edge,
+    combiner-compressed per (task, node))."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).persist()  # referenced once per round; edge-bounded
+
+    labels = n.select(
+        F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lbl")
+    )
+    for _ in range(CC_ROUNDS):
+        neighbor_min = (
+            sym.join(
+                F.broadcast(labels.withColumnRenamed("node", "b").withColumnRenamed("lbl", "nl")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        labels = (
+            labels.join(F.broadcast(neighbor_min), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("n_nationkey"), F.col("lbl").cast("bigint").alias("component")
+    )

@@ -155,6 +155,10 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             # iterative / multi-pass operators
             "l21_kmeans", "l22_dedup_survivors", "l02_dedup_near",
             "l14_dedup_embedding", "l18_winnow", "i10_mr_pagerank",
+            "i12_mr_bfs", "i13_mr_components",
+            # round-4 measured ≥2.5 s driver-shaped (two-phase rank
+            # persist+collect jobs / 4-window-stage codegen compile)
+            "d23_hist_equidepth", "c22_join_temporal",
             # measured ≥2.5 s on the driver-shaped sweep (salted
             # double-shuffle / per-clip Python codec work / 32-term
             # interleave codegen compile)

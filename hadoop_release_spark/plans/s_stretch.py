@@ -213,3 +213,49 @@ def s08_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
     )
+
+
+#: s09 — the SQL text run through BOTH engines. Spark-side quoting of
+#: temp views matches the DuckDB views, so the statement is shared
+#: verbatim (one dialect-neutral ANSI string; the osum wrapper is the
+#: only generated fragment).
+_S09_SQL = """
+WITH revenue AS (
+  SELECT o.o_custkey AS custkey,
+         CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(25,8))), 4) AS DOUBLE) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+), ranked AS (
+  SELECT c.c_mktsegment AS segment, r.custkey, r.rev,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY r.rev DESC, r.custkey) AS rnk
+  FROM revenue r JOIN customer c ON r.custkey = c.c_custkey
+)
+SELECT segment, custkey, rev, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("s09_sql_frontend", oracle=_S09_SQL, priority="P1")
+def s09_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path — the surface a Hive/SQL user of the
+    reference actually migrates to: fixture tables registered as
+    temp views, one dialect-neutral ANSI statement (CTEs, fact-fact
+    join, decimal-exact agg, ranked window, top-N filter) executed
+    via ``spark.sql``. The ORACLE IS THE SAME SQL TEXT run by DuckDB
+    — proving the engine's SQL frontend computes what ANSI says, not
+    just that two hand-built plans agree.
+
+    Catalyst compiles this to the identical physical plan the
+    DataFrame composition would produce (same pushdown, partial agg,
+    window exchange) — pinned by the plan-hygiene sweep, which sees
+    this query like any other.
+
+    Scale shape: rev agg shuffles on custkey; the segment rank
+    window shuffles the per-customer rollup (|customers| rows, not
+    |lineitem|); top-5 filter fuses into the window stage. Views over
+    100 TB paths behave identically — temp views are metadata only."""
+    for name in ("lineitem", "orders", "customer"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_S09_SQL)

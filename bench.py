@@ -65,6 +65,26 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Fixture tripwire (round-3 lesson: the bench died mid-harness on
+    # a silently regenerated dtype): fail BEFORE the session with one
+    # clear message if the parquet footers drifted past what the
+    # catalog normalizes.
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+        from check_fixture_schemas import check
+
+        problems = check(sf_dir)
+        if problems:
+            print(
+                "FIXTURE SCHEMA DRIFT — bench aborted:\n  "
+                + "\n  ".join(problems),
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+    except ImportError:
+        pass
+
     spark = get_session("hadoop-release-spark-bench")
 
     # Wrapped callables: each releases the previous query's persisted

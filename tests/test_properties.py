@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for operators whose correctness
+arguments are algorithmic rather than fixture-specific: the two-phase
+global ranker, the interval-merge island chain, and the events
+dtype normalization. Each property runs a handful of examples (Spark
+job per example) against an independent pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = datetime.datetime(2024, 6, 1)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=200
+    )
+)
+def test_global_row_number_is_the_total_order(spark, vals):
+    """rank.global_row_number must equal the 1..N rank of the sort
+    (val, id) — exactly, for any multiset including heavy duplicates
+    (range partitioner boundaries fall inside duplicate runs)."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, val long")
+    out = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, ["val", "id"], "rn").collect()
+    }
+    expected = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert out == expected
+
+
+def _reference_merge(minutes: list[float], pad_min: float = 30.0):
+    """Pure-Python island merge over ±pad intervals (the e22 rule)."""
+    ivs = sorted((m - pad_min, m + pad_min) for m in minutes)
+    islands: list[list[float]] = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+            islands[-1][2] += 1
+        else:
+            islands.append([s, e, 1])
+    return [(s, e, n) for s, e, n in islands]
+
+
+@settings(**_SETTINGS)
+@given(
+    minutes=st.lists(
+        st.integers(min_value=0, max_value=24 * 60), min_size=1, max_size=40
+    )
+)
+def test_interval_merge_matches_reference(spark, minutes):
+    """e22's distributed window chain must agree with the sequential
+    merge on arbitrary (including duplicate-timestamp) event sets."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e22_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(minutes)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(minutes=m) for m in minutes],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(minutes), pa.int64()),
+                "event_type": pa.array(["view"] * len(minutes)),
+                "value": pa.array([1.0] * len(minutes), pa.float64()),
+                "props": pa.array(["{}"] * len(minutes)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = sorted(
+            (r["start_us"], r["end_us"], r["n_events"])
+            for r in specs()["e22_interval_merge"].fn(spark, tmp).collect()
+        )
+        base_us = int(T0.timestamp()) * 1_000_000
+        want = sorted(
+            (base_us + int(s * 60e6), base_us + int(e * 60e6), n)
+            for s, e, n in _reference_merge([float(m) for m in minutes])
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    us_vals=st.lists(
+        st.integers(min_value=0, max_value=4_000_000_000_000_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_normalize_events_shapes_agree(spark, us_vals):
+    """For ANY µs-precision instants, the ns-typed and µs-typed
+    parquet layouts must normalize to identical (ts, ts_ns) rows."""
+    from hadoop_release_spark.catalog import table
+
+    outs = []
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        tmp = tempfile.mkdtemp(prefix=f"prop_norm_{unit}_")
+        try:
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(range(len(us_vals)), pa.int64()),
+                    "ts": pa.array(
+                        [v * scale for v in us_vals], pa.timestamp(unit)
+                    ),
+                    "user_id": pa.array([1] * len(us_vals), pa.int64()),
+                    "event_type": pa.array(["view"] * len(us_vals)),
+                    "value": pa.array([1.0] * len(us_vals), pa.float64()),
+                    "props": pa.array(["{}"] * len(us_vals)),
+                }
+            )
+            pq.write_table(tbl, f"{tmp}/events.parquet")
+            outs.append(
+                sorted(
+                    (r["event_id"], r["ts"], r["ts_ns"])
+                    for r in table(spark, tmp, "events")
+                    .select("event_id", "ts", "ts_ns")
+                    .collect()
+                )
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    assert outs[0] == outs[1]
+    # rows sort by event_id = input position, so ts_ns follows input order
+    assert [t[2] for t in outs[0]] == [v * 1000 for v in us_vals]

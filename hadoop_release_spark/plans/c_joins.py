@@ -797,8 +797,11 @@ def c22_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value IGNORE NULLS, which the two engines frame
     differently.
 
-    Scale shape: ONE user_id shuffle; both inputs are slim
-    projections; window state is one attr per group. At 100 TB this
+    Scale shape: two user_id exchanges — the change-mark lag pass,
+    then the interleaved carry-forward over the union (a union does
+    not preserve its branches' partitioning, so the second exchange
+    is structural); both inputs are slim projections and window
+    state is one attr per group. At 100 TB this
     is the standard point-in-time feature join of feature-store
     reads, and it beats the interval-join formulation exactly
     because validity intervals never materialize."""

@@ -893,25 +893,33 @@ def d24_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window sums DECIMALS (order-independent), rounded
     once at the edge — the e06 running-total discipline.
 
-    Scale shape: the cohort derivation and the cell agg share one
-    user_id shuffle (e13's plan); the cumulative window partitions
-    by cohort_week over ≤ |weeks| rows per cohort — window input is
-    grid-bounded, not data-bounded. Sizes join is broadcast-scale
-    (one row per cohort week)."""
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("week"),
-        F.col("value").cast("decimal(12,2)").alias("v"),
+    Scale shape: the cohort week attaches to every event via a
+    per-user window MIN — the SAME user_id exchange the event rows
+    already need, with no fact-vs-rollup self-join and no lineage
+    recomputation; the cell agg, cohort sizes, and the cumulative
+    window then all run over rollup-sized inputs (|user-week| rows
+    at most). The cumulative window partitions by cohort_week over
+    ≤ |weeks| rows per cohort — grid-bounded, not data-bounded.
+    Sizes join back is broadcast-scale (one row per cohort week)."""
+    wu = Window.partitionBy("user_id")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("week"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .withColumn("cw", F.min("week").over(wu))
     )
-    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
-    sizes = cohort.groupBy("cw").agg(
-        F.count("*").cast("bigint").alias("cohort_users")
+    sizes = (
+        ev.select("user_id", "cw")
+        .distinct()
+        .groupBy("cw")
+        .agg(F.count("*").cast("bigint").alias("cohort_users"))
     )
-    cells = (
-        ev.join(cohort, "user_id")
-        .groupBy("cw", (F.col("week") - F.col("cw")).alias("week_offset"))
-        .agg(F.sum("v").cast("decimal(25,8)").alias("rev"))
-    )
+    cells = ev.groupBy(
+        "cw", (F.col("week") - F.col("cw")).alias("week_offset")
+    ).agg(F.sum("v").cast("decimal(25,8)").alias("rev"))
     wc = (
         Window.partitionBy("cw")
         .orderBy("week_offset")

@@ -1116,11 +1116,13 @@ def e21_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: stream order is total (µs + event_id); outputs are
     counts and integer ratios.
 
-    Scale shape: one user_id shuffle for the lag pass, then the pair
-    agg collapses to ≤ |types|² rows map-side — the transition
-    matrix is domain-bounded regardless of event volume, so the
-    row-total join is broadcast-trivial. Higher-order chains swap
-    the lag for k lags; the matrix stays |types|^(k+1)-bounded."""
+    Scale shape: one user_id shuffle for the lag pass; the pair agg
+    collapses to ≤ |types|² rows map-side — the transition matrix is
+    domain-bounded regardless of event volume — and the row totals
+    come from a WINDOW over that tiny matrix (not a second agg +
+    join, which would re-execute the whole lag lineage). Higher-order
+    chains swap the lag for k lags; the matrix stays
+    |types|^(k+1)-bounded."""
     ev = table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("us", "event_id")
     pairs = (
@@ -1135,10 +1137,10 @@ def e21_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    totals = pairs.groupBy("from_type").agg(
-        F.sum("n").cast("bigint").alias("row_total")
-    )
-    return pairs.join(F.broadcast(totals), "from_type").select(
+    wt = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "row_total", F.sum("n").over(wt).cast("bigint")
+    ).select(
         "from_type",
         "to_type",
         F.col("n").cast("bigint").alias("n"),

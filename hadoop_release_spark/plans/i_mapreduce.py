@@ -527,7 +527,14 @@ def i12_mr_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"))
             .distinct()
+            # Eager materialization per level (the i10 discipline):
+            # without it level k's broadcast re-executes the whole
+            # k−1-deep join lineage and the loop goes quadratic in
+            # depth. State is node-bounded; released by the registry
+            # wrapper before the next query.
+            .persist()
         )
+        frontier.count()
         levels = levels.unionAll(frontier.select("node", F.lit(k).alias("dist")))
     dist = levels.groupBy("node").agg(F.min("dist").alias("dist"))
     return n.join(dist, n.n_nationkey == dist.node, "left").select(
@@ -622,6 +629,7 @@ def i13_mr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = n.select(
         F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lbl")
     )
+    prev = None
     for _ in range(CC_ROUNDS):
         neighbor_min = (
             sym.join(
@@ -637,7 +645,16 @@ def i13_mr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
             )
+            # Eager materialization per round (the i10 discipline):
+            # round k's two broadcasts would otherwise re-execute the
+            # whole k−1-deep lineage. One row per node; released by
+            # the registry wrapper before the next query.
+            .persist()
         )
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
     return labels.select(
         F.col("node").alias("n_nationkey"), F.col("lbl").cast("bigint").alias("component")
     )

@@ -108,3 +108,41 @@ def g06_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag (multiset) difference."""
     s, c = _sides(spark, sf_dir)
     return c.exceptAll(s)
+
+
+@register(
+    "g07_union_mismatched",
+    oracle="""
+    SELECT doc_id, lang, n_chars, NULL AS quality_tier
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, lang,
+           CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END
+             AS quality_tier
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    priority="P2",
+)
+def g07_union_mismatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union — concatenating corpus shards produced
+    by DIFFERENT pipeline generations (one shard has a column the
+    other lacks, in either direction): ``unionByName(
+    allowMissingColumns=True)`` aligns by NAME and null-fills, where
+    positional UNION (g01) would silently mis-map columns. This is
+    the read-side twin of a12's mergeSchema — evolution handled at
+    COMBINE time instead of scan time.
+
+    The oracle is DuckDB's ``UNION ALL BY NAME`` — the same
+    semantics from an independent implementation.
+
+    Scale shape: zero-shuffle concat exactly like g01; the null fill
+    is a per-row projection. At 100 TB this is how heterogeneous
+    shard manifests combine without a rewrite pass."""
+    d = table(spark, sf_dir, "documents")
+    gen_a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    gen_b = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_chars") > 500, "long").otherwise("short").alias("quality_tier"),
+    )
+    return gen_a.unionByName(gen_b, allowMissingColumns=True)

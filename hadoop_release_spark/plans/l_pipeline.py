@@ -1086,3 +1086,49 @@ def l40_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+#: l41 — fixed sample size per group (docs per source).
+SAMPLE_K_PER_GROUP = 25
+
+
+@register(
+    "l41_sample_k_per_group",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':ksample') AS sk
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY sk, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {SAMPLE_K_PER_GROUP}
+    """,
+    priority="P2",
+)
+def l41_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-group sample — the fixed-size
+    counterpart of l24's rate-based strata: the k docs per source
+    with the smallest md5(doc_id:salt), i.e. a uniform k-sample that
+    is reproducible across engines, runs, cluster sizes, and
+    repartitioning (``df.sample`` is none of these). The fixed-size
+    guarantee is what per-domain eval subsets and human-review
+    queues need, where a rate sample's size drifts with the corpus.
+
+    Scale shape: ONE shuffle on the group key; the rank window sees
+    |group| rows per key and the rn ≤ k filter fuses into the window
+    stage. At extreme per-group cardinality the same semantics run
+    as a bounded top-k-by-hash agg (per-partition k-heaps, the f02
+    shape) — identical output, heap-bounded memory."""
+    d = table(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ksample")))
+    w = Window.partitionBy("source").orderBy("sk", "doc_id")
+    return (
+        d.select("doc_id", "source", sk.alias("sk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("sample_rank"))
+    )

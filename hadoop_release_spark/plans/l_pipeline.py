@@ -1088,8 +1088,10 @@ def l40_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: l41 — fixed sample size per group (docs per source).
-SAMPLE_K_PER_GROUP = 25
+#: l41 — fixed sample size per group (docs per source). 10 < the
+#: fixture's 25 docs/source at every SF, so the filter is exercised
+#: (k=25 would pass sf0.01 through untouched — a vacuous sample).
+SAMPLE_K_PER_GROUP = 10
 
 
 @register(

@@ -850,3 +850,54 @@ def c22_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_at_purchase",
         )
     )
+
+
+@register(
+    "c23_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS k FROM customer
+    ), b AS (
+      SELECT s_suppkey, NULLIF(s_nationkey % 7, 3) AS k FROM supplier
+    )
+    SELECT a.k AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT b.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+    priority="P2",
+)
+def c23_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) —
+    the join semantics b09 pins for filters, at the JOIN level: NULL
+    keys MATCH EACH OTHER instead of silently dropping (the standard
+    equi-join loses every null-keyed row on both sides — the classic
+    silent-data-loss bug when keys are optional). Key buckets are
+    derived with NULLIF so the fixture genuinely exercises the
+    null-null path; the null bucket surfaces as its own group.
+
+    Determinism: counts only.
+
+    Scale shape: Spark plans ``<=>`` as a regular hash join (null
+    hashes to a bucket like any value) — same ONE shuffle as c01,
+    same AQE skew handling. The caveat at 100 TB: the NULL key is
+    ONE hash bucket, so null-heavy sides are the textbook skew key —
+    exactly what c19's salting mitigates; flagged here so the
+    operator carries its own warning."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("ka")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("kb")
+    )
+    return (
+        c.join(s, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.col("ka").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.count_distinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.count_distinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+    )

@@ -1235,3 +1235,59 @@ def e22_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_us"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "e23_running_distinct",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS occ
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct_types_so_far
+    FROM keyed
+    """,
+    priority="P2",
+)
+def e23_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an event stream — the "features
+    adopted over time" metric no engine's window API supports
+    directly (COUNT(DISTINCT) OVER a running frame is unsupported in
+    both Spark and most warehouses). The standard decomposition:
+    mark each (user, type)'s FIRST occurrence with one rank window,
+    then a running sum of first-occurrence flags over the stream
+    order IS the running distinct count.
+
+    Determinism: total stream order (µs + event_id); integer counts.
+
+    Scale shape: both windows partition by user_id — one exchange,
+    the second window reuses the sort prefix. State per key is the
+    running counter, not a distinct set: the decomposition replaces
+    per-row set-membership state (unbounded) with a rank that Spark
+    computes in the sort — which is why it scales where a naive
+    distinct-set UDAF would not."""
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_occ = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.withColumn("occ", F.row_number().over(w_occ))
+        .withColumn(
+            "n_distinct_types_so_far",
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).over(w_run).cast("bigint"),
+        )
+        .select("event_id", "user_id", "n_distinct_types_so_far")
+    )

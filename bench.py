@@ -70,10 +70,17 @@ def main() -> None:
     # a silently regenerated dtype): fail BEFORE the session with one
     # clear message if the parquet footers drifted past what the
     # catalog normalizes.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     try:
-        sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
         from check_fixture_schemas import check
-
+    except ImportError as exc:
+        # Only the IMPORT may be excused (missing pyarrow / renamed
+        # script) — and loudly, so a disabled tripwire is never
+        # mistaken for a clean check. The check() call itself is NOT
+        # wrapped: a drift detection must abort the bench.
+        print(f"WARNING: fixture tripwire skipped ({exc})", file=sys.stderr)
+        check = None
+    if check is not None:
         problems = check(sf_dir)
         if problems:
             print(
@@ -82,8 +89,6 @@ def main() -> None:
                 file=sys.stderr,
             )
             raise SystemExit(2)
-    except ImportError:
-        pass
 
     spark = get_session("hadoop-release-spark-bench")
 

@@ -267,7 +267,9 @@ def k08_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic stand-in: a fixed multiplier.
         mult = 100
         for texts in batches:
-            yield texts.str.split(" ").str.len().astype("int64") * mult
+            # nullable Int64: a NULL text row must degrade to NULL (as
+            # the SQL oracle does), not NaN→astype(int64) task crash.
+            yield texts.str.split(" ").str.len().astype("Int64") * mult
 
     d = table(spark, sf_dir, "documents")
     return d.select(

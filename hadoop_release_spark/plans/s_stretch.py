@@ -12,6 +12,19 @@ from pyspark.sql import functions as F
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.plans.registry import register
 
+#: s01 — configured HLL++ relative standard deviation; the published
+#: accuracy contract is err ~ N(0, rsd), so tests assert the ±3σ
+#: envelope of THIS constant (tests/test_stretch.py).
+S01_RSD = 0.02
+
+#: s02 — percentile_approx accuracy parameter; published guarantee:
+#: returned value's rank is within ±n/accuracy of the target rank.
+S02_ACCURACY = 10000
+
+#: s06 — Apache DataSketches HLL at Spark's default lgConfigK=12:
+#: relative standard error = 1.04 / sqrt(2^12).
+S06_HLL_RSE = 1.04 / (2 ** 12) ** 0.5
+
 
 @register("s01_approx_count_distinct", oracle=None, priority="P2")
 def s01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20,8 +33,8 @@ def s01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count at 100 TB cardinalities."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=S01_RSD).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=S01_RSD).alias("approx_orders"),
     )
 
 
@@ -31,8 +44,8 @@ def s02_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy=10000): single-pass bounded-memory quantiles."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+        F.percentile_approx("o_totalprice", 0.5, S02_ACCURACY).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.95, S02_ACCURACY).alias("approx_p95"),
     )
 
 

@@ -26,6 +26,16 @@ _ROWS_US = [
 _ROWS_NS = [1704067798778549000, 1704068166738090000]
 
 
+def _expected_collected(us: int) -> datetime.datetime:
+    """What PySpark's collect() yields for an internal epoch-µs value:
+    TimestampType.fromInternal converts via the OS-local zone, so the
+    expectation must be built the same way (a literal naive datetime
+    would only match on UTC machines)."""
+    return datetime.datetime.fromtimestamp(us // 1_000_000).replace(
+        microsecond=us % 1_000_000
+    )
+
+
 def _write_events(tmp_path, name: str, ts_array: pa.Array) -> str:
     tbl = pa.table(
         {
@@ -73,7 +83,7 @@ def test_values_identical_across_shapes(both_shapes):
     rows_ns = [r.asDict() for r in ns.orderBy("event_id").collect()]
     assert rows_us == rows_ns
     assert rows_us[0]["ts_ns"] == _ROWS_NS[0]
-    assert rows_us[0]["ts"] == _ROWS_US[0]
+    assert rows_us[0]["ts"] == _expected_collected(_US)
 
 
 def test_current_fixture_loads(spark, sf_dir):

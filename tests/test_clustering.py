@@ -21,8 +21,17 @@ def test_kmeans_covers_all_vectors_and_clusters(spark, sf_dir):
     assert len({r.cluster for r in out}) >= 2  # not everything in one bucket
 
 
-def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Lloyd's algorithm never increases inertia: assert the FULL
+    trajectory (every consecutive iteration pair), not just the
+    endpoints — a bug that oscillates mid-run would pass an
+    endpoint-only check."""
     e = table(spark, sf_dir, "embeddings")
-    inertia1 = sum(r.sq_dist for r in kmeans(e, k=4, max_iter=1).collect())
-    inertia4 = sum(r.sq_dist for r in kmeans(e, k=4, max_iter=4).collect())
-    assert inertia4 <= inertia1 * 1.001  # Lloyd never increases inertia
+    inertias = [
+        sum(r.sq_dist for r in kmeans(e, k=4, max_iter=i).collect())
+        for i in range(1, 5)
+    ]
+    for prev, cur in zip(inertias, inertias[1:]):
+        # 1e-3 relative slack: sq_dist is rounded to 3 decimals in the
+        # operator's output contract
+        assert cur <= prev * (1 + 1e-3), inertias

@@ -94,7 +94,12 @@ def test_interval_merge_matches_reference(spark, minutes):
             (r["start_us"], r["end_us"], r["n_events"])
             for r in specs()["e22_interval_merge"].fn(spark, tmp).collect()
         )
-        base_us = int(T0.timestamp()) * 1_000_000
+        # tz-pinned: the parquet column stores T0's naive wall-clock as
+        # UTC micros, so the reference base must be computed in UTC too
+        # (a bare .timestamp() would shift on any non-UTC machine).
+        base_us = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        )
         want = sorted(
             (base_us + int(s * 60e6), base_us + int(e * 60e6), n)
             for s, e, n in _reference_merge([float(m) for m in minutes])

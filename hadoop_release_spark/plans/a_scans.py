@@ -496,3 +496,43 @@ def a14_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("min_z"),
         F.max("zkey").alias("max_z"),
     )
+
+
+# --- conditional registration: Avro (environment-bound) -------------
+#
+# Spark's Avro DataSource lives in the EXTERNAL spark-avro jar (not
+# bundled with pyspark; only avro core/ipc/mapred are). This container
+# ships without it, so the a15 row registers only when the jar is
+# actually on the classpath — the query then participates in the full
+# oracle contract; its absence costs nothing (documented in SURVEY.md
+# §2 as conditional, and tests/test_contract.py knows the id).
+
+#: ids whose registration is environment-conditional.
+CONDITIONAL_IDS = frozenset({"a15_scan_avro_roundtrip"})
+
+
+def spark_avro_available() -> bool:
+    """True when a spark-avro DataSource jar is on the classpath
+    (pyspark's bundled jars dir or $SPARK_HOME/jars)."""
+    import glob
+    import os
+
+    import pyspark
+
+    dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    return any(glob.glob(os.path.join(d, "*spark-avro*")) for d in dirs)
+
+
+if spark_avro_available():
+
+    @register("a15_scan_avro_roundtrip", oracle="SELECT * FROM customer")
+    def a15_scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Avro round-trip (the Hadoop row container format):
+        customer → Avro → re-read with the explicit schema — the a02
+        CSV shape on the remaining Hadoop-ecosystem format. Doubles
+        and decimals survive natively (Avro logical types)."""
+        from hadoop_release_spark.sources.roundtrip import roundtrip_avro
+
+        return roundtrip_avro(table(spark, sf_dir, "customer"), "a15avro")

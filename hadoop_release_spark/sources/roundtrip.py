@@ -54,3 +54,14 @@ def roundtrip_text(df_one_string_col: DataFrame, label: str) -> DataFrame:
     path = scratch_dir(label)
     df_one_string_col.write.mode("overwrite").text(path)
     return df_one_string_col.sparkSession.read.text(path)
+
+
+def roundtrip_avro(df: DataFrame, label: str) -> DataFrame:
+    """Write as Avro (the Hadoop row-oriented container format),
+    re-read with the original schema. Requires the external
+    spark-avro DataSource jar — callers must gate on
+    ``plans.a_scans.spark_avro_available()``; the registration of
+    a15_scan_avro_roundtrip is conditional on that probe."""
+    path = scratch_dir(label)
+    df.write.mode("overwrite").format("avro").save(path)
+    return df.sparkSession.read.schema(df.schema).format("avro").load(path)

@@ -901,3 +901,32 @@ def c23_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("s_suppkey").cast("bigint").alias("n_suppliers"),
         )
     )
+
+
+#: c24 — ONE dialect-neutral LATERAL statement run verbatim by BOTH
+#: engines (the s09 pattern): the oracle IS this text.
+_C24_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE orders.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@register("c24_join_lateral", oracle=_C24_SQL, priority="P2")
+def c24_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (the Hive LATERAL VIEW / SQL:1999
+    lateral-derived-table surface): top-2 orders per customer, the
+    per-row-subquery phrasing of e10's top-k-per-group. The SAME SQL
+    text runs on both engines — proving the engine's lateral SQL
+    frontend, not just a hand-built plan that happens to agree.
+
+    Scale shape: Catalyst decorrelates the lateral subquery with
+    ORDER BY+LIMIT into a rank-filtered join (DomainJoin rewrite) —
+    one shuffle on the correlation key, never a per-customer
+    re-execution of the inner query. Customers without orders drop
+    (inner lateral), so the result is |matching customers| × ≤2."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_C24_SQL)

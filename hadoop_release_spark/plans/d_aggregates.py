@@ -979,3 +979,132 @@ def d25_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "d26_weighted_median",
+    oracle="""
+    WITH px AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), pp AS (
+      SELECT l_returnflag, cents, CAST(sum(qty) AS BIGINT) AS w
+      FROM px GROUP BY l_returnflag, cents
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents)
+                  AS BIGINT) AS cumw,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cumw >= total
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower weighted median: the smallest
+    value whose cumulative weight reaches half the total) — the
+    robust centre a quantity-weighted price distribution needs,
+    where d14's unweighted percentiles mislead. Entirely integer
+    (price → cents bigint, quantity → bigint), so the answer is
+    hash-exact with no float rule involved.
+
+    Scale shape: one (flag, cents)-keyed partial-agg shuffle
+    collapses duplicate prices BEFORE the window (the cum-weight
+    window then runs over |distinct prices| rows per flag, not
+    |lineitem|); the per-flag running sum parallelizes per flag
+    group. No driver-side state, no sort of the raw fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    px = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pp = px.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("w"))
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("total").alias("total_weight"),
+        )
+    )
+
+
+#: d27 day grain (µs per day) — matches the e-family epoch-day grid.
+_D27_DAY_US = 86_400_000_000
+
+
+@register(
+    "d27_entropy",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {_D27_DAY_US} AS day,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           round(ln(CAST(sum(n) AS DOUBLE))
+                 - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+                   / CAST(sum(n) AS DOUBLE), 6) AS entropy_nats
+    FROM per GROUP BY day
+    """,
+    priority="P2",
+)
+def d27_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix — the standard
+    drift/diversity monitor for an event stream (a collapsed-entropy
+    day = one event type dominating). Computed from integer
+    sufficient statistics via the algebraic form
+    H = ln(N) − Σ n·ln(n) / N, so both engines evaluate the same
+    expression over identical bigints; the transcendental output is
+    rounded to 6dp (libm-vs-Math noise ≈1e-15 ≪ the 5e-7 half-grid —
+    the h11 rule; the Σ spans ≤|event types| terms, so accumulation
+    order adds nothing).
+
+    Scale shape: one (day, type) partial-agg shuffle (map-side
+    combine collapses to ≤ days×types rows), then a days-sized
+    re-agg. No window, no raw-row shuffle."""
+    ev = table(spark, sf_dir, "events")
+    from hadoop_release_spark.functions.contracts import r6
+
+    per = ev.groupBy(
+        # integer DIV, not float `/`+cast: a µs value 1 below a day
+        # boundary divides to within 6e-22 of the next integer, which
+        # double rounding would flip across the boundary
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_D27_DAY_US}").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    return per.groupBy("day").agg(
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(nd * F.log(nd)).alias("_s"),
+    ).select(
+        "day",
+        "n_events",
+        "n_types",
+        r6(
+            F.log(F.col("n_events").cast("double"))
+            - F.col("_s") / F.col("n_events").cast("double")
+        ).alias("entropy_nats"),
+    )

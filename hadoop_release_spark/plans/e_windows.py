@@ -494,7 +494,10 @@ def e13_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this plan with the scan bounded by partition pruning on
     the event date."""
     ev = table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint").alias("day")
+        # integer DIV (not float `/`+cast): a µs value 1 below a day
+        # boundary double-divides to the NEXT integer — latent
+        # boundary flip the rest of the e-family already avoids
+        "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
     )
     cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = ev.distinct()
@@ -1290,4 +1293,102 @@ def e23_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).over(w_run).cast("bigint"),
         )
         .select("event_id", "user_id", "n_distinct_types_so_far")
+    )
+
+
+@register(
+    "e24_rolling_median",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, cents,
+           CAST(median(cents) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS med5_cents
+    FROM c
+    """,
+)
+def e24_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the last 5 per-user event values — the
+    robust smoother a spiky telemetry stream needs where e07's
+    moving AVERAGE chases outliers. Spark has no frame-capable
+    median window function, so the frame's values ride through
+    ``collect_list`` over the ROWS frame (bounded: ≤5 elements per
+    row, a constant — NOT a per-partition collect) and the median is
+    taken on the sorted array. Values are integer cents, so the
+    even-count midpoint is i+0.5 — exact in binary, hash-stable
+    (the only division is by the exact literal 2.0).
+
+    Scale shape: one shuffle on user_id (the window partition), then
+    a per-row O(frame) expression inside codegen. Frame size is the
+    knob — at 100 TB the cost is the same window shuffle e07 pays,
+    plus 5 longs of state per row."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(vals)
+    mid = (n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, mid + 1).cast("double")
+    ).otherwise(
+        (F.element_at(vals, mid) + F.element_at(vals, mid + 1)).cast("double")
+        / F.lit(2.0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        med.alias("med5_cents"),
+    )
+
+
+@register(
+    "e25_time_in_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             lead(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_intervals,
+           CAST(sum(next_us - t_us) AS BIGINT) AS total_us
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def e25_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total dwell time per state: each event opens an interval that
+    its user's NEXT event closes (e21's Markov transitions measure
+    how often states change; this measures how LONG they hold).
+    Each user's last event has no close and is excluded. All-integer
+    µs arithmetic — exact.
+
+    Scale shape: one user_id window shuffle for the lead, then a
+    tiny |event types|-cardinality agg with map-side partials."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    return (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("next_us") - F.col("t_us")).alias("total_us"),
+        )
     )

@@ -843,3 +843,59 @@ def l38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_TOP_TERMS)
         .select("doc_id", "term", F.col("rn").cast("long").alias("term_rank"))
     )
+
+
+#: l42 vocabulary size (top-K corpus tokens by frequency, ties by token).
+_L42_VOCAB_K = 100
+
+
+@register(
+    "l42_vocab_coverage",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS n FROM terms GROUP BY term
+    ), vocab AS (
+      SELECT term FROM counts ORDER BY n DESC, term LIMIT {_L42_VOCAB_K}
+    ), flagged AS (
+      SELECT t.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM terms t LEFT JOIN vocab v USING (term)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           (CAST(sum(oov) AS DOUBLE) / count(*)) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    priority="P2",
+)
+def l42_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate per document against the
+    corpus's own top-K token vocabulary — the standard pre-training
+    diagnostic for "will this tokenizer's vocab cover this corpus"
+    (a high-OOV doc is noise, another language, or code). The top-K
+    cut is tie-broken by token so the boundary is deterministic; the
+    rate is one bigint/bigint IEEE division — bit-identical, no
+    rounding (the e04 rule).
+
+    Scale shape: tf is the l04 explode+agg shuffle; the vocab is a
+    vocab-sized agg cut to K rows (orderBy+limit on |vocab| rows,
+    never the corpus) and BROADCAST back into the term stream — no
+    second corpus shuffle. At 100 TB the vocab table is still KB."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), "term")
+        .limit(_L42_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flagged = terms.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
+    )

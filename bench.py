@@ -59,6 +59,10 @@ HEADLINE = [
     "c22_join_temporal",     # point-in-time join, union-and-carry-forward
     "e18_ewma",              # decimal-exact weighted contribution explode
     "l39_block_dedup",       # sub-document boilerplate dedup
+    # round-5 flagships
+    "c24_join_lateral",      # decorrelated LATERAL top-2-per-key
+    "d26_weighted_median",   # all-integer cum-weight median
+    "e24_rolling_median",    # bounded-frame robust smoother
 ]
 
 

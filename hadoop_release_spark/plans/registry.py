@@ -166,6 +166,7 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             "a14_zorder_layout",
             # round-3 heavy tail (full-corpus gram/LSH passes)
             "l28_decontaminate", "l30_dedup_incremental",
+            "i14_mr_kcore",
             # large result materialization or compare payload
             "a01_scan_parquet", "d17_unpivot", "f01_sort_multi_nulls",
             "b01_project_columns", "b02_project_computed",

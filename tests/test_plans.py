@@ -221,3 +221,38 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_lateral_decorrelated_to_window(spark, sf_dir):
+    # c24: Catalyst must decorrelate the LATERAL ORDER BY+LIMIT
+    # subquery into a rank-filtered join — NEVER a per-outer-row
+    # re-execution (no nested-loop of the inner query, no cartesian).
+    plan = _plan(spark, sf_dir, "c24_join_lateral")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_median_windows_distinct_prices(spark, sf_dir):
+    # d26: the cum-weight window must run over the (flag, cents)
+    # aggregate — a HashAggregate BELOW the Window — so the window
+    # input is |distinct prices|, not |lineitem|.
+    plan = _plan(spark, sf_dir, "d26_weighted_median")
+    assert "Window" in plan, plan
+    agg_pos = plan.find("Window")
+    assert "HashAggregate" in plan[agg_pos:], plan
+
+
+def test_new_aggs_are_two_phase(spark, sf_dir):
+    # d27/e25/l42: partial (map-side) + final HashAggregate.
+    for name in ("d27_entropy", "e25_time_in_state", "l42_vocab_coverage"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, f"{name}\n{plan}"
+
+
+def test_kcore_no_cartesian_no_forced_broadcast(spark, sf_dir):
+    # i14: membership joins stay planner-chosen (broadcast via AQE at
+    # this size), never a cartesian; the peel is a join tree, not a
+    # driver-side loop over collected nodes.
+    plan = _plan(spark, sf_dir, "i14_mr_kcore")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan

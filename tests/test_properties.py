@@ -153,3 +153,139 @@ def test_normalize_events_shapes_agree(spark, us_vals):
     assert outs[0] == outs[1]
     # rows sort by event_id = input position, so ts_ns follows input order
     assert [t[2] for t in outs[0]] == [v * 1000 for v in us_vals]
+
+
+def _write_lineitem(tmp: str, rows: list[tuple[str, int, int]]) -> None:
+    """rows = (returnflag, price_cents, qty)."""
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "l_extendedprice": pa.array(
+                [r[1] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N"]),
+            st.integers(min_value=0, max_value=99999),  # 2dp-exact cents
+            st.integers(min_value=1, max_value=10),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_matches_reference(spark, rows):
+    """d26's distributed cum-weight chain must equal the sequential
+    lower weighted median (smallest value whose cumulative weight
+    reaches half the total) for ANY weighted multiset, including
+    duplicate prices (which the plan collapses pre-window)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d26_")
+    try:
+        _write_lineitem(tmp, rows)
+        got = {
+            r["l_returnflag"]: (r["wmedian_cents"], r["total_weight"])
+            for r in specs()["d26_weighted_median"].fn(spark, tmp).collect()
+        }
+        want = {}
+        for flag in {r[0] for r in rows}:
+            pairs = sorted((c, q) for f, c, q in rows if f == flag)
+            total = sum(q for _, q in pairs)
+            cum = 0
+            for c, q in pairs:
+                cum += q
+                if 2 * cum >= total:
+                    want[flag] = (c, total)
+                    break
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_events_cents(tmp: str, cents: list[int], types: list[str]) -> None:
+    n = len(cents)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array([c / 100.0 for c in cents], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=99999), min_size=1, max_size=40
+    )
+)
+def test_rolling_median_matches_reference(spark, cents):
+    """e24's frame-array median must equal the sequential median of
+    the last ≤5 values at every position, for any value sequence
+    (odd and even frame fills, duplicates)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e24_")
+    try:
+        _write_events_cents(tmp, cents, ["view"] * len(cents))
+        got = {
+            r["event_id"]: r["med5_cents"]
+            for r in specs()["e24_rolling_median"].fn(spark, tmp).collect()
+        }
+        for i in range(len(cents)):
+            frame = sorted(cents[max(0, i - 4) : i + 1])
+            n = len(frame)
+            want = (
+                float(frame[n // 2])
+                if n % 2 == 1
+                else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            )
+            assert got[i] == want, (i, got[i], want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "buy"]), min_size=2, max_size=40
+    )
+)
+def test_time_in_state_matches_reference(spark, types):
+    """e25's lead-interval aggregation must equal the sequential
+    per-state dwell-time sums (1-minute spacing, single user)."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e25_")
+    try:
+        _write_events_cents(tmp, [100] * len(types), types)
+        got = {
+            r["event_type"]: (r["n_intervals"], r["total_us"])
+            for r in specs()["e25_time_in_state"].fn(spark, tmp).collect()
+        }
+        want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+        for t in types[:-1]:  # the last event opens no closed interval
+            want[t][0] += 1
+            want[t][1] += 60_000_000
+        assert got == {k: tuple(v) for k, v in want.items()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

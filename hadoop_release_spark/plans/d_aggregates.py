@@ -1108,3 +1108,81 @@ def d27_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("_s") / F.col("n_events").cast("double")
         ).alias("entropy_nats"),
     )
+
+
+@register(
+    "d28_gini",
+    oracle="""
+    WITH cents AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT segment, x,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY x, o_orderkey) AS i,
+             count(*)  OVER (PARTITION BY segment) AS n,
+             sum(x)    OVER (PARTITION BY segment) AS s
+      FROM cents
+    ), sums AS (
+      SELECT segment,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(max(s) AS BIGINT) AS s,
+             CAST(sum(i * x) AS BIGINT) AS ws
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, n AS n_orders,
+           (CAST(2 * ws - (n + 1) * s AS DOUBLE)
+            / CAST(n * s AS DOUBLE)) AS gini
+    FROM sums
+    """,
+    priority="P2",
+)
+def d28_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per market segment —
+    the inequality/concentration profile (0 = uniform spend, →1 =
+    one whale). Uses the rank formula
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending-sorted
+    integer cents: every sufficient statistic is an exact bigint
+    (Σ i·x bounded ≈ n²·x̄ ≪ 2^63 at fixture scale; at 100 TB the
+    same stats ride as DECIMAL(38,0)), and the final value is ONE
+    bigint-ratio IEEE division — bit-identical, no rounding (the e04
+    rule). Ties are position-summed, so row_number's tie order
+    cannot change Σ i·x (equal x across the tied positions).
+
+    Scale shape: one join shuffle (orders⋈customer), one window
+    partitioning by segment shared by rank/count/sum, then a
+    segment-sized agg."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        "o_orderkey",
+    )
+    w_all = Window.partitionBy("segment")
+    w_ord = Window.partitionBy("segment").orderBy("x", "o_orderkey")
+    ranked = cents.select(
+        "segment",
+        "x",
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("s"),
+    )
+    sums = ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("ws"),
+    )
+    return sums.select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        (
+            (2 * F.col("ws") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    )

@@ -1392,3 +1392,122 @@ def e25_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("next_us") - F.col("t_us")).alias("total_us"),
         )
     )
+
+
+@register(
+    "e26_cusum_drift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {86_400_000_000} AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scaled AS (
+      SELECT event_type, day,
+             CAST(count(*) OVER (PARTITION BY event_type) * n
+                  - sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS x
+      FROM daily
+    ), pre AS (
+      SELECT event_type, day,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS p
+      FROM scaled
+    )
+    SELECT event_type, day,
+           CAST(p - least(min(p) OVER (PARTITION BY event_type
+                                       ORDER BY day), 0)
+                AS BIGINT) AS cusum_up
+    FROM pre
+    """,
+    priority="P2",
+)
+def e26_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-CUSUM change-point statistic per event type over daily
+    counts — the standard drift detector (a sustained rate increase
+    accumulates; noise resets). The textbook recursion
+    S_d = max(0, S_{d-1} + x_d) is NOT window-expressible, so the
+    plan uses the exact drawdown identity
+    S_d = P_d − min(0, min_{j≤d} P_j) — prefix sum minus running
+    minimum, where the min INCLUDES the empty prefix (P_{-1} = 0;
+    dropping that term understates S whenever the first deviations
+    are positive — the property test's [2,1] counterexample). The
+    deviation x_d = D·n_d − Σn is mean-centering SCALED BY the day
+    count D, keeping every intermediate a bigint: no float enters
+    the statistic at all (e19's z-scores flag single spikes; this
+    flags sustained level shifts).
+
+    Scale shape: one (type, day) partial-agg shuffle collapses the
+    raw events, then all three windows share ONE partitioning by
+    event_type — a single window shuffle over |types|×|days| rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    scaled = daily.select(
+        "event_type",
+        "day",
+        (F.count("*").over(w_all) * F.col("n") - F.sum("n").over(w_all))
+        .cast("long")
+        .alias("x"),
+    )
+    pre = scaled.select(
+        "event_type", "day", F.sum("x").over(w_ord).cast("long").alias("p")
+    )
+    return pre.select(
+        "event_type",
+        "day",
+        (F.col("p") - F.least(F.min("p").over(w_ord), F.lit(0)))
+        .cast("long")
+        .alias("cusum_up"),
+    )
+
+
+@register(
+    "e27_day_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {86_400_000_000} AS day
+      FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    priority="P2",
+)
+def e27_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus streak
+    count) — the engagement metric every product dashboard wants,
+    and the day-grain gaps-and-islands idiom: on DISTINCT active
+    days, ``day − row_number()`` is constant exactly within a
+    consecutive run. All-integer.
+
+    Scale shape: the distinct collapses raw events to user-days
+    (one shuffle); the island window and both aggs all partition by
+    user_id — AQE reuses one partitioning; no raw-event window."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )

@@ -289,3 +289,92 @@ def test_time_in_state_matches_reference(spark, types):
         assert got == {k: tuple(v) for k, v in want.items()}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    day_counts=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=30
+    )
+)
+def test_cusum_identity_matches_recursion(spark, day_counts):
+    """e26 computes S_d via the prefix-sum − running-min identity;
+    it must equal the textbook clamped recursion
+    S_d = max(0, S_{d-1} + x_d) for ANY daily-count sequence."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e26_")
+    try:
+        # one event type, one event per count unit, one day apart
+        cents, types, ts = [], [], []
+        for d, n in enumerate(day_counts):
+            for _ in range(n):
+                ts.append(T0 + datetime.timedelta(days=d))
+                cents.append(100)
+                types.append("view")
+        n_rows = len(ts)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n_rows), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n_rows, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([c / 100.0 for c in cents], pa.float64()),
+                "props": pa.array(["{}"] * n_rows),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            r["day"]: r["cusum_up"]
+            for r in specs()["e26_cusum_drift"].fn(spark, tmp).collect()
+        }
+        base_day = min(got)
+        D, total = len(day_counts), sum(day_counts)
+        s = 0
+        for d, n in enumerate(day_counts):
+            s = max(0, s + (D * n - total))
+            assert got[base_day + d] == s, (d, got[base_day + d], s)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40)
+)
+def test_day_streaks_match_reference(spark, days):
+    """e27's islands chain must equal the sequential streak scan for
+    ANY active-day set (single user; duplicates collapse upstream)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e27_")
+    try:
+        day_list = sorted(days)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(day_list)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for d in day_list],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(day_list), pa.int64()),
+                "event_type": pa.array(["view"] * len(day_list)),
+                "value": pa.array([1.0] * len(day_list), pa.float64()),
+                "props": pa.array(["{}"] * len(day_list)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        rows = specs()["e27_day_streaks"].fn(spark, tmp).collect()
+        assert len(rows) == 1
+        streaks, run = [], 1
+        for prev, cur in zip(day_list, day_list[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        assert rows[0]["longest_streak"] == max(streaks)
+        assert rows[0]["n_streaks"] == len(streaks)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -256,3 +256,14 @@ def test_kcore_no_cartesian_no_forced_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "i14_mr_kcore")
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_cusum_and_streaks_share_one_window_partitioning(spark, sf_dir):
+    # e26: three window functions + e27: window and both aggs must all
+    # reuse ONE partitioning after the collapsing agg — exactly two
+    # exchanges total ((key, day) agg shuffle + the key shuffle); a
+    # third exchange means a window spec stopped aligning.
+    for name in ("e26_cusum_drift", "e27_day_streaks"):
+        plan = _plan(spark, sf_dir, name)
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 2, f"{name}: {n_ex} exchanges\n{plan}"

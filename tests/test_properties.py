@@ -378,3 +378,108 @@ def test_day_streaks_match_reference(spark, days):
         assert rows[0]["n_streaks"] == len(streaks)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    day_types=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["view", "click", "buy"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_entropy_matches_reference(spark, day_types):
+    """d27's algebraic form H = ln(N) − Σ n·ln(n)/N must agree with
+    the definitional −Σ p·ln(p) within float noise, for any daily
+    event-type mix."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d27_")
+    try:
+        n_rows = len(day_types)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n_rows), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for d, _ in day_types],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n_rows, pa.int64()),
+                "event_type": pa.array([t for _, t in day_types]),
+                "value": pa.array([1.0] * n_rows, pa.float64()),
+                "props": pa.array(["{}"] * n_rows),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        rows = specs()["d27_entropy"].fn(spark, tmp).collect()
+        by_day = Counter()
+        for d, t in day_types:
+            by_day[(d, t)] += 1
+        days = {d for d, _ in day_types}
+        assert len(rows) == len(days)
+        # map absolute epoch-days back to input day offsets (inputs
+        # need not start at offset 0)
+        offset = min(r["day"] for r in rows) - min(days)
+        for r in rows:
+            d = r["day"] - offset
+            counts = [v for (dd, _), v in by_day.items() if dd == d]
+            n = sum(counts)
+            want = -sum((c / n) * math.log(c / n) for c in counts)
+            assert r["n_events"] == n and r["n_types"] == len(counts)
+            assert abs(r["entropy_nats"] - want) < 1e-6, (d, r, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_vocab_coverage_matches_reference(spark, texts):
+    """l42's broadcast-vocab OOV rates must equal the sequential
+    computation (top-K by count, ties by token asc) for ANY corpus —
+    including empty-string tokens from split boundaries."""
+    from collections import Counter
+
+    from hadoop_release_spark.plans.l_llm_ext import _L42_VOCAB_K
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l42_")
+    try:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+            for r in specs()["l42_vocab_coverage"].fn(spark, tmp).collect()
+        }
+        counts = Counter(tok for t in texts for tok in t.split(" "))
+        vocab = {
+            tok
+            for tok, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_L42_VOCAB_K
+            ]
+        }
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            oov = sum(1 for tok in toks if tok not in vocab)
+            assert got[i] == (len(toks), oov, oov / len(toks)), (i, got[i])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

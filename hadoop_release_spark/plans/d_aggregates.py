@@ -1186,3 +1186,59 @@ def d28_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "d29_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey,
+             CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey
+    ), tot AS (
+      SELECT CAST(sum(rev_e4) AS BIGINT) AS total_e4 FROM rev
+    )
+    SELECT r.s_nationkey, r.rev_e4,
+           (CAST(r.rev_e4 AS DOUBLE) / CAST(t.total_e4 AS DOUBLE))
+             AS rev_share
+    FROM rev r CROSS JOIN tot t
+    """,
+    priority="P2",
+)
+def d29_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution per supplier nation (the classic
+    RATIO_TO_REPORT / ratio-to-report OLAP function): net revenue as
+    a share of the grand total. Revenue rides as exact 4dp-scaled
+    bigints (price 2dp × (1−discount) 2dp = 4 true dp — the d22
+    decimal-transport rule), and the share is ONE bigint-ratio IEEE
+    division — bit-identical, no rounding (the e04 rule).
+
+    Scale shape: the grand total is a 1-row aggregate of the
+    25-row per-nation rollup, CROSS-JOINED back broadcast-style —
+    NEVER a partition-less window over the fact table (which would
+    collapse to a single task; the a14 stats-broadcast pattern).
+    One (nation) agg shuffle with map-side partials; supplier
+    broadcasts into the fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev4 = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum((rev4 * 10000).cast("long")).cast("long").alias("rev_e4"))
+    )
+    tot = rev.agg(F.sum("rev_e4").cast("long").alias("total_e4"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "s_nationkey",
+        "rev_e4",
+        (F.col("rev_e4").cast("double") / F.col("total_e4").cast("double")).alias(
+            "rev_share"
+        ),
+    )

@@ -244,7 +244,12 @@ def test_weighted_median_windows_distinct_prices(spark, sf_dir):
 
 def test_new_aggs_are_two_phase(spark, sf_dir):
     # d27/e25/l42: partial (map-side) + final HashAggregate.
-    for name in ("d27_entropy", "e25_time_in_state", "l42_vocab_coverage"):
+    for name in (
+        "d27_entropy",
+        "e25_time_in_state",
+        "l42_vocab_coverage",
+        "d29_ratio_to_report",
+    ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("HashAggregate") >= 2, f"{name}\n{plan}"
 

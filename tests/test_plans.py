@@ -167,6 +167,9 @@ _PLAN_NODE_ALLOWLIST = {
         # bucket projection.
         "d21_heavy_hitters",
         "d23_hist_equidepth",
+        # d29: same single-row-broadcast shape — the grand-total row
+        # attaches to the 25-row per-nation rollup (O(25·1)).
+        "d29_ratio_to_report",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -930,3 +930,99 @@ def c24_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_C24_SQL)
+
+
+@register(
+    "c25_join_nearest_event",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+      FROM events WHERE event_type IN ('error', 'click')
+    ), nb AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_id,
+             first_value(CASE WHEN event_type = 'click' THEN us END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_us,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_id
+      FROM ev
+    )
+    SELECT event_id, user_id,
+           CASE WHEN next_us IS NULL
+                     OR (prev_us IS NOT NULL
+                         AND us - prev_us <= next_us - us)
+                THEN prev_id ELSE next_id END AS nearest_click_id,
+           CASE WHEN next_us IS NULL
+                     OR (prev_us IS NOT NULL
+                         AND us - prev_us <= next_us - us)
+                THEN us - prev_us ELSE next_us - us END AS gap_us
+    FROM nb WHERE event_type = 'error'
+    """,
+    priority="P2",
+)
+def c25_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction temporal join: each error event pairs with
+    the temporally closest click by the same user, looking BOTH ways
+    (c12's as-of join is backward-only; this is pandas
+    merge_asof(direction='nearest') semantics). Tie at equal gap →
+    the earlier (backward) click; users with no click yield NULLs
+    (left-join semantics).
+
+    Implementation: no join at all — both sides interleave into one
+    (user_id)-partitioned stream ordered by (µs, event_id), and four
+    frame-bounded first/last IGNORE NULLS windows sharing that ONE
+    sort produce the previous/next click per row; the nearest pick
+    is a pure projection. The candidate-pair explosion a range join
+    would risk (|errors|×|clicks| per user) never exists.
+
+    Scale shape: one shuffle on user_id; all four windows reuse the
+    same exchange+sort (plan-pinned for e26/e27 alike). The
+    pre-filter to the two relevant event types pushes to the scan."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    sel = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    nb = sel.select(
+        "*",
+        F.last(click_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.last(click_id, ignorenulls=True).over(wp).alias("prev_id"),
+        F.first(click_us, ignorenulls=True).over(wn).alias("next_us"),
+        F.first(click_id, ignorenulls=True).over(wn).alias("next_id"),
+    )
+    pick_prev = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull()
+        & (F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"))
+    )
+    return nb.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_click_id"),
+        F.when(pick_prev, F.col("us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+        .alias("gap_us"),
+    )

@@ -1242,3 +1242,151 @@ def d29_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_share"
         ),
     )
+
+
+@register(
+    "d30_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+      FROM lineitem
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+             sum(CAST(d AS HUGEINT)) AS sd,
+             sum(CAST(q*q AS HUGEINT)) AS sqq, sum(CAST(p*p AS HUGEINT)) AS spp,
+             sum(CAST(d*d AS HUGEINT)) AS sdd,
+             sum(CAST(q*p AS HUGEINT)) AS sqp, sum(CAST(q*d AS HUGEINT)) AS sqd,
+             sum(CAST(d*p AS HUGEINT)) AS sdp
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      round(CAST(n*sqp - sq*sp AS DOUBLE)
+            / sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) AS corr_qty_price,
+      round(CAST(n*sqd - sq*sd AS DOUBLE)
+            / sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+            / sqrt(CAST(n*sdd - sd*sd AS DOUBLE)), 6) AS corr_qty_disc,
+      round(CAST(n*sdp - sd*sp AS DOUBLE)
+            / sqrt(CAST(n*sdd - sd*sd AS DOUBLE))
+            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) AS corr_disc_price
+    FROM s
+    """,
+    priority="P2",
+)
+def d30_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount) — the one-pass statistical
+    profiling primitive (d12 gives per-column moments; this gives the
+    cross-column structure a feature-drift monitor needs).
+
+    Exactness: every measure is a 2dp fixture double recovered to an
+    exact integer (cents / e2 units — the d28 rule), and ALL nine
+    sufficient statistics (Sx, Sxx, Sxy) accumulate as exact
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — integer addition is
+    order-free, so the shuffle's reduction order cannot perturb a
+    bit. The corr formula n·Sxy−Sx·Sy over exact integers is formed
+    in decimal, cast ONCE to double, and finished with IEEE
+    division/sqrt — identical expression tree in both engines;
+    output r6-rounded (the h11 transcendental rule covers the final
+    float ops' ±1 ulp).
+
+    Scale shape: ONE global partial+final aggregate — map-side
+    combine collapses every task to a single 10-number row, so the
+    shuffle carries #tasks rows regardless of table size. No window,
+    no join, no second pass (vs the naive corr-per-pair which would
+    rescan the fact table three times)."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.select(
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").alias("p"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("d"),
+    )
+    DEC = "decimal(38,0)"
+
+    def s(expr, name):  # exact integer accumulation, order-free
+        return F.sum(expr.cast(DEC)).alias(name)
+
+    q, p, d = F.col("q"), F.col("p"), F.col("d")
+    stats = m.agg(
+        F.count("*").cast(DEC).alias("n"),
+        s(q, "sq"), s(p, "sp"), s(d, "sd"),
+        s(q * q, "sqq"), s(p * p, "spp"), s(d * d, "sdd"),
+        s(q * p, "sqp"), s(q * d, "sqd"), s(d * p, "sdp"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        dx = F.sqrt((n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double"))
+        dy = F.sqrt((n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double"))
+        return F.round(num / dx / dy, 6)
+
+    return stats.select(
+        F.col("n").cast("long").alias("n_rows"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("sdp", "sd", "sp", "sdd", "spp").alias("corr_disc_price"),
+    )
+
+
+@register(
+    "d31_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                      * 100 AS BIGINT) AS VARCHAR),
+                            1, 1) AS INTEGER) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n_orders,
+      round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_share,
+      round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        AS benford_share,
+      round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+            - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        AS deviation
+    FROM counts CROSS JOIN tot
+    """,
+    priority="P2",
+)
+def d31_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of o_totalprice — the
+    classic data-quality / synthetic-data / fraud screen (a natural
+    multiplicative amount follows P(d)=log10(1+1/d); a generator
+    artifact shows up as a digit bump — visibly present in this
+    fixture's digit-4 spike).
+
+    Exactness: the leading significant digit is taken from the exact
+    integer cents via substring of its decimal rendering — NO
+    float log10 near a power-of-ten boundary (where a 1-ulp error
+    flips the digit); ×100 shifts but never changes the leading
+    significant digit. Shares are bigint-ratio IEEE divisions (e04
+    rule) and the Benford reference ln-form is r6-rounded (h11).
+
+    Scale shape: digit extraction is a per-row projection fused into
+    the scan; ONE partial+final agg to 9 rows; the grand total is a
+    single-row aggregate of those 9 CROSS-JOINED back
+    broadcast-style (the d29 pattern — never a partition-less
+    window)."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    counts = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t").cast("double")
+    ben = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(obs, 6).alias("observed_share"),
+        F.round(ben, 6).alias("benford_share"),
+        F.round(obs - ben, 6).alias("deviation"),
+    )

@@ -1511,3 +1511,63 @@ def e27_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.count("*").cast("long").alias("n_streaks"),
     )
+
+
+@register(
+    "e28_seq_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                                      AS BIGINT),
+                                 event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'v+c')) AS BIGINT)
+             AS browse_clicks,
+           CAST(len(regexp_extract_all(s, 'sv*p')) AS BIGINT)
+             AS quick_converts,
+           CAST(s LIKE '%s%p%' AS INTEGER) AS signup_then_purchase
+    FROM seq
+    """,
+    priority="P2",
+)
+def e28_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching per user — the
+    MATCH_RECOGNIZE / windowFunnel analog: each user's event history
+    collapses to an ordered symbol string (one char per event type —
+    the five fixture types have distinct initials) and patterns
+    become ordinary regexes over it. Counted here: non-overlapping
+    'v+c' runs (≥1 view directly followed by a click) and 'sv*p'
+    (signup → purchase with only views between); plus the loose
+    s…p conversion flag. Both engines scan leftmost-greedy
+    non-overlapping, so counts are well-defined; ordering inside the
+    string is pinned by (event-time µs, event_id) — a total order.
+
+    Scale shape: ONE user_id shuffle; collect_list+array_sort bounds
+    work and memory to a single user's history per row (the e11
+    sessionize caveat: a pathological user bounds the task, not the
+    table). The regex evaluates JVM-side per user-row — |users|
+    evaluations, not |events|."""
+    ev = table(spark, sf_dir, "events")
+    rec = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(rec)), lambda x: x["c"]), ""
+        ).alias("s"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("s", F.lit("v+c")).cast("long").alias("browse_clicks"),
+        F.regexp_count("s", F.lit("sv*p")).cast("long").alias("quick_converts"),
+        F.col("s").like("%s%p%").cast("int").alias("signup_then_purchase"),
+    )

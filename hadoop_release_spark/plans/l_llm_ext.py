@@ -899,3 +899,123 @@ def l42_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("long").alias("n_oov"),
         (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
     )
+
+
+@register(
+    "l43_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), per AS (
+      SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok
+    ), cnt AS (
+      SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM per GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt
+    ), doc AS (
+      SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens,
+             sum(CAST(p.n AS DOUBLE) * ln(CAST(c.c AS DOUBLE))) AS s
+      FROM per p JOIN cnt c USING (tok) GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(CAST(t.t AS DOUBLE)) - d.s / CAST(d.n_tokens AS DOUBLE),
+                 6) AS avg_nll
+    FROM doc d CROSS JOIN tot t
+    """,
+    priority="P2",
+)
+def l43_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model fluency score — the statistical
+    perplexity-proxy quality filter (the KenLM stand-in every
+    production corpus pipeline runs; l06/l20 are rule-based, this is
+    model-based): per-doc average negative log-likelihood under the
+    corpus's own unigram distribution,
+    avg_nll = ln(T) − (Σ_t n_dt·ln(c_t)) / len_d. Low = stereotyped
+    high-frequency text, high = rare-token soup — both tails are
+    what the filter cuts. Counts are exact bigints; the single float
+    reduction is r6-rounded (the d27 sufficient-stat rule; the per-
+    doc Σ spans ≤|distinct tokens in doc| terms).
+
+    Scale shape: the l04 TF-IDF topology — explode → (doc,token)
+    partial agg → token-keyed count agg → slim token join back →
+    doc agg. At 100 TB the unigram table is Zipf-concentrated: the
+    production variant broadcasts the top-K vocabulary and folds the
+    tail into one OOV smoothing mass (the l42 broadcast pattern);
+    the exact token join here is the reference semantics. The grand
+    total T is a single-row broadcast cross join (d29 pattern)."""
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    cnt = per.groupBy("tok").agg(F.sum("n").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    doc = (
+        per.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "s"
+            ),
+        )
+    )
+    return doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("t").cast("double"))
+            - F.col("s") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+@register(
+    "l44_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT tok AS w, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), pairs AS (
+      SELECT substring(w, CAST(i.i AS INTEGER), 2) AS pair, cnt
+      FROM words, unnest(range(1, length(w))) AS i(i)
+    ), agg AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count FROM agg
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+    priority="P2",
+)
+def l44_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer merge-selection step: corpus-weighted counts
+    of adjacent character pairs, top-20 by (count DESC, pair ASC) —
+    the inner loop of byte-pair-encoding tokenizer training (the
+    highest-count pair is the next merge). Deterministic total
+    order, so the top-20 is a full-hash contract.
+
+    Scale shape: the trainer's critical trick is running pair
+    extraction over the DISTINCT-WORD table (Zipf: ~100k types for
+    trillions of tokens), never over the corpus — one token-keyed
+    word-count shuffle, then per-TYPE char-pair explode (bounded by
+    word length), one pair-keyed agg, and a TakeOrderedAndProject
+    top-k (f02 shape — no global sort). Both engines index
+    characters, not bytes, so multibyte text pairs identically."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("pair_count"))
+    return agg.orderBy(F.desc("pair_count"), "pair").limit(20)

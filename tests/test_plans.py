@@ -170,6 +170,9 @@ _PLAN_NODE_ALLOWLIST = {
         # d29: same single-row-broadcast shape — the grand-total row
         # attaches to the 25-row per-nation rollup (O(25·1)).
         "d29_ratio_to_report",
+        # d31: same single-row-broadcast shape — the order grand
+        # total attaches to the 9-row digit histogram (O(9·1)).
+        "d31_benford",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.
@@ -275,3 +278,32 @@ def test_cusum_and_streaks_share_one_window_partitioning(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex == 2, f"{name}: {n_ex} exchanges\n{plan}"
+
+
+def test_corr_matrix_one_pass_two_phase(spark, sf_dir):
+    # d30: all nine sufficient statistics in ONE partial+final
+    # aggregate pass over a single scan — no per-pair rescan, no
+    # join, no window.
+    plan = _plan(spark, sf_dir, "d30_corr_matrix")
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_nearest_event_single_sort_no_join(spark, sf_dir):
+    # c25: all four first/last windows must reuse ONE user_id
+    # exchange+sort over the interleaved stream — a nearest join
+    # with zero Join nodes; the type pre-filter pushes to the scan.
+    plan = _plan(spark, sf_dir, "c25_join_nearest_event")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") <= 1 or plan.count("Sort [") <= 1, plan
+    assert "PushedFilters" in plan and "In(event_type" in plan, plan
+
+
+def test_seq_pattern_single_user_shuffle(spark, sf_dir):
+    # e28: one user_id agg shuffle; the regexes evaluate on the
+    # |users|-row aggregate, above the final HashAggregate.
+    plan = _plan(spark, sf_dir, "e28_seq_pattern")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan

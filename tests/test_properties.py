@@ -483,3 +483,179 @@ def test_vocab_coverage_matches_reference(spark, texts):
             assert got[i] == (len(toks), oov, oov / len(toks)), (i, got[i])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_lineitem_qpd(tmp: str, rows: list[tuple[int, int, int]]) -> None:
+    """lineitem with (qty_e2, price_cents, disc_e2) integer measures."""
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_quantity": pa.array([q / 100.0 for q, _, _ in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [p / 100.0 for _, p, _ in rows], pa.float64()
+            ),
+            "l_discount": pa.array([d / 100.0 for _, _, d in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9999),
+            st.integers(min_value=0, max_value=99999),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_corr_matrix_matches_reference(spark, rows):
+    """d30's decimal sufficient-stat corr must equal the exact
+    integer-arithmetic Pearson formula for ANY 2dp measure set (two
+    spread anchor rows keep every variance nonzero)."""
+    import math
+
+    from hadoop_release_spark.plans.registry import specs
+
+    rows = rows + [(0, 0, 0), (9999, 99999, 99)]
+    tmp = tempfile.mkdtemp(prefix="prop_d30_")
+    try:
+        _write_lineitem_qpd(tmp, rows)
+        got = specs()["d30_corr_matrix"].fn(spark, tmp).collect()[0]
+        n = len(rows)
+        q = [r[0] for r in rows]
+        p = [r[1] for r in rows]
+        d = [r[2] for r in rows]
+
+        def ref(x, y):
+            num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+            dx = math.sqrt(float(n * sum(a * a for a in x) - sum(x) ** 2))
+            dy = math.sqrt(float(n * sum(b * b for b in y) - sum(y) ** 2))
+            return float(num) / dx / dy
+
+        assert got["n_rows"] == n
+        assert abs(got["corr_qty_price"] - ref(q, p)) < 2e-6
+        assert abs(got["corr_qty_disc"] - ref(q, d)) < 2e-6
+        assert abs(got["corr_disc_price"] - ref(d, p)) < 2e-6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=99_999_999),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_benford_matches_reference(spark, cents):
+    """d31's string-derived leading digit must equal str(cents)[0]
+    and its shares the log10 Benford law, for any positive amounts
+    (incl. powers of ten, where a float-log derivation would be
+    1-ulp fragile)."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d31_")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(cents)), pa.int64()),
+                "o_totalprice": pa.array(
+                    [c / 100.0 for c in cents], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        rows = specs()["d31_benford"].fn(spark, tmp).collect()
+        want = Counter(int(str(c)[0]) for c in cents)
+        assert {r["digit"]: r["n_orders"] for r in rows} == dict(want)
+        t = len(cents)
+        for r in rows:
+            dig = r["digit"]
+            assert abs(r["observed_share"] - want[dig] / t) < 2e-6
+            assert abs(r["benford_share"] - math.log10(1 + 1 / dig)) < 2e-6
+            assert (
+                abs(r["deviation"] - (want[dig] / t - math.log10(1 + 1 / dig)))
+                < 2e-6
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_seq_pattern_matches_re_findall(spark, types):
+    """e28's JVM regexp counts over the collected symbol string must
+    equal Python re.findall on the sequentially built string — the
+    leftmost-greedy non-overlapping contract — for any event-type
+    sequence."""
+    import re
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e28_")
+    try:
+        _write_events_cents(tmp, [100] * len(types), types)
+        row = specs()["e28_seq_pattern"].fn(spark, tmp).collect()[0]
+        s = "".join(t[0] for t in types)
+        assert row["n_events"] == len(types)
+        assert row["browse_clicks"] == len(re.findall("v+c", s))
+        assert row["quick_converts"] == len(re.findall("sv*p", s))
+        assert row["signup_then_purchase"] == (
+            1 if re.search("s.*p", s, re.DOTALL) else 0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    types=st.lists(
+        st.sampled_from(["error", "click", "view"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_nearest_event_matches_brute_force(spark, types):
+    """c25's interleaved-window nearest pick must equal the O(E·C)
+    brute-force nearest-click scan (tie → the earlier click; no
+    click → NULLs), for any error/click interleaving. 'view' rows
+    prove the type pre-filter."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_c25_")
+    try:
+        _write_events_cents(tmp, [100] * len(types), types)
+        got = {
+            r["event_id"]: (r["nearest_click_id"], r["gap_us"])
+            for r in specs()["c25_join_nearest_event"].fn(spark, tmp).collect()
+        }
+        min_us = 60_000_000
+        clicks = [(i * min_us, i) for i, t in enumerate(types) if t == "click"]
+        errors = [(i * min_us, i) for i, t in enumerate(types) if t == "error"]
+        assert set(got) == {i for _, i in errors}
+        for us, i in errors:
+            if not clicks:
+                assert got[i] == (None, None)
+                continue
+            # min by (gap, forward-flag): tie prefers the backward click
+            gap, _, cid = min(
+                (abs(cus - us), 0 if cus <= us else 1, ci)
+                for cus, ci in clicks
+            )
+            assert got[i] == (cid, gap), (i, got[i], (cid, gap))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -377,3 +377,45 @@ def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "doc_id long, width int, height int, ahash_lo long, ahash_hi long"
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """mapInPandas perceptual average-hash (aHash): REAL BMP decode →
+    integer gray (r+g+b)//3 → 8×8 nearest-neighbor sample grid
+    (cell (u,v) samples source pixel ((u·w)//8, (v·h)//8) — the m04
+    floor rule) → mean threshold, ALL-INTEGER: bit idx (= v·8+u) is
+    set iff 64·gray > Σgray, so no float mean can waver at the
+    boundary. The 64 bits ship as two bigints (lo = bits 0–31,
+    hi = 32–63) — Spark has no unsigned 64-bit integer."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, rgb = decode_bmp(bytes(payload))
+                gray = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                    .sum(axis=2)
+                    // 3
+                )
+                xs = (np.arange(8) * w) // 8
+                ys = (np.arange(8) * h) // 8
+                g = gray[np.ix_(ys, xs)].ravel()  # idx = v*8 + u
+                s = int(g.sum())
+                bits = [1 if 64 * int(v) > s else 0 for v in g]
+                lo = sum(b << i for i, b in enumerate(bits[:32]))
+                hi = sum(b << i for i, b in enumerate(bits[32:]))
+                rows.append((doc_id, w, h, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash_lo", "ahash_hi"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=AHASH_SCHEMA)

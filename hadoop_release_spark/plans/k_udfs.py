@@ -276,3 +276,35 @@ def k08_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (feature("text") + F.col("n_chars") % 100).cast("long").alias("feature"),
     )
+
+
+@register(
+    "k09_udf_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders
+    """,
+    priority="P2",
+)
+def k09_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``) — k01's exact
+    price-band semantics through the third eval path in the UDF
+    matrix: row-wise Python *logic* but Arrow-batched *transport*
+    (ArrowEvalPython, plan-pinned), eliminating pickle
+    serialization, the biggest cost of the classic path. Completes
+    the API surface: k01 pickled row UDF · k02 vectorized pandas ·
+    k09 arrow row UDF · k06/k07 map-batch forms."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def band(price: float) -> str:
+        if price > 300000:
+            return "high"
+        if price > 100000:
+            return "mid"
+        return "low"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))

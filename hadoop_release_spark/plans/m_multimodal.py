@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.multimodal import (
     attach_audio_payload,
+    image_ahash,
     attach_video_payload,
     attach_fake_payload,
     attach_image_payload,
@@ -193,3 +194,73 @@ def m05_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch fits executor memory (module docstring rule)."""
     d = attach_video_payload(table(spark, sf_dir, "documents"))
     return sample_video_frames(d)
+
+
+@register(
+    "m06_image_phash",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, n_chars % 13 + 4 AS w, n_chars % 7 + 4 AS h,
+             md5(CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, w, h, i.i AS idx,
+             3 * ((((i.i // 8) * h) // 8) * w + (((i.i % 8) * w) // 8)) AS p,
+             hex
+      FROM docs, unnest(range(0, 64)) AS i(i)
+    ), gray AS (
+      SELECT doc_id, w, h, idx,
+        ( (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*(p % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*(p % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+1) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+1) % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+2) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+2) % 16)+2, 1))-1)
+        ) // 3 AS g
+      FROM cells
+    ), tot AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS s FROM gray GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(max(g.w) AS INTEGER) AS width,
+           CAST(max(g.h) AS INTEGER) AS height,
+           CAST(sum(CASE WHEN g.idx < 32 AND 64*g.g > t.s
+                         THEN (CAST(1 AS BIGINT) << g.idx)
+                         ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(CASE WHEN g.idx >= 32 AND 64*g.g > t.s
+                         THEN (CAST(1 AS BIGINT) << (g.idx - 32))
+                         ELSE 0 END) AS BIGINT) AS ahash_hi
+    FROM gray g JOIN tot t ON g.doc_id = t.doc_id
+    GROUP BY g.doc_id
+    """,
+    priority="P2",
+)
+def m06_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the image
+    NEAR-dedup primitive (l01-for-pixels is exact byte dedup; this
+    survives resize/re-encode: images hash to the same 64 bits when
+    their 8×8 gray thumbnails threshold identically; Hamming
+    distance ≤ k = near-duplicate). Downstream the 64 bits band into
+    4×16-bit buckets exactly like l11's SimHash bands — candidate
+    pairs come from bucket joins, never all-pairs.
+
+    FULL-ORACLE like m02: the fixture payload builder derives pixels
+    from md5(doc_id) repeated, so the oracle replays construction +
+    nearest-neighbor sampling + the ALL-INTEGER threshold
+    (bit ⇔ 64·gray > Σgray — no float mean) in pure SQL, and the
+    hash gate verifies the REAL BMP decode + numpy downsample path
+    bit-for-bit. The planted-duplicate pytest proves equal payloads
+    → equal hashes and a small perturbation → small Hamming gap.
+
+    Scale shape: payload decode is the one unavoidable Python stage
+    (Arrow-batched mapInPandas, the m02 posture); everything after
+    is 5 slim integer columns. Metadata-only predicates must run
+    BEFORE this stage so pruned payloads never cross Arrow."""
+    d = attach_image_payload(table(spark, sf_dir, "documents"))
+    return image_ahash(d)

@@ -167,3 +167,64 @@ def test_resize_deterministic_across_runs(spark):
     a = sorted(map(tuple, resize_image_features(d).collect()))
     b = sorted(map(tuple, resize_image_features(d).collect()))
     assert a == b and len(a) == 20
+
+
+# ------------------------------------------------------------------
+# m06 aHash: planted duplicates + hand-pinned threshold arithmetic
+# ------------------------------------------------------------------
+
+
+def test_ahash_identical_payloads_collide(spark):
+    """The near-dedup contract: byte-identical images → identical
+    64-bit aHash regardless of doc_id; a small pixel perturbation →
+    a small Hamming distance (≠ hash equality), a wholesale pixel
+    inversion → a large one."""
+    from hadoop_release_spark.operators.multimodal import image_ahash
+
+    w, h = 9, 6
+    rgb = bytes((i * 31) % 256 for i in range(w * h * 3))
+    near = bytearray(rgb)
+    near[0] = (near[0] + 40) % 256  # nudge one pixel channel
+    far = bytes(255 - b for b in rgb)
+    df = spark.createDataFrame(
+        [
+            (1, encode_bmp(w, h, rgb)),
+            (2, encode_bmp(w, h, rgb)),
+            (3, encode_bmp(w, h, bytes(near))),
+            (4, encode_bmp(w, h, far)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: (r["ahash_lo"], r["ahash_hi"]) for r in image_ahash(df).collect()}
+    assert rows[1] == rows[2]
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    assert hamming(rows[1], rows[3]) <= 4
+    assert hamming(rows[1], rows[4]) >= 32
+
+
+def test_ahash_threshold_arithmetic_by_hand(spark):
+    """Pin the integer threshold rule (bit ⇔ 64·gray > Σgray) on an
+    8×8 image whose gray values are known exactly: left half dark
+    (gray 10), right half bright (gray 200) → bits set exactly on
+    the bright columns."""
+    from hadoop_release_spark.operators.multimodal import image_ahash
+
+    w = h = 8
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 10 if x < 4 else 200
+            rgb += bytes((v, v, v))
+    df = spark.createDataFrame(
+        [(7, encode_bmp(w, h, bytes(rgb)))], "doc_id long, payload binary"
+    )
+    [row] = image_ahash(df).collect()
+    assert (row["width"], row["height"]) == (8, 8)
+    # bright cells are u in 4..7 of every row v: idx = v*8+u
+    expect = [1 if (i % 8) >= 4 else 0 for i in range(64)]
+    lo = sum(b << i for i, b in enumerate(expect[:32]))
+    hi = sum(b << i for i, b in enumerate(expect[32:]))
+    assert (row["ahash_lo"], row["ahash_hi"]) == (lo, hi)

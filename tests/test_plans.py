@@ -173,6 +173,9 @@ _PLAN_NODE_ALLOWLIST = {
         # d31: same single-row-broadcast shape — the order grand
         # total attaches to the 9-row digit histogram (O(9·1)).
         "d31_benford",
+        # l43: same single-row-broadcast shape — the corpus token
+        # total T attaches to the per-doc NLL rollup (O(docs·1)).
+        "l43_lm_score",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.
@@ -307,3 +310,11 @@ def test_seq_pattern_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "e28_seq_pattern")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_arrow_udf_uses_arrow_eval(spark, sf_dir):
+    # k09: must plan as ArrowEvalPython (Arrow transport), NOT the
+    # pickled BatchEvalPython path k01 deliberately demonstrates.
+    plan = _plan(spark, sf_dir, "k09_udf_arrow")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -659,3 +659,87 @@ def test_nearest_event_matches_brute_force(spark, types):
             assert got[i] == (cid, gap), (i, got[i], (cid, gap))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_docs(tmp: str, texts: list[str]) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lm_score_matches_reference(spark, texts):
+    """l43's distributed unigram NLL must equal the sequential
+    ln(T) − Σ ln(c_t)/len computation for ANY corpus (duplicate
+    tokens, empty-string tokens from split boundaries)."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l43_")
+    try:
+        _write_docs(tmp, texts)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+            for r in specs()["l43_lm_score"].fn(spark, tmp).collect()
+        }
+        counts = Counter(tok for t in texts for tok in t.split(" "))
+        total = sum(counts.values())
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            want = math.log(total) - sum(
+                math.log(counts[tok]) for tok in toks
+            ) / len(toks)
+            assert got[i][0] == len(toks)
+            assert abs(got[i][1] - want) < 2e-6, (i, got[i], want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_pairs_match_reference(spark, texts):
+    """l44's distinct-word pair counts must equal the sequential
+    BPE pair-count scan (count DESC, pair ASC, top-20) for ANY
+    corpus, including single-char and empty words (no pairs)."""
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l44_")
+    try:
+        _write_docs(tmp, texts)
+        got = [
+            (r["pair"], r["pair_count"])
+            for r in specs()["l44_bpe_pairs"].fn(spark, tmp).collect()
+        ]
+        words = Counter(tok for t in texts for tok in t.split(" "))
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += cnt
+        want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1026,3 +1026,56 @@ def c25_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_us") - F.col("us"))
         .alias("gap_us"),
     )
+
+
+@register(
+    "c26_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type
+      FROM events GROUP BY event_type
+      HAVING sum(CAST(value AS DECIMAL(25,8))) > 50 * count(*)
+    )
+    SELECT e.event_type, count(*) AS n_events
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type
+    """,
+    priority="P2",
+)
+def c26_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE 100 TB star-join scan killer:
+    the fact table is laid out partitioned by the join key, the dim
+    filter is on a NON-key attribute (here: mean event value > 50,
+    via the exact-decimal form sum > 50·count so both engines cut
+    the same groups), so the set of surviving partitions is known
+    only at RUNTIME. Catalyst plants a dynamicpruning subquery in
+    the fact scan's PartitionFilters (plan-pinned): the dim side
+    evaluates first and unselected partition DIRECTORIES are never
+    read — at a 1000-partition fact table with 2 qualifying keys,
+    998 directories of I/O vanish. Static pushdown (a06's re-read
+    filter) cannot do this; c02's broadcast prunes ROWS, this
+    prunes FILES.
+
+    Scale shape: the partitioned scratch layout stands in for the
+    production table layout; dim agg is partial+final; the join is
+    planner-chosen broadcast at this dim size."""
+    from hadoop_release_spark.sources.roundtrip import scratch_dir
+
+    ev = table(spark, sf_dir, "events").drop("ts_ns")
+    path = scratch_dir("c26dpp")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,8)")).alias("sv"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("sv") > F.col("cnt") * 50)
+    )
+    return (
+        fact.join(dim.select("event_type"), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -1571,3 +1571,103 @@ def e28_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("s", F.lit("sv*p")).cast("long").alias("quick_converts"),
         F.col("s").like("%s%p%").cast("int").alias("signup_then_purchase"),
     )
+
+
+def _ntile5(rn: str, n: str, div: str) -> str:
+    """Explicit SQL ntile(5) from a 1-based total-order rank — the
+    standard spec (first n%5 buckets get one extra row), written out
+    so BOTH engines compute the same arithmetic instead of trusting
+    two native ntile implementations to agree. Validated against
+    DuckDB's native ntile for n ∈ {1..15, 1500}. ``div`` is the
+    integer-division token ('DIV' Spark, '//' DuckDB); CASE
+    short-circuits, so the n<5 ⇒ size=0 branch never divides."""
+    size = f"({n} {div} 5)"
+    extra = f"({n} % 5)"
+    cut = f"({extra} * ({size} + 1))"
+    return (
+        f"CASE WHEN {rn} <= {cut} THEN ({rn} - 1) {div} ({size} + 1) + 1 "
+        f"ELSE {extra} + ({rn} - 1 - {cut}) {div} {size} + 1 END"
+    )
+
+
+_E29_DAY_US = 86_400_000_000
+
+
+@register(
+    "e29_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             max(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                 // {_E29_DAY_US}) AS r_day,
+             count(*) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), t AS (SELECT count(*) AS n FROM base),
+    r AS (
+      SELECT base.*,
+             row_number() OVER (ORDER BY r_day, o_custkey) AS rn_r,
+             row_number() OVER (ORDER BY n_orders, o_custkey) AS rn_f,
+             row_number() OVER (ORDER BY monetary_cents, o_custkey) AS rn_m
+      FROM base
+    )
+    SELECT o_custkey, r_day, n_orders, monetary_cents,
+           {_ntile5('rn_r', 'n', '//')} AS rfm_r,
+           {_ntile5('rn_f', 'n', '//')} AS rfm_f,
+           {_ntile5('rn_m', 'n', '//')} AS rfm_m,
+           100 * ({_ntile5('rn_r', 'n', '//')})
+             + 10 * ({_ntile5('rn_f', 'n', '//')})
+             + ({_ntile5('rn_m', 'n', '//')}) AS rfm_code
+    FROM r CROSS JOIN t
+    """,
+    priority="P2",
+)
+def e29_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic customer-base stratification: each customer ranked
+    into quintiles on last-order day, order count, and exact
+    lifetime cents; segment code = 100·R + 10·F + M (555 = best).
+    Quintiles come from an EXPLICIT ntile formula over a 1-based
+    total-order rank (ties broken by custkey), written identically
+    in both engines — native ntile is never trusted across engines.
+
+    Scale shape: the per-customer rollup is one partial+final agg;
+    each of the three global ranks uses operators/rank.py's
+    range-partition two-phase numbering (the TeraSort shape) — a
+    partition-less `row_number() OVER (ORDER BY …)` window would
+    collapse a 10^8-customer dim to one task. The population count
+    is a single-row broadcast (d29 pattern)."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_E29_DAY_US}"
+            )
+        ).alias("r_day"),
+        F.count("*").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    ranked = global_row_number(base, ["r_day", "o_custkey"], "rn_r")
+    ranked = global_row_number(ranked, ["n_orders", "o_custkey"], "rn_f")
+    ranked = global_row_number(ranked, ["monetary_cents", "o_custkey"], "rn_m")
+    tot = base.agg(F.count("*").alias("n"))
+    qr = F.expr(_ntile5("rn_r", "n", "DIV"))
+    qf = F.expr(_ntile5("rn_f", "n", "DIV"))
+    qm = F.expr(_ntile5("rn_m", "n", "DIV"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "r_day",
+        "n_orders",
+        "monetary_cents",
+        qr.alias("rfm_r"),
+        qf.alias("rfm_f"),
+        qm.alias("rfm_m"),
+        (100 * qr + 10 * qf + qm).alias("rfm_code"),
+    )

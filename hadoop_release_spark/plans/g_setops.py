@@ -9,7 +9,7 @@ hash-aggregate or hash-join shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -146,3 +146,67 @@ def g07_union_mismatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") > 500, "long").otherwise("short").alias("quality_tier"),
     )
     return gen_a.unionByName(gen_b, allowMissingColumns=True)
+
+
+@register(
+    "g08_coalesce_sources",
+    oracle="""
+    WITH gen2 AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             'gen2' AS src, 1 AS rank
+      FROM orders WHERE o_orderstatus = 'O'
+    ), gen1 AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + 100 AS price_cents,
+             'gen1' AS src, 2 AS rank
+      FROM orders
+    ), unioned AS (
+      SELECT * FROM gen2 UNION ALL SELECT * FROM gen1
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY rank) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, price_cents, src
+    FROM ranked WHERE rn = 1
+    """,
+    priority="P2",
+)
+def g08_coalesce_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-precedence merge (ingestion-time record coalescing):
+    when the same key arrives from multiple pipeline generations,
+    keep the highest-precedence version per key — the batch analog
+    of CDC last-writer-wins (e14 compacts by TIME; this coalesces by
+    SOURCE RANK, the rule when a fresh partial feed overlays a stale
+    full feed). Planted scenario: gen2 re-delivers the open orders
+    with fresh prices; gen1 is the stale full snapshot (cents+100);
+    open orders must surface gen2, everything else falls back.
+
+    Scale shape: unionByName is a zero-shuffle concat; ONE key
+    shuffle drives the precedence window (min-rank per key), the
+    same posture as e14. At extreme per-key duplication the window
+    degrades to a min_by aggregate — same single shuffle."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    gen2 = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        cents.alias("price_cents"),
+        F.lit("gen2").alias("src"),
+        F.lit(1).alias("rank"),
+    )
+    gen1 = o.select(
+        "o_orderkey",
+        (cents + 100).alias("price_cents"),
+        F.lit("gen1").alias("src"),
+        F.lit(2).alias("rank"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("rank")
+    return (
+        gen2.unionByName(gen1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "price_cents", "src")
+    )

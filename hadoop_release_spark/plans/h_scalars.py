@@ -582,3 +582,35 @@ def h21_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@register(
+    "h22_hash_functions",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    priority="P2",
+)
+def h22_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content digests per document — the
+    content-addressing primitive under exact dedup (l01), CAS-keyed
+    storage layouts, and integrity manifests (the distcp -checksum
+    analog, i08). md5 and SHA-256 are bit-portable across engines by
+    definition (the ONLY portable content hashes — SURVEY §2 rule 6:
+    xxhash64/crc32 exist in Spark but have no DuckDB twin, so
+    cross-engine contracts must never key on them). Lowercase hex in
+    both engines; pure projection fused into the scan, zero
+    shuffles. The ASCII fixture makes byte-length = char-length;
+    both digests hash UTF-8 bytes, so the contract holds for any
+    text."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )

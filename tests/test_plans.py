@@ -132,6 +132,7 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
 _AUDIT_SKIP_PREFIXES = (
     "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
     "a12", "a13", "j0", "j1", "c15", "s04", "s05", "s07",
+    "c26",  # partitioned scratch write (the DPP layout) — pinned below
 )
 
 #: The ONLY queries allowed to contain each anti-pattern node, with
@@ -176,6 +177,9 @@ _PLAN_NODE_ALLOWLIST = {
         # l43: same single-row-broadcast shape — the corpus token
         # total T attaches to the per-doc NLL rollup (O(docs·1)).
         "l43_lm_score",
+        # e29: same single-row-broadcast shape — the population count
+        # attaches to the per-customer RFM rollup (O(customers·1)).
+        "e29_rfm_segments",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.
@@ -318,3 +322,26 @@ def test_arrow_udf_uses_arrow_eval(spark, sf_dir):
     plan = _plan(spark, sf_dir, "k09_udf_arrow")
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_dpp_plants_runtime_partition_filter(spark, sf_dir):
+    # c26: the fact scan's PartitionFilters must carry a
+    # dynamicpruning subquery — runtime FILE pruning, not a static
+    # pushdown and not row filtering after read.
+    plan = _plan(spark, sf_dir, "c26_join_dpp")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln for ln in pf), plan
+
+
+def test_rfm_never_single_partition(spark, sf_dir):
+    # e29: three GLOBAL rankings with zero single-partition stages —
+    # the two-phase range-partition numbering, not a partition-less
+    # row_number window.
+    plan = _plan(spark, sf_dir, "e29_rfm_segments")
+    # every row_number window is partitioned by the range-partition id
+    # (no global-order window); the only single-partition stage allowed
+    # is the one-row population-count aggregate.
+    n_specs = plan.count("windowspecdefinition(")
+    assert n_specs == plan.count("windowspecdefinition(__rank_pid"), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "rangepartitioning" in plan, plan

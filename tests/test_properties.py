@@ -743,3 +743,110 @@ def test_bpe_pairs_match_reference(spark, texts):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # custkey
+            st.integers(min_value=0, max_value=40),   # order day offset
+            st.integers(min_value=1, max_value=99999),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rfm_matches_reference(spark, rows):
+    """e29's two-phase-ranked quintiles must equal the sequential
+    ntile(5) spec (first n%5 buckets one larger; ties by custkey)
+    for ANY order set — including n<5 customers (empty ELSE
+    branch) and heavy metric ties."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e29_")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array(
+                    [T0 + datetime.timedelta(days=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array(
+                    [r[2] / 100.0 for r in rows], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        got = {
+            r["o_custkey"]: (r["rfm_r"], r["rfm_f"], r["rfm_m"], r["rfm_code"])
+            for r in specs()["e29_rfm_segments"].fn(spark, tmp).collect()
+        }
+
+        base = {}
+        for ck, day, cents in rows:
+            r_day, n, m = base.get(ck, (-1, 0, 0))
+            base[ck] = (max(r_day, day), n + 1, m + cents)
+        n = len(base)
+
+        def ntile5(rn):
+            size, extra = n // 5, n % 5
+            cut = extra * (size + 1)
+            if rn <= cut:
+                return (rn - 1) // (size + 1) + 1
+            return extra + (rn - 1 - cut) // size + 1
+
+        def quint(metric_idx):
+            order = sorted(base, key=lambda ck: (base[ck][metric_idx], ck))
+            return {ck: ntile5(i + 1) for i, ck in enumerate(order)}
+
+        qr, qf, qm = quint(0), quint(1), quint(2)
+        assert set(got) == set(base)
+        for ck in base:
+            want = (qr[ck], qf[ck], qm[ck], 100 * qr[ck] + 10 * qf[ck] + qm[ck])
+            assert got[ck] == want, (ck, got[ck], want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["O", "F", "P"]),
+            st.integers(min_value=1, max_value=99999),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_coalesce_sources_precedence(spark, rows):
+    """g08: open orders must surface the gen2 (fresh) row, everything
+    else the gen1 fallback (stale cents+100) — exactly one survivor
+    per key, for any status mix."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_g08_")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_orderstatus": pa.array([r[0] for r in rows]),
+                "o_totalprice": pa.array(
+                    [r[1] / 100.0 for r in rows], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        got = {
+            r["o_orderkey"]: (r["src"], r["price_cents"])
+            for r in specs()["g08_coalesce_sources"].fn(spark, tmp).collect()
+        }
+        assert len(got) == len(rows)
+        for i, (status, cents) in enumerate(rows):
+            want = ("gen2", cents) if status == "O" else ("gen1", cents + 100)
+            assert got[i] == want, (i, got[i], want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -63,6 +63,10 @@ HEADLINE = [
     "c24_join_lateral",      # decorrelated LATERAL top-2-per-key
     "d26_weighted_median",   # all-integer cum-weight median
     "e24_rolling_median",    # bounded-frame robust smoother
+    "e28_seq_pattern",       # MATCH_RECOGNIZE regex over event strings
+    "l44_bpe_pairs",         # BPE merge step over distinct words
+    "d30_corr_matrix",       # one-pass 9-stat correlation matrix
+    "m06_image_phash",       # aHash decode+downsample near-dedup
 ]
 
 

@@ -22,18 +22,25 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 
 
-def global_prefix_sum(
-    df: DataFrame, order_cols: list, value_col: str, out_name: str = "cum_before"
+def global_prefix_sums(
+    df: DataFrame, order_cols: list, value_cols: list, out_names: list
 ) -> DataFrame:
-    """Append the EXCLUSIVE global prefix sum of ``value_col`` (long)
-    in the total order of ``order_cols`` (must be a total order).
+    """Append the EXCLUSIVE global prefix sums of each ``value_cols``
+    (long) in the total order of ``order_cols`` (must be a total
+    order) — k running totals for the price of ONE pass.
 
     Same two-phase shape as :func:`global_row_number` — a naive
     ``sum() OVER (ORDER BY …)`` with no PARTITION BY collapses to one
-    partition. Here: range-partition by the order keys, per-partition
-    running sum (parallel window), then per-partition totals → a
-    #partitions-sized offset list broadcast back. The persist is
-    load-bearing for the same sampling reason as global_row_number."""
+    partition. Here: range-partition by the order keys ONCE,
+    per-partition running sums for ALL k columns in one parallel
+    window, then one per-partition-totals collect (#partitions × k
+    longs) broadcast back. Callers needing several cumulative series
+    over the same order (d32's two ECDFs) must use this instead of
+    stacking single-column passes: the sampling pass, persist, and
+    sort are the cost, and they amortize across columns. The persist
+    is load-bearing for the same sampling reason as
+    global_row_number."""
+    assert len(value_cols) == len(out_names) and value_cols
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parted = df.repartitionByRange(n_part, *order_cols).withColumn(
         _PID, F.spark_partition_id()
@@ -42,32 +49,52 @@ def global_prefix_sum(
 
     totals = (
         parted.groupBy(_PID)
-        .agg(F.sum(F.col(value_col).cast("long")).alias("__psum"))
+        .agg(
+            *[
+                F.sum(F.col(c).cast("long")).alias(f"__psum_{i}")
+                for i, c in enumerate(value_cols)
+            ]
+        )
         .orderBy(_PID)
         .collect()
     )
-    rows, acc = [], 0
+    rows, acc = [], [0] * len(value_cols)
     for row in totals:
-        rows.append((row[_PID], acc))
-        acc += row["__psum"] or 0
-    offset_df = df.sparkSession.createDataFrame(
-        rows, f"{_PID} int, __sum_offset long"
+        rows.append((row[_PID], *acc))
+        for i in range(len(value_cols)):
+            acc[i] += row[f"__psum_{i}"] or 0
+    off_schema = f"{_PID} int, " + ", ".join(
+        f"__sum_offset_{i} long" for i in range(len(value_cols))
     )
+    offset_df = df.sparkSession.createDataFrame(rows, off_schema)
 
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        parted.withColumn("__incl", F.sum(F.col(value_col).cast("long")).over(w))
-        .join(F.broadcast(offset_df), _PID)
-        .withColumn(
-            out_name,
-            (F.col("__incl") - F.col(value_col) + F.col("__sum_offset")).cast("long"),
+    out = parted
+    for i, c in enumerate(value_cols):
+        out = out.withColumn(f"__incl_{i}", F.sum(F.col(c).cast("long")).over(w))
+    out = out.join(F.broadcast(offset_df), _PID)
+    for i, (c, name) in enumerate(zip(value_cols, out_names)):
+        out = out.withColumn(
+            name,
+            (F.col(f"__incl_{i}") - F.col(c) + F.col(f"__sum_offset_{i}")).cast(
+                "long"
+            ),
         )
-        .drop(_PID, "__incl", "__sum_offset")
-    )
+    drops = [_PID] + [f"__incl_{i}" for i in range(len(value_cols))] + [
+        f"__sum_offset_{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drops)
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols: list, value_col: str, out_name: str = "cum_before"
+) -> DataFrame:
+    """Single-column form of :func:`global_prefix_sums`."""
+    return global_prefix_sums(df, order_cols, [value_col], [out_name])
 
 
 def global_row_number(df: DataFrame, cols: list, rn_name: str = "rn") -> DataFrame:

@@ -1390,3 +1390,119 @@ def d31_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford_share"),
         F.round(obs - ben, 6).alias("deviation"),
     )
+
+
+@register(
+    "d32_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents, CAST(sum(is1) AS BIGINT) AS a,
+             CAST(sum(1 - is1) AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             sum(a) OVER (ORDER BY cents) AS c1,
+             sum(b) OVER (ORDER BY cents) AS c2
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+      FROM per
+    ), disc AS (
+      SELECT cents, CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS dnum
+      FROM cum CROSS JOIN tot
+    ), mx AS (
+      SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM disc
+    )
+    SELECT t.n1, t.n2, m.d_num,
+           CAST(m.d_num AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat,
+           (SELECT min(cents) FROM disc WHERE dnum = m.d_num) AS d_at_cents
+    FROM tot t CROSS JOIN mx m
+    """,
+    priority="P2",
+)
+def d32_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (finalized 'F' vs open
+    'O' order totals) — the DISTRIBUTION-level A/B comparison (d22's
+    Welch t-test sees only means; KS sees any ECDF divergence). The
+    statistic is exact rational arithmetic end-to-end:
+    D = max_v |c1(v)·N2 − c2(v)·N1| / (N1·N2) over pooled distinct
+    cents, so both engines take the max of IDENTICAL bigints and the
+    only float is the final single IEEE division (e04 rule);
+    d_at_cents (smallest value attaining the max) pins the argmax
+    deterministically.
+
+    Scale shape: one shuffle collapses the pool to distinct values
+    with per-sample counts; BOTH cumulative counts ride ONE
+    range-partitioned two-phase prefix sum each (operators/rank.py —
+    never a partition-less running window); the three 1-row
+    reductions (totals, max, argmin) cross-join back broadcast-style
+    (d29 pattern, O(1) rows). At larger N1·N2 than bigint, the
+    products move to decimal(38,0) unchanged."""
+    from hadoop_release_spark.operators.rank import global_prefix_sums
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    is1 = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    per = (
+        o.select(cents.alias("cents"), is1.alias("is1"))
+        .groupBy("cents")
+        .agg(
+            F.sum("is1").cast("long").alias("a"),
+            F.sum(1 - F.col("is1")).cast("long").alias("b"),
+        )
+    )
+    # per feeds four downstream consumers (two prefix-sum passes, the
+    # totals row, and through them disc twice more); persist once so
+    # the pooled-distinct aggregation runs a single time. Released by
+    # the registry wrapper before the next query.
+    per = per.persist()
+    # ONE range-partitioned pass carries BOTH cumulative counts
+    # (global_prefix_sums amortizes the sampling/sort across series).
+    cum = global_prefix_sums(per, ["cents"], ["a", "b"], ["c1x", "c2x"])
+    cum = cum.select(
+        "cents",
+        "a",
+        "b",
+        (F.col("c1x") + F.col("a")).alias("c1"),  # exclusive → inclusive
+        (F.col("c2x") + F.col("b")).alias("c2"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    disc = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("long")
+        .alias("dnum"),
+    )
+    # disc feeds the max row, the argmin row, and nothing else —
+    # persist so the prefix-sum lineage is not replayed per reduction.
+    disc = disc.persist()
+    mx = disc.agg(F.max("dnum").cast("long").alias("d_num"))
+    at = (
+        disc.join(F.broadcast(mx), disc.dnum == mx.d_num)
+        .agg(F.min("cents").alias("d_at_cents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("d_stat"),
+            "d_at_cents",
+        )
+    )

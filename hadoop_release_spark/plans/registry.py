@@ -167,6 +167,9 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             # round-3 heavy tail (full-corpus gram/LSH passes)
             "l28_decontaminate", "l30_dedup_incremental",
             "i14_mr_kcore",
+            # round-5 measured ≥2.5 s driver-shaped (three two-phase
+            # rank persist+collect passes / partitioned DPP write)
+            "e29_rfm_segments", "c26_join_dpp", "d32_ks_test",
             # large result materialization or compare payload
             "a01_scan_parquet", "d17_unpivot", "f01_sort_multi_nulls",
             "b01_project_columns", "b02_project_computed",

@@ -180,6 +180,9 @@ _PLAN_NODE_ALLOWLIST = {
         # e29: same single-row-broadcast shape — the population count
         # attaches to the per-customer RFM rollup (O(customers·1)).
         "e29_rfm_segments",
+        # d32: same single-row-broadcast shape — totals/max/argmin
+        # rows attach to the distinct-value ECDF table (O(V·1)).
+        "d32_ks_test",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

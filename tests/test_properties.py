@@ -850,3 +850,54 @@ def test_coalesce_sources_precedence(spark, rows):
             assert got[i] == want, (i, got[i], want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O", "P"]),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=60,
+    ).filter(
+        lambda rs: any(s == "F" for s, _ in rs) and any(s == "O" for s, _ in rs)
+    )
+)
+def test_ks_matches_reference(spark, rows):
+    """d32's prefix-sum KS statistic must equal the brute-force
+    max |c1·N2 − c2·N1| over pooled values (with the smallest argmax
+    value) for any two samples — heavy ties included; 'P' rows prove
+    the pre-filter."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d32_")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_orderstatus": pa.array([r[0] for r in rows]),
+                "o_totalprice": pa.array(
+                    [r[1] / 100.0 for r in rows], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        [got] = specs()["d32_ks_test"].fn(spark, tmp).collect()
+        s1 = sorted(c for s, c in rows if s == "F")
+        s2 = sorted(c for s, c in rows if s == "O")
+        n1, n2 = len(s1), len(s2)
+        best, best_at = -1, None
+        for v in sorted(set(s1) | set(s2)):
+            c1 = sum(1 for x in s1 if x <= v)
+            c2 = sum(1 for x in s2 if x <= v)
+            d = abs(c1 * n2 - c2 * n1)
+            if d > best:
+                best, best_at = d, v
+        assert (got["n1"], got["n2"]) == (n1, n2)
+        assert got["d_num"] == best
+        assert got["d_at_cents"] == best_at
+        assert abs(got["d_stat"] - best / (n1 * n2)) < 1e-12
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1506,3 +1506,110 @@ def d32_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_at_cents",
         )
     )
+
+
+@register(
+    "d33_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, pri
+    ), rt AS (
+      SELECT seg, CAST(sum(obs) AS BIGINT) AS rtot FROM cells GROUP BY seg
+    ), ct AS (
+      SELECT pri, CAST(sum(obs) AS BIGINT) AS ctot FROM cells GROUP BY pri
+    ), tot AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n,
+             count(DISTINCT seg) AS nr, count(DISTINCT pri) AS nc
+      FROM cells
+    ), dense AS (
+      -- the FULL nr x nc grid: unobserved cells are REAL zero cells
+      SELECT rt.seg, ct.pri, rt.rtot, ct.ctot,
+             COALESCE(c2.obs, 0) AS obs
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells c2 ON c2.seg = rt.seg AND c2.pri = ct.pri
+    ), terms AS (
+      SELECT CAST((CAST(obs AS HUGEINT) * n - CAST(rtot AS HUGEINT) * ctot)
+                  * (CAST(obs AS HUGEINT) * n - CAST(rtot AS HUGEINT) * ctot)
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * rtot * ctot AS DOUBLE) AS term,
+             n, nr, nc
+      FROM dense CROSS JOIN tot
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           round(sum(term), 6) AS chi2,
+           CASE WHEN least(max(nr) - 1, max(nc) - 1) > 0
+                THEN round(sqrt(sum(term)
+                           / (CAST(max(n) AS DOUBLE)
+                              * least(max(nr) - 1, max(nc) - 1))), 6)
+           END AS cramers_v
+    FROM terms
+    """,
+    priority="P2",
+)
+def d33_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the market-segment ×
+    order-priority contingency table (+ Cramér's V effect size) —
+    the CATEGORICAL member of the stats suite (d22 Welch-t compares
+    means, d32 KS compares continuous distributions, this tests
+    association between two categorical fields — the feature-
+    independence screen). Each cell term is
+    (obs·N − rt·ct)² / (N·rt·ct) with numerator and denominator
+    formed EXACTLY in decimal(38,0)/HUGEINT (the obs·N products
+    overflow bigint at cluster row counts), ONE cast to double per
+    cell, and a 25-term float sum — r6-rounded (the d27 rule: the
+    Σ spans ≤|cells| terms).
+
+    Scale shape: one fact join + ONE (seg, pri) partial+final agg
+    collapses everything to |cells| rows; row/col totals are
+    cells-sized re-aggs joined back (planner-chosen broadcast at 5
+    rows); the grand-total row is a single-row broadcast (d29
+    pattern). The fact table is touched exactly once."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("obs").cast("long").alias("rtot"))
+    ct = cells.groupBy("pri").agg(F.sum("obs").cast("long").alias("ctot"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("pri").alias("nc"),
+    )
+    DEC = "decimal(38,0)"
+    # the FULL grid: an unobserved (seg, pri) combination is a REAL
+    # zero cell and contributes (rt*ct)^2/(N*rt*ct) — dropping it
+    # understates chi2 (caught by the hypothesis property test).
+    dense = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, ["seg", "pri"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    num = (
+        F.col("obs").cast(DEC) * F.col("n") - F.col("rtot").cast(DEC) * F.col("ctot")
+    )
+    den = F.col("n").cast(DEC) * F.col("rtot") * F.col("ctot")
+    terms = dense.crossJoin(F.broadcast(tot)).select(
+        ((num * num).cast("double") / den.cast("double")).alias("term"),
+        "n",
+        "nr",
+        "nc",
+    )
+    chi2 = F.sum("term")
+    mn = F.least(F.max("nr") - 1, F.max("nc") - 1)
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        # a 1×k table has no association dimension: NULL, never a
+        # divide-by-zero (ANSI mode aborts the task otherwise)
+        F.when(
+            mn > 0, F.round(F.sqrt(chi2 / (F.max("n").cast("double") * mn)), 6)
+        ).alias("cramers_v"),
+    )

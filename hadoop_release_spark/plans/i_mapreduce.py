@@ -814,3 +814,65 @@ def i14_mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("survives_peel"),
         F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("peel_degree"),
     )
+
+
+@register(
+    "i15_mr_matmul",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(l_partkey % 40 AS BIGINT) AS i,
+             CAST(l_suppkey % 30 AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS av
+      FROM lineitem GROUP BY 1, 2
+    ), b AS (
+      SELECT CAST(o_custkey % 30 AS BIGINT) AS k,
+             CAST(o_orderkey % 20 AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS bv
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.i, b.j, CAST(sum(a.av * b.bv) AS BIGINT) AS c
+    FROM a JOIN b ON a.k = b.k
+    GROUP BY a.i, b.j
+    """,
+    priority="P2",
+)
+def i15_mr_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix multiply — the last canonical MapReduce program
+    missing from the i-family (wordcount, grep, sorts, joins, graph
+    ops, inverted index … and matmul): C(i,j) = Σ_k A(i,k)·B(k,j)
+    as the classic two-job shape — map emits by shared inner
+    dimension k, reduce joins and partially aggregates (i,j). The
+    40×30 / 30×20 integer matrices derive deterministically from the
+    fixture keys (cell = occurrence count), so C is exact bigint and
+    full-hash.
+
+    Scale shape: build each sparse matrix with ONE partial+final agg
+    over its fact table, join on k (planner-chosen; both sides
+    collapsed to matrix cells, not fact rows), then ONE (i,j) agg
+    with map-side combine — Spark fuses MapReduce's two jobs into a
+    single shuffle DAG, no intermediate HDFS materialization. For
+    dense blocks at cluster scale the same plan runs over
+    block-partitioned cells ((i-block, k-block) keys) so no single
+    k-stripe exceeds a task; cell values wider than bigint move to
+    decimal(38,0) unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    a = (
+        li.groupBy(
+            (F.col("l_partkey") % 40).cast("long").alias("i"),
+            (F.col("l_suppkey") % 30).cast("long").alias("k"),
+        )
+        .agg(F.count("*").cast("long").alias("av"))
+    )
+    b = (
+        o.groupBy(
+            (F.col("o_custkey") % 30).cast("long").alias("k"),
+            (F.col("o_orderkey") % 20).cast("long").alias("j"),
+        )
+        .agg(F.count("*").cast("long").alias("bv"))
+    )
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("av") * F.col("bv")).cast("long").alias("c"))
+    )

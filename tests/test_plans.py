@@ -183,6 +183,9 @@ _PLAN_NODE_ALLOWLIST = {
         # d32: same single-row-broadcast shape — totals/max/argmin
         # rows attach to the distinct-value ECDF table (O(V·1)).
         "d32_ks_test",
+        # d33: margin-grid cross (5×5 bounded category lattice, the
+        # c09 shape) + the single-row grand-total broadcast.
+        "d33_chi_square",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

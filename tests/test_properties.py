@@ -901,3 +901,122 @@ def test_ks_matches_reference(spark, rows):
         assert abs(got["d_stat"] - best / (n1 * n2)) < 1e-12
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),        # custkey
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"]),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_chi_square_matches_reference(spark, rows):
+    """d33's decimal cell terms must equal the sequential χ² and
+    Cramér's V for any contingency shape (degenerate 1×k tables
+    give χ²=0, dof=0)."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d33_")
+    try:
+        segs = ["A", "B", "C"]
+        cust = pa.table(
+            {
+                "c_custkey": pa.array(range(1, 7), pa.int64()),
+                "c_mktsegment": pa.array([segs[k % 3] for k in range(1, 7)]),
+            }
+        )
+        pq.write_table(cust, f"{tmp}/customer.parquet")
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderpriority": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(orders, f"{tmp}/orders.parquet")
+        [got] = specs()["d33_chi_square"].fn(spark, tmp).collect()
+
+        obs = Counter((segs[ck % 3], pri) for ck, pri in rows)
+        rt = Counter()
+        ct = Counter()
+        for (s, p), o in obs.items():
+            rt[s] += o
+            ct[p] += o
+        n = sum(obs.values())
+        # the FULL grid — unobserved combinations are zero cells
+        chi2 = sum(
+            (obs.get((s, p), 0) * n - rt[s] * ct[p]) ** 2
+            / (n * rt[s] * ct[p])
+            for s in rt
+            for p in ct
+        )
+        dof = (len(rt) - 1) * (len(ct) - 1)
+        assert got["n"] == n and got["dof"] == dof
+        assert abs(got["chi2"] - chi2) < 2e-6, (got, chi2)
+        mn = min(len(rt) - 1, len(ct) - 1)
+        if mn > 0:
+            assert abs(got["cramers_v"] - math.sqrt(chi2 / (n * mn))) < 2e-6
+        else:
+            assert got["cramers_v"] is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    li=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 4)),
+        min_size=1,
+        max_size=50,
+    ),
+    od=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3)),
+        min_size=1,
+        max_size=50,
+    ),
+)
+def test_matmul_matches_reference(spark, li, od):
+    """i15's join-agg product must equal the sequential sparse
+    matmul of the two occurrence-count matrices for any key sets
+    (empty intersection on k → empty product)."""
+    from collections import Counter
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_i15_")
+    try:
+        tbl = pa.table(
+            {
+                "l_partkey": pa.array([p for p, _ in li], pa.int64()),
+                "l_suppkey": pa.array([s for _, s in li], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+        tbl = pa.table(
+            {
+                "o_custkey": pa.array([c for c, _ in od], pa.int64()),
+                "o_orderkey": pa.array([k for _, k in od], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        got = {
+            (r["i"], r["j"]): r["c"]
+            for r in specs()["i15_mr_matmul"].fn(spark, tmp).collect()
+        }
+        a = Counter((p % 40, s % 30) for p, s in li)
+        b = Counter((c % 30, k % 20) for c, k in od)
+        want: Counter = Counter()
+        for (i, k), av in a.items():
+            for (k2, j), bv in b.items():
+                if k == k2:
+                    want[(i, j)] += av * bv
+        assert got == dict(want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1019,3 +1019,86 @@ def l44_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("pair_count"))
     return agg.orderBy(F.desc("pair_count"), "pair").limit(20)
+
+
+@register(
+    "l45_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), a AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM d GROUP BY source
+    ), hh AS (
+      SELECT source, h, count(*) AS c FROM d GROUP BY source, h
+    ), b AS (
+      SELECT source,
+             CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS n_dup_docs
+      FROM hh GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, b.n_dup_docs,
+           CAST(a.n_tokens AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS avg_tokens,
+           CAST(b.n_dup_docs AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS dup_rate
+    FROM a JOIN b USING (source)
+    """,
+    priority="P2",
+)
+def l45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table every corpus
+    release ships (and every ingestion review reads): document and
+    token counts, language breadth, and the exact-duplicate rate
+    (docs whose md5(text) collides within the source), per source.
+    Counts are exact bigints; the two rates are single bigint-ratio
+    IEEE divisions (e04 rule).
+
+    Scale shape: one (source, md5) partial+final agg — the l01
+    exact-dedup shuffle keyed by (source, digest), carrying 16-byte
+    digests, never text — feeding a sources-sized rollup; the
+    parallel per-source token/lang agg shuffles the same slim
+    derived columns; final join is sources-sized (broadcast). The
+    corpus is scanned ONCE per branch with only derived slim
+    columns leaving the scan."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    a = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    b = (
+        d.groupBy("source", "h")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    return a.join(b, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_dup_docs",
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_tokens"
+        ),
+        (
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

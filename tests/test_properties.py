@@ -1020,3 +1020,38 @@ def test_matmul_matches_reference(spark, li, od):
         assert got == dict(want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dataset_card_planted_duplicates(spark):
+    """l45: a planted within-source duplicate pair must count BOTH
+    copies in n_dup_docs; cross-source identical text must NOT (dedup
+    scope is per source); rates are exact bigint ratios."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="l45_card_")
+    try:
+        texts = ["a b c", "a b c", "x y", "a b c", "solo doc here"]
+        srcs = ["s1", "s1", "s1", "s2", "s2"]
+        langs = ["en", "de", "en", "en", "en"]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(srcs),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["source"]: r
+            for r in specs()["l45_dataset_card"].fn(spark, tmp).collect()
+        }
+        s1, s2 = got["s1"], got["s2"]
+        assert (s1["n_docs"], s1["n_tokens"], s1["n_langs"]) == (3, 8, 2)
+        assert s1["n_dup_docs"] == 2 and s1["dup_rate"] == 2 / 3
+        # "a b c" also exists in s2, but only once there — no dup
+        assert (s2["n_docs"], s2["n_dup_docs"]) == (2, 0)
+        assert s2["avg_tokens"] == 6 / 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

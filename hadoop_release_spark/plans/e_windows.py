@@ -1671,3 +1671,97 @@ def e29_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         qm.alias("rfm_m"),
         (100 * qr + 10 * qf + qm).alias("rfm_code"),
     )
+
+
+#: e30 funnel window: signup → click → purchase within 2 days.
+_E30_WINDOW_US = 172_800_000_000
+
+
+def _e30_merge(div: str) -> str:
+    """The funnel-fold transition, shared verbatim by both engines
+    (``div``: Spark 'DIV', DuckDB '//'). State acc = t1·4 + stage
+    (stage 0–3, t1 = µs of the chain-opening signup); event
+    x = t·8 + step (step 1=signup, 2=click, 3=purchase — sorting
+    the encoded bigints IS time order, step asc on µs ties). A step
+    advances the stage only within the window measured from the
+    FIRST signup (earliest-start semantics, documented)."""
+    t = f"(x {div} 8)"
+    t1 = f"(acc {div} 4)"
+    return (
+        f"CASE WHEN acc % 4 = 0 AND x % 8 = 1 THEN {t} * 4 + 1 "
+        f"WHEN acc % 4 = 1 AND x % 8 = 2 AND {t} - {t1} <= {_E30_WINDOW_US} "
+        f"THEN {t1} * 4 + 2 "
+        f"WHEN acc % 4 = 2 AND x % 8 = 3 AND {t} - {t1} <= {_E30_WINDOW_US} "
+        f"THEN {t1} * 4 + 3 "
+        f"ELSE acc END"
+    )
+
+
+@register(
+    "e30_windowed_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) * 8
+               + CASE event_type WHEN 'signup' THEN 1
+                                 WHEN 'click' THEN 2 ELSE 3 END AS x
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ), folded AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list(x ORDER BY x)),
+               (acc, x) -> {_e30_merge('//')}
+             ) AS fin
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(fin % 4 AS BIGINT) AS stages_completed,
+           CASE WHEN fin % 4 > 0 THEN fin // 4 END AS funnel_start_us
+    FROM folded
+    """,
+    priority="P2",
+)
+def e30_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel (the ClickHouse windowFunnel analog):
+    how far does each user get through signup → click → purchase
+    with every step landing within 2 days of their FIRST signup
+    (earliest-start semantics)? e12 counts ordered steps with no
+    clock and e28 regex-matches order alone — a trial-conversion
+    window needs the time bound, and a regex cannot express it.
+
+    The per-user state machine runs as a HIGHER-ORDER FOLD
+    (`aggregate` in Spark, `list_reduce` in DuckDB) over the
+    time-sorted encoded event list; the transition CASE is ONE
+    shared text (_e30_merge), all-integer (state = t1·4+stage,
+    event = t·8+step), so the fold is bit-identical cross-engine and
+    full-hash. Encoding trick: sorting the bigints IS (time, step)
+    order, so one array_sort replaces a struct comparator.
+
+    Scale shape: pre-filter to the three step types pushes to the
+    scan; ONE user_id agg shuffle; the fold is JVM-side per user-row
+    (|users| evaluations, each O(user events)); the e11 caveat —
+    one pathological user's history bounds the task, not the
+    table."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    enc = F.unix_micros("ts") * 8 + (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+    )
+    per = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(enc.cast("long"))).alias("evs")
+    )
+    fin = F.expr(
+        f"aggregate(evs, CAST(0 AS BIGINT), (acc, x) -> {_e30_merge('DIV')})"
+    )
+    return per.select(
+        "user_id",
+        (fin % 4).cast("long").alias("stages_completed"),
+        # integer unpack: >>2 ≡ DIV 4 for the nonnegative state — a
+        # float `/4` would round at ulp 0.25 once t1·4 nears 2^53
+        F.when(fin % 4 > 0, F.shiftright(fin.cast("long"), 2))
+        .cast("long")
+        .alias("funnel_start_us"),
+    )

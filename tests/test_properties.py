@@ -1055,3 +1055,50 @@ def test_dataset_card_planted_duplicates(spark):
         assert s2["avg_tokens"] == 6 / 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    types=st.lists(
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_windowed_funnel_matches_reference(spark, types):
+    """e30's cross-engine fold must equal the sequential
+    earliest-start state machine (stage advances only within the
+    window from the FIRST signup) for any event mix; 'view' rows
+    prove the pre-filter. One-minute spacing keeps every chain
+    inside the 2-day window for ≤60 events, so the reference also
+    exercises repeated/ignored steps."""
+    from hadoop_release_spark.plans.e_windows import _E30_WINDOW_US
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e30_")
+    try:
+        _write_events_cents(tmp, [100] * len(types), types)
+        rows = specs()["e30_windowed_funnel"].fn(spark, tmp).collect()
+        if all(t == "view" for t in types):
+            assert rows == []
+            return
+        [got] = rows
+        min_us = 60_000_000
+        base = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        stage, t1 = 0, None
+        step_of = {"signup": 1, "click": 2, "purchase": 3}
+        for i, ty in enumerate(types):
+            if ty == "view":
+                continue
+            t = base + i * min_us
+            s = step_of[ty]
+            if stage == 0 and s == 1:
+                stage, t1 = 1, t
+            elif stage == 1 and s == 2 and t - t1 <= _E30_WINDOW_US:
+                stage = 2
+            elif stage == 2 and s == 3 and t - t1 <= _E30_WINDOW_US:
+                stage = 3
+        assert got["stages_completed"] == stage
+        assert got["funnel_start_us"] == (t1 if stage > 0 else None)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -536,3 +536,109 @@ if spark_avro_available():
         from hadoop_release_spark.sources.roundtrip import roundtrip_avro
 
         return roundtrip_avro(table(spark, sf_dir, "customer"), "a15avro")
+
+
+@register(
+    "a16_validate_constraints",
+    oracle="""
+    SELECT 'lineitem.quantity_range' AS rule,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity IS NULL
+               OR l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'lineitem.discount_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount IS NULL
+               OR l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'lineitem.shipdate_not_null',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+    UNION ALL
+    SELECT 'orders.custkey_references_customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.mktsegment_domain',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer
+            WHERE c_mktsegment IS NULL OR c_mktsegment NOT IN
+              ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'))
+    """,
+    priority="P2",
+)
+def a16_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-contract validation (the Great Expectations /
+    Deequ shape): declared rules — range, not-null, categorical
+    domain, referential integrity — evaluated in bulk, emitting one
+    (rule, n_checked, n_violations) row each. The gate a production
+    pipeline runs between landing and publishing a partition.
+
+    Scale shape: all three lineitem rules ride ONE scan as
+    conditional partial+final aggregates (adding a rule adds a
+    column, not a pass); the customer-domain rule is its own
+    single-scan agg; referential integrity is ONE left-anti join
+    (orders ⋈ customer on custkey — planner-chosen, broadcast when
+    the dim fits). The result is |rules| rows — union of 1-row
+    aggregates, zero-shuffle concat."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    qty_bad = (
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    )
+    disc_bad = (
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.1)
+    )
+    li_stats = li.agg(
+        F.count("*").cast("long").alias("n"),
+        viol(qty_bad).alias("v_qty"),
+        viol(disc_bad).alias("v_disc"),
+        viol(F.col("l_shipdate").isNull()).alias("v_ship"),
+    )
+    li_rows = li_stats.selectExpr(
+        """stack(3,
+             'lineitem.quantity_range', n, v_qty,
+             'lineitem.discount_range', n, v_disc,
+             'lineitem.shipdate_not_null', n, v_ship)
+           AS (rule, n_checked, n_violations)"""
+    )
+    seg_bad = F.col("c_mktsegment").isNull() | ~F.col("c_mktsegment").isin(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+    )
+    c_rows = c.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        viol(seg_bad).alias("n_violations"),
+    ).select(
+        F.lit("customer.mktsegment_domain").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    orphan = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+    )
+    o_rows = (
+        o.agg(F.count("*").cast("long").alias("n_checked"))
+        .crossJoin(F.broadcast(orphan))
+        .select(
+            F.lit("orders.custkey_references_customer").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return li_rows.unionByName(o_rows).unionByName(c_rows)

@@ -186,6 +186,9 @@ _PLAN_NODE_ALLOWLIST = {
         # d33: margin-grid cross (5×5 bounded category lattice, the
         # c09 shape) + the single-row grand-total broadcast.
         "d33_chi_square",
+        # a16: single-row broadcast — the 1-row orphan count attaches
+        # to the 1-row orders total (O(1·1)).
+        "a16_validate_constraints",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -1102,3 +1102,56 @@ def test_windowed_funnel_matches_reference(spark, types):
         assert got["funnel_start_us"] == (t1 if stage > 0 else None)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_validate_constraints_planted_violations(spark):
+    """a16: planted range/null/domain/referential violations must
+    each land in exactly their rule's count."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="a16_val_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "l_quantity": pa.array([10.0, 99.0, None], pa.float64()),
+                    "l_discount": pa.array([0.05, 0.5, 0.02], pa.float64()),
+                    "l_shipdate": pa.array(
+                        [T0, None, T0], pa.timestamp("us")
+                    ),
+                }
+            ),
+            f"{tmp}/lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2], pa.int64()),
+                    "o_custkey": pa.array([7, 999], pa.int64()),
+                }
+            ),
+            f"{tmp}/orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([7], pa.int64()),
+                    "c_mktsegment": pa.array(["SPACESHIPS"]),
+                }
+            ),
+            f"{tmp}/customer.parquet",
+        )
+        got = {
+            r["rule"]: (r["n_checked"], r["n_violations"])
+            for r in specs()["a16_validate_constraints"].fn(spark, tmp).collect()
+        }
+        assert got == {
+            "lineitem.quantity_range": (3, 2),      # 99 out of range + null
+            "lineitem.discount_range": (3, 1),      # 0.5
+            "lineitem.shipdate_not_null": (3, 1),
+            "orders.custkey_references_customer": (2, 1),  # 999 orphan
+            "customer.mktsegment_domain": (1, 1),   # SPACESHIPS
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

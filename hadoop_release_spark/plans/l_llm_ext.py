@@ -1102,3 +1102,60 @@ def l45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+#: l46: feature-hashing buckets (the hashing-trick vectorizer width).
+_L46_BUCKETS = 64
+
+
+@register(
+    "l46_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT AS BIGINT)
+               % {_L46_BUCKETS} AS bucket,
+             CASE WHEN CAST(('0x' || substring(md5(tok), 9, 1))::UBIGINT
+                            AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket,
+           CAST(sum(sgn) AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+    priority="P2",
+)
+def l46_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the hashing-trick vectorizer,
+    Weinberger et al.): each token maps STATELESSLY to one of 64
+    buckets via its md5 prefix, contributing ±1 by a second md5
+    nibble (the sign trick that unbiases collisions) — sparse
+    feature vectors with NO vocabulary table at all. This is the
+    vectorizer that scales where l04's TF-IDF cannot: no token-keyed
+    join, no vocab state, new tokens need no re-fit. md5-derived
+    integer arithmetic is the rule-6 portable hash, so every
+    (bucket, sign) is bit-identical cross-engine.
+
+    Scale shape: ONE (doc, bucket) partial+final agg fused onto the
+    exploded scan — output bounded by docs × 64 regardless of vocab
+    size; nothing else shuffles. Bucket width is a constant shared
+    with the oracle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", (h % _L46_BUCKETS).alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )

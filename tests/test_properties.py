@@ -1155,3 +1155,50 @@ def test_validate_constraints_planted_violations(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_feature_hashing_matches_reference(spark, texts):
+    """l46's md5-derived buckets/signs must equal the sequential
+    hashing-trick vectorization for any corpus; per-doc bucket sums
+    of n_tokens must reconstruct the doc's token count (partition
+    of unity over buckets)."""
+    import hashlib
+    from collections import Counter
+
+    from hadoop_release_spark.plans.l_llm_ext import _L46_BUCKETS
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l46_")
+    try:
+        _write_docs(tmp, texts)
+        got = {
+            (r["doc_id"], r["bucket"]): (r["feat"], r["n_tokens"])
+            for r in specs()["l46_feature_hashing"].fn(spark, tmp).collect()
+        }
+        want: dict = {}
+        for i, t in enumerate(texts):
+            feats: Counter = Counter()
+            counts: Counter = Counter()
+            for tok in t.split(" "):
+                hx = hashlib.md5(tok.encode()).hexdigest()
+                bucket = int(hx[:8], 16) % _L46_BUCKETS
+                sgn = 1 if int(hx[8], 16) % 2 == 0 else -1
+                feats[bucket] += sgn
+                counts[bucket] += 1
+            for b in counts:
+                want[(i, b)] = (feats[b], counts[b])
+        assert got == want
+        for i, t in enumerate(texts):
+            assert sum(
+                n for (d, _), (_, n) in got.items() if d == i
+            ) == len(t.split(" "))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -8,6 +8,7 @@ guesses.
 
 Usage: python scripts/profile_sweep.py [sf_dir] [name_prefix ...]
        python scripts/profile_sweep.py [sf_dir] --first N   # grading window
+       python scripts/profile_sweep.py [sf_dir] --range A B  # order slice [A,B)
 """
 
 from __future__ import annotations
@@ -30,9 +31,12 @@ import __spark_entry__ as entry_mod  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     first = None
+    rng = None
     rest = sys.argv[2:]
     if rest[:1] == ["--first"]:
         first, rest = int(rest[1]), rest[2:]
+    elif rest[:1] == ["--range"]:
+        rng, rest = (int(rest[1]), int(rest[2])), rest[3:]
     prefixes = tuple(rest) or None
 
     t0 = time.perf_counter()
@@ -51,7 +55,11 @@ def main() -> None:
 
     rows = []
     failures = []
-    names = list(qs)[:first] if first else list(qs)
+    names = list(qs)
+    if first:
+        names = names[:first]
+    elif rng:
+        names = names[rng[0] : rng[1]]
     for name in names:
         fn = qs[name]
         if prefixes and not name.startswith(prefixes):

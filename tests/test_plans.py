@@ -354,3 +354,36 @@ def test_rfm_never_single_partition(spark, sf_dir):
     assert n_specs == plan.count("windowspecdefinition(__rank_pid"), plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_round5_aggs_are_two_phase(spark, sf_dir):
+    # Every round-5 aggregate family must keep map-side partials:
+    # partial (combiner) + final HashAggregate, the d02/i05 posture.
+    for name in (
+        "d31_benford",
+        "d33_chi_square",
+        "l44_bpe_pairs",
+        "l45_dataset_card",
+        "l46_feature_hashing",
+        "i15_mr_matmul",
+        "g08_coalesce_sources",
+        "h22_hash_functions",
+        "e30_windowed_funnel",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        if name in ("h22_hash_functions",):
+            # pure projection: NO aggregate and NO exchange at all
+            assert "HashAggregate" not in plan, f"{name}\n{plan}"
+            assert "Exchange" not in plan, f"{name}\n{plan}"
+        elif name in ("g08_coalesce_sources",):
+            # precedence window: exactly ONE key shuffle, no agg
+            assert plan.count("Exchange hashpartitioning") == 1, f"{name}\n{plan}"
+        else:
+            assert plan.count("HashAggregate") >= 2, f"{name}\n{plan}"
+
+
+def test_windowed_funnel_filter_pushed(spark, sf_dir):
+    # e30: the three-step type filter must reach the parquet scan.
+    plan = _plan(spark, sf_dir, "e30_windowed_funnel")
+    assert "PushedFilters" in plan and "In(event_type" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

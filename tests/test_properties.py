@@ -1202,3 +1202,34 @@ def test_feature_hashing_matches_reference(spark, texts):
             ) == len(t.split(" "))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_funnel_simultaneous_events_order_by_step(spark):
+    """e30 tie rule: events at the SAME microsecond order by step
+    number (signup < click < purchase), so a simultaneous
+    signup+click+purchase completes the whole funnel — pinned with
+    hand-built equal timestamps."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="e30_tie_")
+    try:
+        t = T0
+        tbl = pa.table(
+            {
+                "event_id": pa.array([3, 2, 1], pa.int64()),
+                "ts": pa.array([t, t, t], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                # write purchase first to prove order comes from the
+                # encoding, not file position
+                "event_type": pa.array(["purchase", "click", "signup"]),
+                "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}"] * 3),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        [row] = specs()["e30_windowed_funnel"].fn(spark, tmp).collect()
+        base = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        assert row["stages_completed"] == 3
+        assert row["funnel_start_us"] == base
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

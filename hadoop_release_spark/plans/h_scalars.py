@@ -590,7 +590,7 @@ def h21_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text) AS h_md5,
            sha256(text) AS h_sha256,
-           CAST(length(text) AS BIGINT) AS n_bytes
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
     """,
     priority="P2",
@@ -612,5 +612,7 @@ def h22_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("h_md5"),
         F.sha2("text", 256).alias("h_sha256"),
-        F.length("text").cast("long").alias("n_bytes"),
+        # octet_length = UTF-8 BYTES (length() counts characters —
+        # wrong for a byte-integrity manifest on non-ASCII text)
+        F.octet_length("text").cast("long").alias("n_bytes"),
     )

@@ -313,7 +313,7 @@ def test_nearest_event_single_sort_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "c25_join_nearest_event")
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert plan.count("Sort ") <= 1 or plan.count("Sort [") <= 1, plan
+    assert plan.count("Sort [") == 1, plan
     assert "PushedFilters" in plan and "In(event_type" in plan, plan
 
 

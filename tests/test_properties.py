@@ -212,6 +212,25 @@ def test_weighted_median_matches_reference(spark, rows):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_events_cents_spaced(tmp: str, types: list[str], step_min: int) -> None:
+    """Events at a configurable minute spacing (single user)."""
+    n = len(types)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(minutes=i * step_min) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+
 def _write_events_cents(tmp: str, cents: list[int], types: list[str]) -> None:
     n = len(cents)
     tbl = pa.table(
@@ -1063,27 +1082,31 @@ def test_dataset_card_planted_duplicates(spark):
         st.sampled_from(["signup", "click", "purchase", "view"]),
         min_size=1,
         max_size=60,
-    )
+    ),
+    spacing_hours=st.sampled_from([0, 2, 20]),
 )
-def test_windowed_funnel_matches_reference(spark, types):
+def test_windowed_funnel_matches_reference(spark, types, spacing_hours):
     """e30's cross-engine fold must equal the sequential
     earliest-start state machine (stage advances only within the
     window from the FIRST signup) for any event mix; 'view' rows
-    prove the pre-filter. One-minute spacing keeps every chain
-    inside the 2-day window for ≤60 events, so the reference also
-    exercises repeated/ignored steps."""
+    prove the pre-filter. spacing_hours stretches the gaps so the
+    2-day window bound is exercised BOTH ways (at 20h spacing a
+    3-steps-later event is far outside the window) — a shared-text
+    bug in the window comparison cannot hide behind oracle parity,
+    only this independent reference catches it."""
     from hadoop_release_spark.plans.e_windows import _E30_WINDOW_US
     from hadoop_release_spark.plans.registry import specs
 
     tmp = tempfile.mkdtemp(prefix="prop_e30_")
     try:
-        _write_events_cents(tmp, [100] * len(types), types)
+        step_min = 1 + spacing_hours * 60
+        _write_events_cents_spaced(tmp, types, step_min)
         rows = specs()["e30_windowed_funnel"].fn(spark, tmp).collect()
         if all(t == "view" for t in types):
             assert rows == []
             return
         [got] = rows
-        min_us = 60_000_000
+        min_us = step_min * 60_000_000
         base = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
         stage, t1 = 0, None
         step_of = {"signup": 1, "click": 2, "purchase": 3}
@@ -1233,3 +1256,35 @@ def test_windowed_funnel_simultaneous_events_order_by_step(spark):
         assert row["funnel_start_us"] == base
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_funnel_window_expires(spark):
+    """e30 boundary pin: a click exactly AT the 2-day bound counts
+    (<=); one microsecond past it does not — the window comparison
+    itself, isolated from oracle parity (both engines share the
+    transition text, so only an independent check can catch an
+    inverted bound)."""
+    from hadoop_release_spark.plans.e_windows import _E30_WINDOW_US
+    from hadoop_release_spark.plans.registry import specs
+
+    for offset_us, want_stage in ((0, 2), (1, 1)):
+        tmp = tempfile.mkdtemp(prefix="e30_window_")
+        try:
+            t_click = T0 + datetime.timedelta(
+                microseconds=_E30_WINDOW_US + offset_us
+            )
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array([T0, t_click], pa.timestamp("us")),
+                    "user_id": pa.array([1, 1], pa.int64()),
+                    "event_type": pa.array(["signup", "click"]),
+                    "value": pa.array([1.0, 1.0], pa.float64()),
+                    "props": pa.array(["{}"] * 2),
+                }
+            )
+            pq.write_table(tbl, f"{tmp}/events.parquet")
+            [row] = specs()["e30_windowed_funnel"].fn(spark, tmp).collect()
+            assert row["stages_completed"] == want_stage, (offset_us, row)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

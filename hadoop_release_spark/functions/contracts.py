@@ -69,7 +69,18 @@ def r4(col: Column) -> Column:
 
 
 def r6(col: Column) -> Column:
-    """Round to 6 decimals — safe only for ≤6-true-dp expressions."""
+    """Round to 6 decimals — safe only for ≤6-true-dp expressions.
+
+    SIGNED-ZERO RULE (the d27 single-type-day case): Spark's round
+    goes through BigDecimal, which has NO signed zero, so a tiny
+    negative residual (−2e-16) rounds to +0.0 — but DuckDB's round
+    is exact-binary and returns −0.0, and the compare canon
+    distinguishes the two. Any ORACLE that rounds an expression
+    whose true value can be a tiny negative (entropies,
+    correlations, deviations, NLL differences) must append
+    ``+ 0.0`` after its round(...) — IEEE (−0.0)+0.0 = +0.0 and
+    every other value is unchanged. The Spark side needs nothing
+    (d27/d30/d31/l43 oracles carry the normalization)."""
     return F.round(col, 6)
 
 

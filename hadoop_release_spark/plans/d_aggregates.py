@@ -1065,7 +1065,7 @@ _D27_DAY_US = 86_400_000_000
            count(*) AS n_types,
            round(ln(CAST(sum(n) AS DOUBLE))
                  - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
-                   / CAST(sum(n) AS DOUBLE), 6) AS entropy_nats
+                   / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS entropy_nats
     FROM per GROUP BY day
     """,
     priority="P2",
@@ -1265,13 +1265,13 @@ def d29_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n_rows,
       round(CAST(n*sqp - sq*sp AS DOUBLE)
             / sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
-            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) AS corr_qty_price,
+            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) + 0.0 AS corr_qty_price,
       round(CAST(n*sqd - sq*sd AS DOUBLE)
             / sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
-            / sqrt(CAST(n*sdd - sd*sd AS DOUBLE)), 6) AS corr_qty_disc,
+            / sqrt(CAST(n*sdd - sd*sd AS DOUBLE)), 6) + 0.0 AS corr_qty_disc,
       round(CAST(n*sdp - sd*sp AS DOUBLE)
             / sqrt(CAST(n*sdd - sd*sd AS DOUBLE))
-            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) AS corr_disc_price
+            / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) + 0.0 AS corr_disc_price
     FROM s
     """,
     priority="P2",
@@ -1348,7 +1348,7 @@ def d30_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
         AS benford_share,
       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
-            - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+            - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) + 0.0
         AS deviation
     FROM counts CROSS JOIN tot
     """,

@@ -1338,6 +1338,13 @@ def e24_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(vals)
     mid = (n / 2).cast("int")
     med = F.when(
+        # collect_list drops NULLs: an all-NULL frame yields n=0 and
+        # element_at(vals, 0) would ABORT the task (ANSI
+        # INVALID_INDEX_OF_ZERO) where the oracle's frame median is
+        # NULL — degrade to NULL like the oracle (the k08 lesson:
+        # fixture regeneration is this repo's stated threat model)
+        n == 0, F.lit(None).cast("double")
+    ).when(
         n % 2 == 1, F.element_at(vals, mid + 1).cast("double")
     ).otherwise(
         (F.element_at(vals, mid) + F.element_at(vals, mid + 1)).cast("double")

@@ -777,6 +777,10 @@ def i14_mr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.filter(F.expr(_KCORE_THIN)).persist()
     # Eager: the unrolled peel references the edge list 8 times; one
     # materialization up front keeps the 4-way derivation single-run.
+    # The cache must OUTLIVE this function (the caller materializes
+    # the returned plan, which reads it); release point is the
+    # registry wrapper's clearCache at the start of the NEXT query
+    # (registry._wrap), bounding retention to one query's lifetime.
     edges.count()
 
     def degrees(nodes):

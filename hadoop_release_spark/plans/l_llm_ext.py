@@ -919,7 +919,7 @@ def l42_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens,
            round(ln(CAST(t.t AS DOUBLE)) - d.s / CAST(d.n_tokens AS DOUBLE),
-                 6) AS avg_nll
+                 6) + 0.0 AS avg_nll
     FROM doc d CROSS JOIN tot t
     """,
     priority="P2",

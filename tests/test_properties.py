@@ -1288,3 +1288,67 @@ def test_windowed_funnel_window_expires(spark):
             assert row["stages_completed"] == want_stage, (offset_us, row)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_entropy_single_type_day_signed_zero_parity(spark):
+    """The −0.0 regression (self-review find): a single-event-type
+    day has H = ln N − N·lnN/N, a tiny NEGATIVE float residual —
+    Spark's BigDecimal round yields +0.0 while DuckDB's exact-binary
+    round yields −0.0, and the driver's canon distinguishes them.
+    Pin that the oracle's `+ 0.0` normalization makes both engines
+    emit bit-identical +0.0 on a planted one-type day."""
+    import duckdb
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="d27_zero_")
+    try:
+        # 6 events, one type, all inside one epoch day
+        _write_events_cents(tmp, [100] * 6, ["view"] * 6)
+        [row] = specs()["d27_entropy"].fn(spark, tmp).collect()
+        spark_val = row["entropy_nats"]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+        )
+        [(duck_val,)] = con.execute(
+            f"SELECT entropy_nats FROM ({specs()['d27_entropy'].oracle})"
+        ).fetchall()
+        assert repr(spark_val) == repr(duck_val) == "0.0", (
+            spark_val,
+            duck_val,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rolling_median_all_null_frame_yields_null(spark):
+    """The e24 regression (self-review find): an all-NULL value
+    frame must yield NULL like the oracle's frame median — not an
+    ANSI INVALID_INDEX_OF_ZERO task abort."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="e24_null_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(
+                    [T0, T0 + datetime.timedelta(minutes=1)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["view", "view"]),
+                "value": pa.array([None, 42.0], pa.float64()),
+                "props": pa.array(["{}"] * 2),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        rows = {
+            r["event_id"]: r["med5_cents"]
+            for r in specs()["e24_rolling_median"].fn(spark, tmp).collect()
+        }
+        assert rows[0] is None          # all-NULL frame → NULL, no crash
+        assert rows[1] == 4200.0        # the one non-null value
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

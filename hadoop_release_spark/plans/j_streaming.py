@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
-from hadoop_release_spark.functions.contracts import ts_us
+from hadoop_release_spark.functions.contracts import dsum, osum, ts_us
 from hadoop_release_spark.plans.registry import register
 from hadoop_release_spark.streaming.runner import materialize, stream_events
 
@@ -26,7 +26,7 @@ _DEC = "DECIMAL(25,8)"
     SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
            event_type,
            count(*) AS n,
-           CAST(round(sum(CAST(value AS {_DEC})), 4) AS DOUBLE) AS sum_value
+           {osum('value')} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -36,7 +36,7 @@ def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast(_DEC.lower())), 4).cast("double").alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )
     out = materialize(agg, output_mode="complete")
     return out.select(
@@ -72,7 +72,7 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                     OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -91,9 +91,14 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user. The oracle is the
-    classic gaps-and-islands rewrite. Spark closes a session when the
-    next event is ≥ gap after the last one; the oracle flags
-    new-session on the same condition."""
+    classic gaps-and-islands rewrite. Boundary semantics verified
+    EMPIRICALLY (self-review find): session_window MERGES two events
+    exactly gap-apart (10:00:00 and 10:30:00 → ONE session), so the
+    session closes only when the next event is STRICTLY more than
+    the gap after the last — the oracle flags new-session on
+    `> INTERVAL 30 MINUTE`, never `>=` (which silently agreed on
+    the fixture only because random-microsecond timestamps make an
+    exact 30:00.000000 gap probability-zero)."""
     ev = stream_events(spark, sf_dir)
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events")
@@ -153,24 +158,12 @@ def j05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value")
 
 
-@register(
-    "j06_stream_stateful",
-    oracle="""
-    SELECT user_id, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
-    FROM events GROUP BY user_id
-    """,
-    priority="P2",
-)
-def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful processing: running per-user aggregates via
-    the state store (applyInPandasWithState). Oracle-checked: counts
-    are exact, and the running float sum rounds half-away at 4dp on
-    both sides — cross-engine accumulation-order noise (~1e-12) is
-    ~8 orders of magnitude inside the 5e-5 half-grid, so the rounded
-    values agree (FLOAT RULE, contracts.py). The API itself is not
-    SQL-expressible; batch equivalence also pytest-verified.
-    """
+def stateful_user_totals(ev: DataFrame) -> DataFrame:
+    """j06's stateful core as a reusable stream transform: running
+    per-user (count, float sum) via applyInPandasWithState. Exposed
+    separately so tests can drive it with maxFilesPerTrigger=1 and
+    prove the state genuinely carries ACROSS micro-batches — the one
+    behavior the single-batch oracle bridge cannot see."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -180,7 +173,7 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    from hadoop_release_spark.functions.contracts import py_round_half_away
 
     output_schema = StructType(
         [
@@ -192,8 +185,6 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = StructType(
         [StructField("n", LongType()), StructField("s", DoubleType())]
     )
-
-    from hadoop_release_spark.functions.contracts import py_round_half_away
 
     def update_fn(key, pdf_iter, state: GroupState):
         n, s = state.get if state.exists else (0, 0.0)
@@ -209,9 +200,32 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    result = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update_fn, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+@register(
+    "j06_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    priority="P2",
+)
+def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: running per-user aggregates via
+    the state store (applyInPandasWithState — stateful_user_totals).
+    Oracle-checked: counts are exact, and the running float sum
+    rounds half-away at 4dp on both sides — cross-engine
+    accumulation-order noise (~1e-12) is ~8 orders of magnitude
+    inside the 5e-5 half-grid, so the rounded values agree (FLOAT
+    RULE, contracts.py). The API itself is not SQL-expressible;
+    cross-micro-batch state carry-over is pytest-verified
+    (tests/test_streaming.py::test_stateful_state_carries_across_batches).
+    """
+    result = stateful_user_totals(stream_events(spark, sf_dir))
     # State-store/partition scoping lives in materialize() — one state
     # store + Python worker round-trip per shuffle partition is the
     # dominant fixed cost here (measured 5× at 32 partitions).
@@ -242,7 +256,7 @@ def j07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j08_stream_complete_agg",
     oracle=f"""
     SELECT event_type, count(*) AS n,
-           CAST(round(sum(CAST(value AS {_DEC})), 4) AS DOUBLE) AS total_value
+           {osum('value')} AS total_value
     FROM events GROUP BY event_type
     """,
     priority="P2",
@@ -254,7 +268,7 @@ def j08_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast(_DEC.lower())), 4).cast("double").alias("total_value"),
+        dsum("value").alias("total_value"),
     )
     return materialize(agg, output_mode="complete")
 
@@ -288,12 +302,11 @@ def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateful agg builds one state store per shuffle partition, and
     # an unconfigured 200-partition session pays ~200 stores + a
     # 200-file foreachBatch write per micro-batch (measured 47 s vs
-    # ~3 s at fixture scale).
-    from hadoop_release_spark.streaming.runner import FIXTURE_STREAM_PARTITIONS
+    # ~3 s at fixture scale). ONE shared implementation
+    # (runner.scoped_stream_partitions) so the policy cannot drift.
+    from hadoop_release_spark.streaming.runner import scoped_stream_partitions
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(FIXTURE_STREAM_PARTITIONS))
-    try:
+    with scoped_stream_partitions(spark):
         query = (
             agg.writeStream.outputMode("complete")
             .foreachBatch(write_batch)
@@ -302,8 +315,6 @@ def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out_dir)
 
 
@@ -314,8 +325,10 @@ def j09_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.event_id AS click_id,
            v.event_id AS view_id,
            CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
       ON c.user_id = v.user_id
      AND v.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
     """,

@@ -78,6 +78,14 @@ def _wrap(fn: QueryFn) -> QueryFn:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             spark.catalog.clearCache()
+            # Streaming memory sinks register stream_out_* temp views
+            # (streaming/runner.materialize) that clearCache does NOT
+            # release — drop the previous query's here so full result
+            # tables cannot accumulate across a long grading session
+            # (self-review find).
+            for t in spark.catalog.listTables():
+                if t.isTemporary and t.name.startswith("stream_out_"):
+                    spark.catalog.dropTempView(t.name)
         except Exception:
             pass
         return fn(spark, sf_dir)

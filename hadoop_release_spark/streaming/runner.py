@@ -64,26 +64,72 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ensure_configs(spark)
+    path = f"{sf_dir}/events.parquet"
+    is_dir = os.path.isdir(path)
     try:
-        mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime_ns
+        if is_dir:
+            # directory-shaped table (part-*.parquet inside): the dir
+            # mtime does NOT change on in-place file rewrites, so key
+            # on the newest entry instead (self-review find — a stale
+            # schema would silently misdecode a ns↔µs dtype flip).
+            mtime = max(
+                (e.stat().st_mtime_ns for e in os.scandir(path)),
+                default=-1,
+            )
+        else:
+            mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = -1  # remote path (hdfs://, s3a://): cache per sf_dir
     key = (sf_dir, mtime)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
-    # readStream requires a directory source; pathGlobFilter scopes it
-    # to the events file within the fixture dir.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1000)
-        .parquet(sf_dir)
-    )
+    # readStream requires a directory source. pathGlobFilter matches
+    # LEAF FILE names only, so it must differ by fixture layout:
+    # single-file events.parquet → scope the fixture dir to that file;
+    # directory-shaped events.parquet → stream the directory itself
+    # (a leaf filter of 'events.parquet' would match zero part files
+    # and silently yield an EMPTY stream — self-review find).
+    if is_dir:
+        reader = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1000
+        )
+        raw = reader.parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(sf_dir)
+        )
     # Same dtype-branching normalization as the batch catalog — the
     # streaming and batch views of events must agree column-for-column.
     return normalize_events(raw)
+
+
+class scoped_stream_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` to the fixture-sized
+    streaming value and restore the caller's setting on exit (state
+    stores are per-partition; see module docstring). Shared by
+    materialize() and the foreachBatch path (j09) so the scoping
+    policy lives in exactly one place. Not concurrency-safe — the
+    conf is session-global, matching the driver's sequential
+    grading."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(FIXTURE_STREAM_PARTITIONS)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
 
 
 def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -99,9 +145,7 @@ def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """
     spark = stream_df.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:12]
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(FIXTURE_STREAM_PARTITIONS))
-    try:
+    with scoped_stream_partitions(spark):
         query = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -122,6 +166,4 @@ def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
                     "the memory-sink oracle bridge requires exactly one "
                     "(raise maxFilesPerTrigger in stream_events)"
                 )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

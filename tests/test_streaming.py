@@ -246,3 +246,116 @@ def test_checkpoint_restart_resumes_not_reprocesses(spark):
     # The restarted run consumed only the new file's rows.
     progresses = [p for p in q2.recentProgress if p["numInputRows"] > 0]
     assert sum(p["numInputRows"] for p in progresses) == 1, progresses
+
+
+def _write_user_batch(spark, path, idx, rows):
+    """rows: (user_id, value). One file per batch, mtime-ordered."""
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    sub = f"{path}/b{idx}"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    base = time.time() - 1000 + idx * 10
+    for f in os.listdir(sub):
+        os.utime(f"{sub}/{f}", (base, base))
+
+
+def test_stateful_state_carries_across_batches(spark):
+    """j06's applyInPandasWithState core must CARRY state across
+    micro-batches — the one behavior the single-batch oracle bridge
+    cannot see: user 1 appears in batches 0 and 2, so its final
+    update must report the cumulative (3 events, 6.0), not a
+    per-batch restart."""
+    from hadoop_release_spark.plans.j_streaming import stateful_user_totals
+
+    path = scratch_dir("stateful-carry")
+    _write_user_batch(spark, path, 0, [(1, 1.0), (1, 2.0), (2, 10.0)])
+    _write_user_batch(spark, path, 1, [(2, 20.0)])
+    _write_user_batch(spark, path, 2, [(1, 3.0)])
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    result = stateful_user_totals(stream)
+    name = "sem_" + uuid.uuid4().hex[:10]
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # update mode emits one row per (user, batch-with-activity); the
+    # MAX per user is the final cumulative state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert final[1] == (3, 6.0), final      # 2 in batch 0 + 1 in batch 2
+    assert final[2] == (2, 30.0), final     # across batches 0 and 1
+    # and state DID span batches: user 1 must have >1 emission
+    assert sum(1 for r in rows if r["user_id"] == 1) > 1, rows
+
+
+def test_stream_events_directory_shaped_fixture(spark, sf_dir):
+    """Fixture-regeneration guard (self-review find): if the driver
+    rewrites events.parquet as a DIRECTORY of part files, the stream
+    source must still read every row — the old leaf-name glob
+    matched zero part files and yielded a silently EMPTY stream."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.streaming.runner import materialize, stream_events
+
+    batch = table(spark, sf_dir, "events").drop("ts_ns")
+    n_batch = batch.count()
+    tmp = scratch_dir("dirshape")
+    # events.parquet as a directory with MULTIPLE part files
+    batch.repartition(3).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    streamed = materialize(
+        stream_events(spark, tmp).groupBy().count(), output_mode="complete"
+    )
+    assert streamed.collect()[0]["count"] == n_batch
+
+
+def test_session_gap_boundary_exact_gap_merges(spark):
+    """j03 boundary pin (self-review find, verified empirically):
+    Spark's session_window MERGES two events exactly 30:00 apart;
+    one microsecond past the gap splits. The oracle's strict `>`
+    must agree on both planted cases."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+    import shutil
+    import tempfile
+
+    from hadoop_release_spark.plans.registry import specs
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    for extra_us, want_sessions in ((0, 1), (1, 2)):
+        tmp = tempfile.mkdtemp(prefix="j03_gap_")
+        try:
+            t1 = t0 + datetime.timedelta(minutes=30, microseconds=extra_us)
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array([t0, t1], pa.timestamp("us")),
+                    "user_id": pa.array([1, 1], pa.int64()),
+                    "event_type": pa.array(["view", "view"]),
+                    "value": pa.array([1.0, 1.0], pa.float64()),
+                    "props": pa.array(["{}"] * 2),
+                }
+            )
+            pq.write_table(tbl, f"{tmp}/events.parquet")
+            spark_rows = specs()["j03_stream_session"].fn(spark, tmp).collect()
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+            )
+            oracle_rows = con.execute(specs()["j03_stream_session"].oracle).fetchall()
+            assert len(spark_rows) == want_sessions, (extra_us, spark_rows)
+            assert len(oracle_rows) == want_sessions, (extra_us, oracle_rows)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

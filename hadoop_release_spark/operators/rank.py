@@ -40,7 +40,12 @@ def global_prefix_sums(
     sort are the cost, and they amortize across columns. The persist
     is load-bearing for the same sampling reason as
     global_row_number."""
-    assert len(value_cols) == len(out_names) and value_cols
+    if not value_cols or len(value_cols) != len(out_names):
+        raise ValueError(
+            "global_prefix_sums: value_cols must be non-empty and the same "
+            f"length as out_names (got {len(value_cols)} value_cols, "
+            f"{len(out_names)} out_names)"
+        )
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parted = df.repartitionByRange(n_part, *order_cols).withColumn(
         _PID, F.spark_partition_id()

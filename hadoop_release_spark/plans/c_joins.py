@@ -1059,10 +1059,13 @@ def c26_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the partitioned scratch layout stands in for the
     production table layout; dim agg is partial+final; the join is
     planner-chosen broadcast at this dim size."""
-    from hadoop_release_spark.sources.roundtrip import scratch_dir
+    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
 
     ev = table(spark, sf_dir, "events").drop("ts_ns")
-    path = scratch_dir("c26dpp")
+    # Stable per-sf_dir path: static overwrite truncates it, so
+    # repeated grading/bench runs reuse ONE copy instead of leaking a
+    # full partitioned events clone per invocation (advisor find).
+    path = fixed_scratch_dir("c26dpp", key=sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     fact = spark.read.parquet(path)
     dim = (

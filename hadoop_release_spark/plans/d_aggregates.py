@@ -1413,13 +1413,20 @@ def d31_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
       FROM per
     ), disc AS (
-      SELECT cents, CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS dnum
+      -- HUGEINT accumulation: the cross products overflow BIGINT once
+      -- N1*N2 nears 2^63; the final CAST back to BIGINT is DuckDB's
+      -- loud out-of-range error, never a silent wrap (mirrors the
+      -- Spark side's decimal(38,0) + raise_error guard).
+      SELECT cents,
+             CAST(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                  AS BIGINT) AS dnum
       FROM cum CROSS JOIN tot
     ), mx AS (
       SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM disc
     )
     SELECT t.n1, t.n2, m.d_num,
-           CAST(m.d_num AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat,
+           CAST(m.d_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS d_stat,
            (SELECT min(cents) FROM disc WHERE dnum = m.d_num) AS d_at_cents
     FROM tot t CROSS JOIN mx m
     """,
@@ -1441,8 +1448,14 @@ def d32_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned two-phase prefix sum each (operators/rank.py —
     never a partition-less running window); the three 1-row
     reductions (totals, max, argmin) cross-join back broadcast-style
-    (d29 pattern, O(1) rows). At larger N1·N2 than bigint, the
-    products move to decimal(38,0) unchanged."""
+    (d29 pattern, O(1) rows). The cross products ACCUMULATE in
+    decimal(38,0) (DuckDB: HUGEINT) — c1·N2 overflows bigint once
+    N1·N2 nears 2^63, i.e. ~3B rows per sample, well inside 100 TB —
+    and only the final result narrows back to bigint behind a
+    raise_error guard, so overflow fails loudly instead of wrapping
+    (advisor find). The N1·N2 denominator of d_stat is computed as
+    double×double on both engines (IEEE-identical; it is a float
+    statistic either way)."""
     from hadoop_release_spark.operators.rank import global_prefix_sums
 
     o = table(spark, sf_dir, "orders").filter(
@@ -1476,12 +1489,24 @@ def d32_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
     )
+    # decimal(19,0)×decimal(19,0) → decimal(38,0) products; the
+    # difference stays decimal(38,0) (|c1·N2 − c2·N1| ≤ N1·N2 < 1e38).
+    # Narrow back to the contract's bigint behind a loud guard — a
+    # bare cast would wrap/null silently under non-ANSI mode.
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dnum_dec = F.abs(dec("c1") * dec("n2") - dec("c2") * dec("n1"))
     disc = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
         "n1",
         "n2",
-        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
-        .cast("long")
+        F.when(
+            dnum_dec > F.lit("9223372036854775807").cast("decimal(38,0)"),
+            F.raise_error(
+                F.lit("d32_ks_test: |c1*n2 - c2*n1| exceeds bigint; "
+                      "widen the output column to decimal(38,0)")
+            ).cast("long"),
+        )
+        .otherwise(dnum_dec.cast("long"))
         .alias("dnum"),
     )
     # disc feeds the max row, the argmin row, and nothing else —
@@ -1501,7 +1526,7 @@ def d32_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_num",
             (
                 F.col("d_num").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
             ).alias("d_stat"),
             "d_at_cents",
         )

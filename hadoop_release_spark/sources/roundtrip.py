@@ -26,6 +26,26 @@ def scratch_dir(label: str) -> str:
     return tempfile.mkdtemp(prefix=f"{label}-", dir=base)
 
 
+def fixed_scratch_dir(label: str, key: str = "") -> str:
+    """A STABLE per-(label, key) scratch path — for call sites whose
+    write uses ``mode("overwrite")`` anyway (static partition
+    overwrite truncates the whole path first, so staleness cannot
+    leak). Repeated grading/bench invocations reuse one directory
+    instead of accumulating an unbounded pile of mkdtemp copies
+    (advisor find, c26's full partitioned events copy). NOT for
+    consumers that need a fresh EMPTY dir (streaming checkpoints,
+    append-shaped fragment writers) — those keep :func:`scratch_dir`.
+    ``key`` distinguishes variants (e.g. the source sf_dir) so two
+    fixture scales never overwrite each other mid-comparison."""
+    import hashlib
+
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/hadoop_release_spark")
+    suffix = hashlib.md5(key.encode()).hexdigest()[:8] if key else "fixed"
+    path = os.path.join(base, f"{label}-{suffix}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def roundtrip_csv(df: DataFrame, label: str) -> DataFrame:
     """Write as CSV with header, re-read with the ORIGINAL schema (no
     inference — inference is both slow at scale and lossy)."""

@@ -70,12 +70,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if is_dir:
             # directory-shaped table (part-*.parquet inside): the dir
             # mtime does NOT change on in-place file rewrites, so key
-            # on the newest entry instead (self-review find — a stale
-            # schema would silently misdecode a ns↔µs dtype flip).
-            mtime = max(
-                (e.stat().st_mtime_ns for e in os.scandir(path)),
-                default=-1,
-            )
+            # on the leaf files instead. Walk the WHOLE tree — a
+            # partitioned layout (key=…/part-*.parquet) rewritten in
+            # place keeps top-level entry mtimes, so newest-leaf-mtime
+            # plus (file count, total bytes) form the key (advisor
+            # find — a stale schema would silently misdecode a ns↔µs
+            # dtype flip).
+            newest, n_files, total = -1, 0, 0
+            for root_dir, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root_dir, f))
+                    newest = max(newest, st.st_mtime_ns)
+                    n_files += 1
+                    total += st.st_size
+            mtime = hash((newest, n_files, total))
         else:
             mtime = os.stat(path).st_mtime_ns
     except OSError:

@@ -123,9 +123,10 @@ def main() -> None:
     #     immediate repeat costs <1 s → each round times the query
     #     TWICE back-to-back so the pair's second sample reflects
     #     engine + transfer cost, not the host's page-fault price.
-    # Reported per-query number is the MIN across samples (the
-    # engine's real cost); the median is alongside so stalls stay
-    # visible in the record.
+    # Headline "value" is the MEDIAN total (round-5 verdict: the
+    # r04→r05 record showed uniform ~1.1-1.5× cross-round drift that
+    # was VM jitter, and a median headline is robust to it); the MIN
+    # per-query numbers stay alongside as the engine's floor cost.
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(2):
         for name in names:
@@ -141,13 +142,15 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
 
-    total = round(sum(timings.values()), 3)
+    total_min = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
+                "metric": "headline_queries_total_wall_median",
+                "value": total_median,
                 "unit": "sec",
+                "value_min_total": total_min,
                 "queries": timings,
                 "queries_median": medians,
                 "sf": float(sf),

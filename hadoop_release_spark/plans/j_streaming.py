@@ -232,6 +232,114 @@ def j06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(result, output_mode="update")
 
 
+def tws_available() -> bool:
+    """True when the ``transformWithStateInPandas`` runtime can start
+    in this environment. The operator's Python worker speaks a
+    protobuf-framed state protocol, so it needs ``google.protobuf``
+    importable — absent from this container (re-verified each import,
+    mirroring the a15 spark-avro probe). When the dependency appears,
+    the modern twin below self-registers with no code change."""
+    import importlib.util
+
+    try:
+        # find_spec imports the PARENT package, so a missing `google`
+        # namespace raises instead of returning None.
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def stateful_user_totals_tws(ev: DataFrame) -> DataFrame:
+    """j06's stateful core on the MODERN arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4.x) — semantically
+    identical to :func:`stateful_user_totals`'s
+    ``applyInPandasWithState`` form (which is deprecated upstream):
+    same (count, float sum) ValueState per user, same update-mode
+    emission, same half-away 4dp rounding contract. Kept as a twin,
+    not a replacement, until the runtime dependency
+    (:func:`tws_available`) exists everywhere the engine runs."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hadoop_release_spark.functions.contracts import py_round_half_away
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [float(py_round_half_away(s, 4))],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=output_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+if tws_available():
+
+    @register(
+        "j11_stream_stateful_tws",
+        oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY user_id
+        """,
+        priority="P2",
+    )
+    def j11_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """j06's running per-user aggregate on the modern
+        transformWithStateInPandas API (probe-gated: registers only
+        where google.protobuf exists — see tws_available). Same
+        oracle as j06; equal semantics between the two APIs is
+        pytest-pinned (tests/test_streaming.py, skip-marked where
+        the runtime dependency is absent)."""
+        result = stateful_user_totals_tws(stream_events(spark, sf_dir))
+        return materialize(result, output_mode="update")
+
+
 @register(
     "j07_stream_static_join",
     oracle="""

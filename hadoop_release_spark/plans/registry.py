@@ -143,7 +143,26 @@ def grading_order(names: list[str]) -> list[str]:
     expensive streaming tail costs the fewest slots."""
     graded = _driver_graded_green()
     tier = {name: t for t, tier_names in _GRADING_COST_TIERS for name in tier_names}
-    return sorted(names, key=lambda n: (n in graded, tier.get(n, 1), n))
+    return sorted(
+        names,
+        key=lambda n: (
+            n in graded,
+            3 if n in _ROUND6_PLUS_ADDITIONS else tier.get(n, 1),
+            n,
+        ),
+    )
+
+
+#: Queries REGISTERED in round 6 or later. The round-6 driver window
+#: must grade exactly the 49 queries never graded in r1–r5 (they are
+#: one full window; VERDICT r5 item 2), so anything registered after
+#: that point sorts BEHIND every pre-round-6 never-graded query —
+#: tier 3 — and waits for the next round's window instead of
+#: displacing one of the 49. Add every new contract query here until
+#: CORRECTNESS shows 244/244.
+_ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
+    "j11_stream_stateful_tws",
+})
 
 
 #: (tier, names) — the within-group secondary sort key only (the

@@ -387,3 +387,16 @@ def test_windowed_funnel_filter_pushed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "e30_windowed_funnel")
     assert "PushedFilters" in plan and "In(event_type" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_l09_query_bound_stays_within_broadcast_scale():
+    """Tripwire for l09's BroadcastNestedLoopJoin allowlist entry
+    (round-5 verdict item 4): the plan is legitimate ONLY while the
+    query set is a small static broadcast. If either constant drifts
+    past broadcast scale, this fails before the allowlist entry can
+    silently rot — the migration path is l19's IVF candidate
+    generator (l09 docstring)."""
+    from hadoop_release_spark.plans import l_llm
+
+    assert l_llm._KNN_JOIN_QUERY_BOUND <= 100
+    assert l_llm._KNN_JOIN_QUERY_BOUND <= l_llm._KNN_JOIN_MAX_QUERIES

@@ -1352,3 +1352,64 @@ def test_rolling_median_all_null_frame_yields_null(spark):
         assert rows[1] == 4200.0        # the one non-null value
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    fraction=st.floats(min_value=0.05, max_value=0.5),
+    n_part=st.integers(min_value=1, max_value=16),
+)
+def test_seeded_sample_reproducible_at_any_partition_count(
+    spark, seed, fraction, n_part
+):
+    """s03's contract, pinned as a property (round-5 verdict item 6):
+    for ANY partition count, a seeded Bernoulli sample over a fixed
+    layout is (a) identical across repeated invocations, (b) a
+    duplicate-free subset of the input. Spark seeds the sampler per
+    (seed, partition index), so determinism holds per LAYOUT — the
+    sample legitimately differs BETWEEN partition counts, which is
+    why s03 is a rows-only contract row and why cross-engine
+    pipelines use systematic key-mod sampling instead (s03
+    docstring)."""
+    df = spark.range(0, 2000, 1, n_part)
+    a = sorted(r.id for r in df.sample(fraction=fraction, seed=seed).collect())
+    b = sorted(r.id for r in df.sample(fraction=fraction, seed=seed).collect())
+    assert a == b                      # reproducible for the fixed layout
+    assert len(set(a)) == len(a)       # without replacement: no duplicates
+    assert set(a) <= set(range(2000))  # a subset of the input
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(
+            st.integers(min_value=-20, max_value=20),
+            min_size=3, max_size=3,
+        ),
+        min_size=9, max_size=40,
+    )
+)
+def test_kmeans_inertia_is_monotone_in_iterations(spark, data):
+    """l21's convergence argument, pinned as a property (round-5
+    verdict item 6): Lloyd's algorithm never increases total inertia
+    (sum of squared distances to the assigned centroid) across full
+    assign→update iterations — for the update step because the mean
+    minimizes within-cluster squared distance, for the assign step
+    because each row moves to its nearest centroid. Holds for any
+    point multiset, including heavy duplicates and vanishing
+    clusters. Tolerance covers the operator's 3dp sq_dist rounding
+    plus float noise."""
+    from hadoop_release_spark.operators.clustering import kmeans
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inertias = []
+    for max_iter in range(3):
+        out = kmeans(df, k=3, max_iter=max_iter)
+        inertias.append(sum(r.sq_dist for r in out.collect()))
+    tol = 1e-3 * len(rows) + 1e-9
+    for earlier, later in zip(inertias, inertias[1:]):
+        assert later <= earlier + tol, inertias

@@ -359,3 +359,104 @@ def test_session_gap_boundary_exact_gap_merges(spark):
             assert len(oracle_rows) == want_sessions, (extra_us, oracle_rows)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_state_evicts_exactly_at_watermark_boundary(spark):
+    """j05's eviction BOUNDARY, pinned empirically (round-5 verdict
+    item 6): a dedup key whose expiry (event time + delay) EQUALS the
+    current watermark is evicted — eviction is >=, not > (probed on
+    this Spark build; a regression to strict-> would keep the key and
+    show 2 state rows in the third batch). Also pins the companion
+    rule that makes the boundary unobservable through emissions
+    alone: a duplicate BELOW the watermark is dropped as late data
+    before the dedup operator ever sees it, so the observable is the
+    state-store row count, not the output."""
+    path = scratch_dir("dedup-boundary")
+    # b0: key 1 at 10:00 (expiry = 10:10 with a 10-minute delay).
+    _write_batch(spark, path, 0, [(1, "2024-01-01 10:00:00", 1.0)])
+    # b1: watermark advances to EXACTLY 10:10 (= 10:20 - 10 min).
+    _write_batch(spark, path, 1, [(9, "2024-01-01 10:20:00", 9.0)])
+    # b2: late duplicate of key 1 below the watermark → dropped as
+    # late data; key 1's state row must be GONE this batch (== case).
+    _write_batch(spark, path, 2, [(1, "2024-01-01 10:05:00", 5.0)])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "dedupb_" + uuid.uuid4().hex[:10]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.event_id, r.value) for r in spark.table(name).collect())
+    assert got == [(1, 1.0), (9, 9.0)], got  # late dup never emitted
+    state = [p["stateOperators"][0]["numRowsTotal"]
+             for p in q.recentProgress if p.get("stateOperators")]
+    # Batches: [key1] → [key1, key9] → [key9 only]: the ==-boundary
+    # eviction. 2 in the final batch would mean strict-> semantics.
+    assert state[-1] == 1, state
+
+
+def test_tws_twin_matches_applyinpandas_semantics(spark):
+    """j11 (transformWithStateInPandas) must produce the SAME final
+    per-user totals as j06's applyInPandasWithState core over the
+    same multi-batch stream — the two arbitrary-state APIs are twins,
+    not alternatives with different semantics. Skip-marked where the
+    modern API's runtime dependency (google.protobuf) is absent; the
+    probe-gated registration (j_streaming.tws_available) keeps the
+    contract row out of queries() in exactly the same case."""
+    from hadoop_release_spark.plans.j_streaming import (
+        stateful_user_totals,
+        stateful_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas "
+            "worker cannot start in this container"
+        )
+
+    path = scratch_dir("tws-twin")
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1.5), (2, "2024-01-01 10:01:00", 2.0)],
+        [(1, "2024-01-01 10:05:00", 3.25)],
+        [(2, "2024-01-01 10:06:00", -1.0), (3, "2024-01-01 10:07:00", 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(spark, path, i, rows)
+
+    def run(core_fn):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(path)
+            .select(F.col("event_id").alias("user_id"), "value")
+        )
+        name = "tws_" + uuid.uuid4().hex[:10]
+        q = (
+            core_fn(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode re-emits per batch: keep each user's LAST row.
+        final = {}
+        for r in spark.table(name).collect():
+            final[r.user_id] = (r.n_events, r.sum_value)
+        return final
+
+    assert run(stateful_user_totals) == run(stateful_user_totals_tws)

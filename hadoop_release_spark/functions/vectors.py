@@ -59,3 +59,29 @@ def o_norm2(a: str, dim: int) -> str:
 def o_cosine(a: str, b: str, dim: int) -> str:
     """DuckDB mirror of :func:`cosine`."""
     return f"({o_dot(a, b, dim)} / ({o_norm2(a, dim)} * {o_norm2(b, dim)}))"
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² with per-element double casts, sequential fold
+    (same order as :func:`dot`, so the DuckDB mirror below is
+    bit-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def o_sq_dist_offset(a: str, b: str, a_off: str, b_off: str, subdim: int) -> str:
+    """DuckDB mirror of :func:`sq_dist` over aligned SLICES: compares
+    ``a[a_off+1 .. a_off+subdim]`` with ``b[b_off+1 .. b_off+subdim]``
+    (offsets are SQL expressions, e.g. ``u*16``). Fold order is the
+    ascending element order, matching a Spark ``F.slice`` +
+    :func:`sq_dist` of the same ranges."""
+    return (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        f"i -> (CAST({a}[{a_off} + i] AS DOUBLE) - "
+        f"CAST({b}[{b_off} + i] AS DOUBLE)) ** 2))"
+    )

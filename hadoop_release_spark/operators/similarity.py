@@ -164,6 +164,109 @@ def o_embedding_near_dup_pairs(
     """
 
 
+def pq_subvectors(
+    df: DataFrame, id_col: str, id_out: str, vec_col: str, m: int, subdim: int
+) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors of ``subdim``
+    dims: (id_out, u, sub) — the product-quantization decomposition.
+    One narrow projection, no shuffle; ``u`` is the subspace index."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.posexplode(
+            F.array(
+                *[F.slice(vec_col, u * subdim + 1, subdim) for u in range(m)]
+            )
+        ).alias("u", "sub"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: (id, u, code_id) — each vector
+    compressed to ``m`` one-byte codes (nearest codebook entry per
+    subspace, squared-L2, code_id tie-break).
+
+    ``codebook``: (code_id, embedding) with K rows — K×m subvectors
+    broadcast everywhere. The encode pass is corpus × (m·K) narrow
+    rows through ONE broadcast hash join on ``u`` (never a corpus
+    shuffle); the argmin reduction brings it back to corpus × m.
+    This O(N·K·m) work is the definition of PQ training-free encode —
+    at 100 TB it is embarrassingly parallel and the output (m bytes
+    per vector vs 4·dim) is what makes the ADC index RAM-resident."""
+    from hadoop_release_spark.functions.vectors import sq_dist
+
+    corpus_subs = pq_subvectors(embeddings, id_col, "__pq_id", vec_col, m, subdim)
+    code_subs = pq_subvectors(
+        codebook, "code_id", "code_id", "embedding", m, subdim
+    ).withColumnRenamed("sub", "csub")
+    d2 = sq_dist(F.col("sub"), F.col("csub"))
+    return (
+        corpus_subs.join(F.broadcast(code_subs), "u")
+        .select("__pq_id", "u", "code_id", d2.alias("__d2"))
+        .groupBy("__pq_id", "u")
+        .agg(F.min(F.struct(F.col("__d2"), F.col("code_id"))).alias("__best"))
+        .select(
+            F.col("__pq_id").alias(id_col),
+            "u",
+            F.col("__best.code_id").alias("code_id"),
+        )
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    m: int,
+    subdim: int,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision, each corpus vector is approximated by its codes.
+
+    Builds the m×K lookup table (query-subvector ↔ code squared
+    distances) driver-free as a tiny broadcast, joins it to the code
+    table on (u, code_id) — hash join, no corpus vectors touched —
+    and sums per vector. The per-subspace distances are rounded to
+    6dp and accumulated in DECIMAL(18,6), so the ADC total is EXACT
+    and the top-k cut is deterministic regardless of aggregation
+    order (float Σ over subspaces would be order-sensitive in the
+    last bits). Returns (vec_id, adc_d2) rounded 3dp, ascending."""
+    from hadoop_release_spark.functions.vectors import sq_dist
+
+    q_subs = pq_subvectors(query, "query_id", "query_id", "qe", m, subdim)
+    code_subs = pq_subvectors(
+        codebook, "code_id", "code_id", "embedding", m, subdim
+    ).withColumnRenamed("sub", "csub")
+    lut = (
+        q_subs.join(code_subs, "u")
+        .select(
+            "u",
+            "code_id",
+            F.round(sq_dist(F.col("sub"), F.col("csub")), 6)
+            .cast("decimal(18,6)")
+            .alias("qd2"),
+        )
+    )
+    return (
+        encoded.join(F.broadcast(lut), ["u", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.round(F.col("__adc").cast("double"), 3).alias("adc_d2"),
+        )
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -642,3 +642,60 @@ def a16_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return li_rows.unionByName(o_rows).unionByName(c_rows)
+
+
+@register(
+    "a17_scan_binaryfile",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(octet_length(encode(r_name || chr(10))) AS BIGINT) AS n_bytes,
+           md5(hex(encode(r_name || chr(10)))) AS content_md5
+    FROM region
+    """,
+    priority="P2",
+)
+def a17_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion (``binaryFile`` source) — the
+    entry point for multimodal corpora: each file becomes ONE row
+    (path, modificationTime, length, content) with the payload as an
+    opaque binary column (the §2.M model). Demonstrated as a full
+    write→ingest round-trip: region rows written as one text file per
+    partition directory, re-ingested as whole binary files, byte
+    length + md5 verified against the source table, partition key
+    recovered from the directory name.
+
+    ORACLE NOTE: the content hash must be md5-of-HEX-STRING on both
+    engines (DuckDB's md5 takes VARCHAR only; hex() is uppercase in
+    both). Spark's ``length`` from binaryFile is true byte length —
+    the oracle measures encode()'d bytes, not characters.
+
+    Scale shape: binaryFile files are NOT split (one row per file),
+    so parallelism = file count — right for many small-to-medium
+    media blobs, wrong for single huge archives (shard those
+    upstream). The partition-directory layout means a metadata
+    predicate on the recovered key prunes directories before any
+    payload bytes are read."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
+
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("value")
+    )
+    base = fixed_scratch_dir("a17bin", key=sf_dir)
+    # text writer emits one line per row + '\n'; partitionBy gives
+    # one directory (and here one file) per region key.
+    r.write.mode("overwrite").partitionBy("r_regionkey").text(base)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    return files.select(
+        F.regexp_extract("path", r"r_regionkey=(\d+)", 1)
+        .cast("long")
+        .alias("r_regionkey"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )

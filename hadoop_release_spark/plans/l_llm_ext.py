@@ -1159,3 +1159,175 @@ def l46_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------- l47
+#: PQ geometry: 64-dim embeddings → 4 subspaces × 16 dims, 16 codes
+#: per subspace. Codebook = deterministic systematic sample
+#: (vec_id % 11 == 0, first 16 — l19's stand-in convention; l21's
+#: k-means is the production trainer, run per subspace).
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_CODES = 16
+_PQ_STRIDE = 11
+
+
+def _o_l47() -> str:
+    from hadoop_release_spark.functions.vectors import o_sq_dist_offset
+
+    d2 = o_sq_dist_offset(
+        "e.embedding", "c.embedding", "u.u * 16", "u.u * 16", _PQ_SUBDIM
+    )
+    qd2 = o_sq_dist_offset(
+        "q.embedding", "c.embedding", "u.u * 16", "u.u * 16", _PQ_SUBDIM
+    )
+    return f"""
+    WITH codes AS (
+      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code_id, embedding
+      FROM embeddings
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_STRIDE * _PQ_CODES}
+    ), usub AS (
+      SELECT unnest(range(0, {_PQ_M})) AS u
+    ), corpus_sub AS (
+      SELECT e.vec_id, u.u, c.code_id, {d2} AS d2
+      FROM embeddings e CROSS JOIN usub u CROSS JOIN codes c
+      WHERE e.vec_id <> 0
+    ), enc AS (
+      SELECT vec_id, u, code_id FROM (
+        SELECT vec_id, u, code_id,
+               row_number() OVER (PARTITION BY vec_id, u
+                                  ORDER BY d2, code_id) AS rn
+        FROM corpus_sub) WHERE rn = 1
+    ), lut AS (
+      SELECT u.u, c.code_id,
+             CAST(round({qd2}, 6) AS DECIMAL(18,6)) AS qd2
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      CROSS JOIN usub u CROSS JOIN codes c
+    ), adc AS (
+      SELECT e.vec_id, sum(l.qd2) AS adc
+      FROM enc e JOIN lut l USING (u, code_id)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(CAST(adc AS DOUBLE), 3) AS adc_d2
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+
+
+@register("l47_pq_ann", oracle=_o_l47(), priority="P2")
+def l47_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., the RAM-resident
+    billion-vector index family): each 64-dim vector compresses to
+    m=4 one-byte codes (nearest codebook entry per 16-dim subspace),
+    and search runs on the codes alone via an asymmetric-distance
+    lookup table — the corpus embeddings are NEVER touched at query
+    time. Completes the similarity-search triad: l08 exact
+    brute-force, l19 IVF scan-pruning, l47 PQ compression (IVF+PQ
+    composed is the production FAISS layout: IVF prunes which lists
+    to read, PQ shrinks what a list costs to read).
+
+    ORACLE-CHECKED end-to-end: the codebook is a deterministic
+    systematic sample (l19's convention; l21 k-means is the
+    production trainer), encode argmin is exact-double with code-id
+    tie-break, and the ADC sum accumulates 6dp-rounded per-subspace
+    distances in DECIMAL(18,6) — exact, order-insensitive — so both
+    engines make the identical top-10 cut.
+
+    Scale shape: encode = ONE broadcast hash join on the subspace
+    index (corpus never shuffles; output m codes/vector), query =
+    m×K-row broadcast LUT + hash join + partial-agg sum. No
+    all-pairs stage anywhere."""
+    from hadoop_release_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    codebook = (
+        e.filter(
+            (F.col("vec_id") % _PQ_STRIDE == 0)
+            & (F.col("vec_id") < _PQ_STRIDE * _PQ_CODES)
+        )
+        .select(
+            (F.col("vec_id") / _PQ_STRIDE).cast("int").alias("code_id"),
+            "embedding",
+        )
+    )
+    encoded = pq_encode(
+        e.filter(F.col("vec_id") != 0), codebook, _PQ_M, _PQ_SUBDIM
+    )
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return pq_adc_topk(encoded, codebook, query, _PQ_M, _PQ_SUBDIM, k=10)
+
+
+# ---------------------------------------------------------------- l48
+#: Semantic decontamination: eval set = vec_id < 32 (bounded,
+#: broadcast); corpus vectors whose best eval cosine ≥ the threshold
+#: are flagged. 0.40 sits at ~p99 of the fixture's max-sim
+#: distribution so both branches of the flag are exercised.
+_L48_EVAL_BOUND = 32
+_L48_THRESHOLD = 0.40
+
+
+def _o_l48() -> str:
+    cos = o_cosine("c.embedding", "e.ee", _DIM)
+    return f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding AS ee
+      FROM embeddings WHERE vec_id < {_L48_EVAL_BOUND}
+    ), sims AS (
+      SELECT c.vec_id, e.eval_id, round({cos}, 3) AS sim
+      FROM embeddings c CROSS JOIN ev e
+      WHERE c.vec_id >= {_L48_EVAL_BOUND}
+    ), best AS (
+      SELECT vec_id, eval_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, eval_id) AS rn
+      FROM sims
+    )
+    SELECT vec_id, sim AS max_sim, eval_id AS nearest_eval_id,
+           sim >= {_L48_THRESHOLD} AS contaminated
+    FROM best WHERE rn = 1
+    """
+
+
+@register("l48_semantic_decontaminate", oracle=_o_l48(), priority="P2")
+def l48_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of
+    l28's n-gram sweep: an eval document that was PARAPHRASED into
+    the training corpus shares no 8-gram but sits at high embedding
+    cosine, so corpora are screened against the benchmark set in
+    BOTH spaces before training. Emits every corpus vector with its
+    best eval-set similarity, the offending eval id, and the flag
+    (the full table, not just hits, so threshold tuning reruns are
+    free).
+
+    Scale shape: the EVAL side is the bounded broadcast (benchmarks
+    are thousands of rows, not corpus-scale) — corpus × small
+    broadcast with per-corpus-row argmax, never a corpus shuffle;
+    the rank window partitions by corpus id (parallel). If the eval
+    set ever scales with the corpus, the candidate generator moves
+    to l14's sign-LSH bands or l19's IVF probes — same tripwire
+    discipline as l09 (test_plans.py allowlist)."""
+    e = table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < _L48_EVAL_BOUND).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+    )
+    sims = (
+        e.filter(F.col("vec_id") >= _L48_EVAL_BOUND)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            r3(cosine(F.col("embedding"), F.col("ee"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("eval_id"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("sim").alias("max_sim"),
+            F.col("eval_id").alias("nearest_eval_id"),
+            (F.col("sim") >= _L48_THRESHOLD).alias("contaminated"),
+        )
+    )

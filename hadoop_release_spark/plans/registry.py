@@ -162,6 +162,9 @@ def grading_order(names: list[str]) -> list[str]:
 #: CORRECTNESS shows 244/244.
 _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "j11_stream_stateful_tws",
+    "a17_scan_binaryfile",
+    "l47_pq_ann",
+    "l48_semantic_decontaminate",
 })
 
 

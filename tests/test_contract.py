@@ -144,15 +144,20 @@ def test_survey_section2_matches_registry():
         spark_avro_available,
     )
 
+    from hadoop_release_spark.plans.j_streaming import tws_available
+
     survey = (Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
     survey_ids = set(re.findall(r"^\| ([a-z]\d{2}_\w+) \|", survey, re.M))
     registry_ids = set(specs())
-    # Environment-conditional ids (spark-avro probe) are documented in
-    # §2 but register only when their dependency exists — they may be
-    # survey-only exactly when the probe says unavailable.
+    # Environment-conditional ids (spark-avro / protobuf probes) are
+    # documented in §2 but register only when their dependency exists
+    # — they may be survey-only exactly when the probe says
+    # unavailable.
     missing = survey_ids - registry_ids
     if not spark_avro_available():
         missing -= CONDITIONAL_IDS
+    if not tws_available():
+        missing -= {"j11_stream_stateful_tws"}
     assert not missing and not (registry_ids - survey_ids), (
         f"survey-only: {sorted(missing)}; "
         f"registry-only: {sorted(registry_ids - survey_ids)}"

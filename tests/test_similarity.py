@@ -124,3 +124,64 @@ def test_l09_knn_join_guards_broadcast_query_set(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(l_llm, "_KNN_JOIN_MAX_QUERIES", 5)
     with pytest.raises(ValueError, match="l19_knn_ivf"):
         l_llm.l09_knn_join(spark, sf_dir)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """l47's compression must preserve neighborhood structure: the
+    ADC top-10 (distances over m=4 one-byte codes — a 64× lossy
+    compression of the float vectors) must recover a meaningful
+    share of the EXACT squared-L2 top-10. The floor is deliberately
+    modest — PQ at 4 subspaces over isotropic random vectors is the
+    hardest case (no cluster structure to exploit) — but a broken
+    encode (wrong slice offsets, argmin on the wrong key) sends
+    recall to ~k/N ≈ 0, which this catches. Encode invariants are
+    pinned exactly: every non-query vector gets exactly m codes."""
+    from hadoop_release_spark.functions.vectors import sq_dist
+    from hadoop_release_spark.operators.similarity import pq_adc_topk, pq_encode
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _PQ_CODES,
+        _PQ_M,
+        _PQ_STRIDE,
+        _PQ_SUBDIM,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    codebook = e.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0)
+        & (F.col("vec_id") < _PQ_STRIDE * _PQ_CODES)
+    ).select(
+        (F.col("vec_id") / _PQ_STRIDE).cast("int").alias("code_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    encoded = pq_encode(corpus, codebook, _PQ_M, _PQ_SUBDIM)
+
+    n = corpus.count()
+    assert encoded.count() == n * _PQ_M
+    assert (
+        encoded.groupBy("vec_id").count().filter(F.col("count") != _PQ_M).count()
+        == 0
+    )
+
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    approx = {
+        r.vec_id
+        for r in pq_adc_topk(
+            encoded, codebook, query, _PQ_M, _PQ_SUBDIM, k=10
+        ).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in (
+            corpus.crossJoin(F.broadcast(query))
+            .select(
+                "vec_id", sq_dist(F.col("embedding"), F.col("qe")).alias("d2")
+            )
+            .orderBy(F.col("d2").asc(), F.col("vec_id"))
+            .limit(10)
+            .collect()
+        )
+    }
+    recall = len(approx & exact) / 10
+    assert recall >= 0.2, (recall, sorted(approx), sorted(exact))

@@ -1331,3 +1331,88 @@ def l48_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sim") >= _L48_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------- l49
+#: Contrastive-pair mining: anchors = vec_id < 16 (bounded
+#: broadcast); for each anchor, the top-3 most-similar vectors whose
+#: label DIFFERS — the "hard negatives" a contrastive trainer wants.
+_L49_ANCHORS = 16
+_L49_K = 3
+
+
+def _o_l49() -> str:
+    cos = o_cosine("c.embedding", "a.ae", _DIM)
+    return f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS alabel, embedding AS ae
+      FROM embeddings WHERE vec_id < {_L49_ANCHORS}
+    ), sims AS (
+      SELECT a.anchor_id, c.vec_id AS negative_id, c.label AS nlabel,
+             round({cos}, 3) AS sim
+      FROM embeddings c CROSS JOIN anchors a
+      WHERE c.vec_id <> a.anchor_id AND c.label <> a.alabel
+    ), ranked AS (
+      SELECT anchor_id, negative_id, nlabel, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, negative_id) AS rn
+      FROM sims
+    )
+    SELECT anchor_id, negative_id,
+           CAST(nlabel AS INT) AS negative_label, sim
+    FROM ranked WHERE rn <= {_L49_K}
+    """
+
+
+@register("l49_hard_negative_mining", oracle=_o_l49(), priority="P2")
+def l49_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the batch-prep
+    step behind SimCSE/CLIP-style objectives): for each anchor, the
+    top-k most-SIMILAR vectors with a DIFFERENT label — the
+    near-miss impostors whose gradients carry the signal (random
+    negatives are trivially separated and teach nothing). Uses the
+    embeddings fixture's label column as the supervision signal.
+
+    Determinism: rank on the 3dp-rounded cosine with negative-id
+    tie-break (l08 rule); labels compared exactly.
+
+    Scale shape: the ANCHOR side is the bounded broadcast (one
+    training batch of anchors, not the corpus) — corpus × anchors
+    narrow rows, label-inequality filter fused into the join, per-
+    anchor top-k window partitioned by anchor. When the anchor set
+    scales to the full corpus (mining negatives for EVERY vector),
+    the candidate generator moves to l19's IVF probes — mine within
+    the anchor's nprobe clusters only — or l14's LSH bands; same
+    allowlist tripwire as l09/l48."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _L49_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("ae"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("alabel"))
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            r3(cosine(F.col("embedding"), F.col("ae"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _L49_K)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.col("negative_label").cast("int").alias("negative_label"),
+            "sim",
+        )
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.multimodal import (
     attach_audio_payload,
+    audio_zero_crossings,
     image_ahash,
     attach_video_payload,
     attach_fake_payload,
@@ -264,3 +265,57 @@ def m06_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE this stage so pruned payloads never cross Arrow."""
     d = attach_image_payload(table(spark, sf_dir, "documents"))
     return image_ahash(d)
+
+
+@register(
+    "m07_audio_fingerprint",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             200 + (doc_id % 32) * 25 AS f,
+             192 + (doc_id % 4) * 64 AS n
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, f, unnest(range(0, n)) AS i FROM docs
+    ), sgn AS (
+      -- Exact integer sign of sample i = int(12000·sin(2π·f·i/8000)):
+      -- with m = (2·f·i) mod 16000, the sample is 0 IFF m is a
+      -- multiple of 8000 (θ = kπ: |sin| < 1e-9 at double precision,
+      -- truncates to 0; every other m keeps |sample| ≥ 2 — the zero
+      -- band is provably narrower than one integer step of m).
+      SELECT doc_id, i, CAST(i // 64 AS INT) AS frame_idx,
+             CASE WHEN (2 * f * i) % 8000 = 0 THEN 0
+                  WHEN (2 * f * i) % 16000 < 8000 THEN 1
+                  ELSE -1 END AS sg
+      FROM samp
+    ), pairs AS (
+      SELECT doc_id, frame_idx, i, sg,
+             lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM sgn
+    )
+    SELECT doc_id, frame_idx,
+           CAST(coalesce(sum(CASE WHEN i % 64 <> 0 AND sg * prev = -1
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS zero_crossings
+    FROM pairs GROUP BY doc_id, frame_idx
+    """,
+    priority="P2",
+)
+def m07_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting: REAL PCM16 WAV decode → per-frame
+    zero-crossing counts (the classic voicing/pitch feature; the
+    per-clip count VECTOR is the retrieval fingerprint). FULL hash
+    oracle for the decode path — the fixture tones are sines whose
+    sample SIGNS are integer-decidable ((2·f·i) mod arithmetic, see
+    the oracle comment), so the oracle derives every frame's exact
+    crossing count without trusting the decoder: a byte-order or
+    offset bug in decode_wav shifts signs and fails the hash.
+    Convention: strict +/− flips between adjacent samples count;
+    zeros break adjacency; only intra-frame pairs (i % 64 ≠ 0) and
+    whole frames are emitted.
+
+    Scale shape: Arrow-batched mapInPandas (media decode is the one
+    legitimately-Python stage, same as m02-m06); one narrow pass, no
+    shuffle — the groupBy lives inside the frame loop per payload."""
+    d = attach_audio_payload(table(spark, sf_dir, "documents"))
+    return audio_zero_crossings(d)

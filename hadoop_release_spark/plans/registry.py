@@ -165,6 +165,8 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "a17_scan_binaryfile",
     "l47_pq_ann",
     "l48_semantic_decontaminate",
+    "l49_hard_negative_mining",
+    "m07_audio_fingerprint",
 })
 
 

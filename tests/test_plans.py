@@ -151,12 +151,13 @@ _PLAN_NODE_ALLOWLIST = {
         "l09_knn_join",
         "l13_ngram_jaccard",
         "l19_knn_ivf",
-        # l48: corpus × bounded eval-set broadcast (benchmark suites
-        # are thousands of rows, not corpus-scale); the exit
-        # condition mirrors l09 — an eval set that scales with the
+        # l48/l49: corpus × bounded broadcast (eval suites / anchor
+        # batches are thousands of rows, not corpus-scale); the exit
+        # condition mirrors l09 — a bounded side that scales with the
         # corpus must move to the l14 LSH / l19 IVF candidate
-        # generators (l48 docstring).
+        # generators (docstrings).
         "l48_semantic_decontaminate",
+        "l49_hard_negative_mining",
         # l33: keyless cross join against a SINGLE-ROW broadcast (the
         # per-dimension min/max stats) — O(N·1), the intended plan.
         "l33_quantize_embeddings",

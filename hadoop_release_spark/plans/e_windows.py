@@ -1772,3 +1772,75 @@ def e30_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("funnel_start_us"),
     )
+
+
+@register(
+    "e31_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_us
+      FROM events
+    ), weighted AS (
+      SELECT user_id, vmic, next_us - t_us AS dur_us
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CAST(sum(CAST(vmic AS HUGEINT) * dur_us) AS DOUBLE)
+                 / (1e6 * CAST(sum(dur_us) AS DOUBLE)), 4) AS twap
+    FROM weighted GROUP BY user_id
+    """,
+    priority="P2",
+)
+def e31_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the finance/
+    telemetry mean where each observation holds until the next one
+    replaces it): weight = microseconds until the user's next event;
+    the final observation carries no interval and is excluded.
+
+    Determinism: values fixed to integer micro-units via decimal
+    cast, each product vmic·dur_us ACCUMULATED in decimal(38,0)
+    (DuckDB: HUGEINT — a product alone reaches ~1e19, past bigint:
+    the d32 lesson applied at design time, not discovered later);
+    exactly ONE float division at the end (e04 rule), and the
+    result rounds half-away at 4dp — the wide-integer→double
+    conversions are not correctly rounded in every engine (measured
+    1-ulp drift at ~1e22 numerators), which the 4dp grid absorbs by
+    ~10 orders of magnitude (j06 FLOAT RULE). Ordering ties
+    broken by event_id (probability-zero on random-microsecond
+    fixtures, load-bearing on real data).
+
+    Scale shape: one user-partitioned window (lead) rides the same
+    shuffle as the final per-user agg — Spark plans ONE exchange on
+    user_id for both; map-side partial aggregation applies. No
+    driver-side state."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("vmic"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    )
+    weighted = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "vmic",
+        (F.col("next_us") - F.col("t_us")).alias("dur_us"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("vmic").cast("decimal(38,0)") * F.col("dur_us"))
+            .cast("double")
+            / (F.lit(1e6) * F.sum("dur_us").cast("double")),
+            4,
+        ).alias("twap"),
+    )

@@ -167,6 +167,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l48_semantic_decontaminate",
     "l49_hard_negative_mining",
     "m07_audio_fingerprint",
+    "e31_time_weighted_avg",
 })
 
 

@@ -67,6 +67,11 @@ HEADLINE = [
     "l44_bpe_pairs",         # BPE merge step over distinct words
     "d30_corr_matrix",       # one-pass 9-stat correlation matrix
     "m06_image_phash",       # aHash decode+downsample near-dedup
+    # round-6 flagships
+    "l47_pq_ann",            # product-quantization ADC search
+    "l48_semantic_decontaminate",  # embedding-space eval screening
+    "m07_audio_fingerprint",  # WAV decode → zero-crossing fingerprint
+    "e31_time_weighted_avg",  # TWAP, decimal-exact weighting
 ]
 
 

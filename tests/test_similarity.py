@@ -185,3 +185,36 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     }
     recall = len(approx & exact) / 10
     assert recall >= 0.2, (recall, sorted(approx), sorted(exact))
+
+
+def test_pq_encode_maps_codebook_vectors_to_their_own_codes(spark, sf_dir):
+    """PQ encode identity invariant: encoding the codebook vectors
+    themselves must assign every subspace to the vector's OWN code
+    (distance exactly 0; the (d2, code_id) struct-min tie-break
+    cannot prefer another code unless two codebook entries share a
+    subvector, which distinct random vectors don't). Catches slice
+    misalignment between pq_subvectors calls — the one bug class the
+    recall floor could survive."""
+    from hadoop_release_spark.operators.similarity import pq_encode
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _PQ_CODES,
+        _PQ_M,
+        _PQ_STRIDE,
+        _PQ_SUBDIM,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    codebook = e.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0)
+        & (F.col("vec_id") < _PQ_STRIDE * _PQ_CODES)
+    ).select(
+        (F.col("vec_id") / _PQ_STRIDE).cast("int").alias("code_id"), "embedding"
+    )
+    as_corpus = codebook.select(
+        F.col("code_id").cast("long").alias("vec_id"), "embedding"
+    )
+    rows = pq_encode(as_corpus, codebook, _PQ_M, _PQ_SUBDIM).collect()
+    assert len(rows) == _PQ_CODES * _PQ_M
+    assert all(r.code_id == r.vec_id for r in rows), [
+        (r.vec_id, r.u, r.code_id) for r in rows if r.code_id != r.vec_id
+    ]

@@ -218,3 +218,87 @@ def test_pq_encode_maps_codebook_vectors_to_their_own_codes(spark, sf_dir):
     assert all(r.code_id == r.vec_id for r in rows), [
         (r.vec_id, r.u, r.code_id) for r in rows if r.code_id != r.vec_id
     ]
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """l48 semantics on a planted scenario the fixture can't produce
+    (its random embeddings top out at cosine ≈0.49): a corpus vector
+    that is a tiny perturbation of an eval vector must be flagged
+    with that eval id; an orthogonal corpus vector must not be."""
+    from hadoop_release_spark.operators.similarity import pq_subvectors  # noqa: F401  (import proximity)
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L48_EVAL_BOUND,
+        l48_semantic_decontaminate,
+    )
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    dim = 64
+    eval_vec = [1.0] + [0.0] * (dim - 1)
+    near_copy = [0.999] + [0.02] + [0.0] * (dim - 2)   # cos ≈ 0.9998
+    orthogonal = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)   # cos = 0
+    rows = {
+        "vec_id": [5, _L48_EVAL_BOUND + 1, _L48_EVAL_BOUND + 2],
+        "embedding": [eval_vec, near_copy, orthogonal],
+        "label": [0, 1, 2],
+    }
+    tmp = tempfile.mkdtemp(prefix="l48_planted_")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(rows["label"], pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp}/embeddings.parquet")
+    out = {r.vec_id: r for r in l48_semantic_decontaminate(spark, tmp).collect()}
+    assert out[_L48_EVAL_BOUND + 1].contaminated is True
+    assert out[_L48_EVAL_BOUND + 1].nearest_eval_id == 5
+    assert out[_L48_EVAL_BOUND + 2].contaminated is False
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """l49 semantics on a planted scenario: the single most-similar
+    vector to the anchor shares its label and must be EXCLUDED; the
+    returned negatives are the nearest different-label vectors in
+    similarity order."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from hadoop_release_spark.plans.l_llm_ext import l49_hard_negative_mining
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+
+    def tilt(eps, axis=1):
+        v = list(base)
+        v[axis] = eps
+        return v
+
+    tbl = pa.table(
+        {
+            # anchor 0 (label 0); same-label near-copy 100; three
+            # different-label vectors at decreasing similarity.
+            "vec_id": pa.array([0, 100, 101, 102, 103], pa.int64()),
+            "embedding": pa.array(
+                [base, tilt(0.01), tilt(0.2), tilt(0.6), [0.0, 1.0] + [0.0] * 62],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1, 2, 3], pa.int32()),
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="l49_planted_")
+    pq_.write_table(tbl, f"{tmp}/embeddings.parquet")
+    got = [
+        (r.negative_id, r.negative_label)
+        for r in l49_hard_negative_mining(spark, tmp)
+        .filter(F.col("anchor_id") == 0)
+        .orderBy(F.col("sim").desc(), "negative_id")
+        .collect()
+    ]
+    # 100 (same label) excluded despite being nearest; order by sim.
+    assert got == [(101, 1), (102, 2), (103, 3)], got

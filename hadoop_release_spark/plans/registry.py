@@ -168,6 +168,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l49_hard_negative_mining",
     "m07_audio_fingerprint",
     "e31_time_weighted_avg",
+    "s10_python_datasource_stream",
 })
 
 

@@ -272,3 +272,36 @@ def s09_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "orders", "customer"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_S09_SQL)
+
+
+@register(
+    "s10_python_datasource_stream",
+    oracle="SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY doc_id, lang",
+    priority="P2",
+)
+def s10_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python Data Source (PySpark 4
+    DataSourceStreamReader) — the partition-planned streaming
+    variant of s07's "write your own InputFormat": offsets are row
+    positions, each micro-batch's [start, end) range is planned into
+    row-range splits from parquet METADATA on the driver and read on
+    EXECUTORS as Arrow batches (sources/pydatasource.py;
+    SimpleDataSourceStreamReader is deliberately NOT used — it
+    prefetches on the driver and is for low-throughput sources
+    only). The bounded fixture drains under availableNow; the same
+    code tails a growing file by re-reading the footer per trigger.
+    Grouped per (doc_id, lang) so the oracle also certifies
+    exactly-once delivery: any split read twice or dropped changes
+    a count."""
+    from hadoop_release_spark.sources import pydatasource
+    from hadoop_release_spark.streaming.runner import materialize
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("docsrc")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("numPartitions", "4")
+        .load()
+    )
+    agg = stream.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
+    return materialize(agg, output_mode="complete")

@@ -176,3 +176,21 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
     assert sorted(map(tuple, spark.read.parquet(comp).collect())) == sorted(
         map(tuple, n.collect())
     )
+
+
+def test_stream_reader_partitions_tile_the_offset_range(sf_dir):
+    """s10's split planner must tile any [start, end) offset range
+    exactly — no gap, no overlap, no empty split — or the
+    exactly-once group counts the oracle certifies would break."""
+    from hadoop_release_spark.sources.pydatasource import DocumentsStreamReader
+
+    r = DocumentsStreamReader(
+        {"path": f"{sf_dir}/documents.parquet", "numPartitions": "4"}
+    )
+    for lo, hi in [(0, 1), (0, 7), (3, 50), (10, 11), (0, r.n)]:
+        parts = r.partitions({"pos": lo}, {"pos": hi})
+        assert parts, (lo, hi)
+        assert parts[0].start == lo and parts[-1].end == hi
+        for a, b in zip(parts, parts[1:]):
+            assert a.end == b.start, (lo, hi)
+        assert all(p.start < p.end for p in parts)

@@ -407,3 +407,23 @@ def test_l09_query_bound_stays_within_broadcast_scale():
 
     assert l_llm._KNN_JOIN_QUERY_BOUND <= 100
     assert l_llm._KNN_JOIN_QUERY_BOUND <= l_llm._KNN_JOIN_MAX_QUERIES
+
+
+def test_e31_window_and_agg_share_one_exchange(spark, sf_dir):
+    """e31's docstring claim, pinned: the lead() window and the
+    per-user aggregate ride ONE user_id shuffle — a second
+    hash-partitioning exchange means Catalyst stopped reusing the
+    partitioning and the operator pays double at 100 TB."""
+    plan = _plan(spark, sf_dir, "e31_time_weighted_avg")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_l47_pq_joins_are_hash_not_nested_loop(spark, sf_dir):
+    """l47's encode/LUT joins must be broadcast HASH joins on the
+    subspace/code equi-keys (the hygiene sweep already bans BNLJ for
+    l47; this pins the positive side so a refactor that loses the
+    equi-key — e.g. moving the subspace index into a non-equi
+    predicate — cannot silently downgrade the join strategy)."""
+    plan = _plan(spark, sf_dir, "l47_pq_ann")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

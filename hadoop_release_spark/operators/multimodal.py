@@ -449,3 +449,38 @@ def audio_zero_crossings(df: DataFrame, frame_samples: int = 64) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, frame_idx int, zero_crossings long"
     )
+
+
+def video_scene_cuts(df: DataFrame) -> DataFrame:
+    """mapInPandas scene-cut detection: container parse → REAL BMP
+    decode of every frame → total absolute pixel difference between
+    consecutive frames (exact integers — what keeps the whole
+    parse+decode+diff path on the SQL-oracle hash contract). A pair
+    whose mean byte difference exceeds 256/3 (the uniform-random
+    expectation ≈85.3) flags as a cut; the integer form
+    ``diff*3 > 256*n`` avoids any float threshold."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video(bytes(payload))
+                prev = None
+                for idx, frame in enumerate(frames):
+                    _, _, _, rgb = decode_bmp(frame)
+                    arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        diff = int(np.abs(arr - prev).sum())
+                        rows.append(
+                            (doc_id, idx, diff, diff * 3 > 256 * arr.size)
+                        )
+                    prev = arr
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "diff_total", "is_cut"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, frame_idx int, diff_total long, is_cut boolean"
+    )

@@ -22,6 +22,7 @@ from hadoop_release_spark.operators.multimodal import (
     image_ahash,
     attach_video_payload,
     attach_fake_payload,
+    video_scene_cuts,
     attach_image_payload,
     extract_image_features,
     resize_image_features,
@@ -319,3 +320,54 @@ def m07_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the groupBy lives inside the frame loop per payload."""
     d = attach_audio_payload(table(spark, sf_dir, "documents"))
     return audio_zero_crossings(d)
+
+
+@register(
+    "m08_video_scene_cut",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, n_chars % 9 + 4 AS w, n_chars % 5 + 4 AS h,
+             doc_id % 5 + 2 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w * h * 3 AS n, unnest(range(1, nf)) AS f FROM dims
+    ), k AS (
+      SELECT unnest(range(0, 16)) AS k
+    ), diffs AS (
+      -- frame pixels are md5(doc:frame) digests tiled to n bytes, so
+      -- the full-frame |diff| sum collapses to 16 digest-byte terms
+      -- weighted by how often each digest position occurs (n//16 +1
+      -- for the first n%16 positions) — exact integers end-to-end.
+      SELECT d.doc_id, d.f, d.n,
+             sum( (d.n // 16 + CASE WHEN k.k < d.n % 16 THEN 1 ELSE 0 END)
+                * abs( ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(d.f AS VARCHAR)), k.k * 2 + 1, 2))::INT
+                     - ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(d.f - 1 AS VARCHAR)), k.k * 2 + 1, 2))::INT ) )
+               AS diff_total
+      FROM fr d CROSS JOIN k
+      GROUP BY d.doc_id, d.f, d.n
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(diff_total AS BIGINT) AS diff_total,
+           diff_total * 3 > 256 * n AS is_cut
+    FROM diffs
+    """,
+    priority="P2",
+)
+def m08_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection: REAL container parse + BMP decode
+    of every frame, total absolute pixel difference between
+    consecutive frames, integer cut threshold (mean byte diff >
+    256/3 — the uniform-random expectation — expressed as
+    ``diff*3 > 256*n`` so no float ever appears). ORACLE-CHECKED
+    end-to-end: fixture frame pixels are md5-digest bytes tiled to
+    frame size, so the full-frame diff collapses to 16 weighted
+    digest-byte terms the oracle computes without decoding anything
+    — a frame-order, byte-order, or padding bug in the decode path
+    changes the sums and fails the hash.
+
+    Scale shape: Arrow-batched mapInPandas (media decode = the
+    legitimately-Python stage); payloads never shuffle; output is 4
+    integer/boolean columns per frame pair. The diff needs only two
+    frames in memory at once (streaming decode posture)."""
+    d = attach_video_payload(table(spark, sf_dir, "documents"))
+    return video_scene_cuts(d)

@@ -1638,3 +1638,106 @@ def d33_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             mn > 0, F.round(F.sqrt(chi2 / (F.max("n").cast("double") * mn)), 6)
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "d34_mad",
+    oracle="""
+    WITH px AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ), pp AS (
+      SELECT o_orderstatus, cents, CAST(count(*) AS BIGINT) AS w
+      FROM px GROUP BY o_orderstatus, cents
+    ), cum AS (
+      SELECT o_orderstatus, cents,
+             sum(w) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS cumw,
+             sum(w) OVER (PARTITION BY o_orderstatus) AS total
+      FROM pp
+    ), med AS (
+      SELECT o_orderstatus, CAST(min(cents) AS BIGINT) AS median_cents,
+             CAST(max(total) AS BIGINT) AS n
+      FROM cum WHERE 2 * cumw >= total GROUP BY o_orderstatus
+    ), dev AS (
+      SELECT p.o_orderstatus, abs(p.cents - m.median_cents) AS adev,
+             CAST(sum(p.w) AS BIGINT) AS w
+      FROM pp p JOIN med m USING (o_orderstatus)
+      GROUP BY p.o_orderstatus, abs(p.cents - m.median_cents)
+    ), dcum AS (
+      SELECT o_orderstatus, adev,
+             sum(w) OVER (PARTITION BY o_orderstatus ORDER BY adev) AS cumw,
+             sum(w) OVER (PARTITION BY o_orderstatus) AS total
+      FROM dev
+    ), mad AS (
+      SELECT o_orderstatus, CAST(min(adev) AS BIGINT) AS mad_cents
+      FROM dcum WHERE 2 * cumw >= total GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus, m.median_cents, d.mad_cents, m.n
+    FROM med m JOIN mad d USING (o_orderstatus)
+    """,
+    priority="P2",
+)
+def d34_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order status — the robust
+    dispersion partner of d26's robust centre (stddev (d12) explodes
+    on one bad point; MAD's breakdown point is 50%). Lower-median
+    convention on BOTH levels (value median, then deviation median),
+    entirely integer cents — hash-exact, no float rule.
+
+    Scale shape: the same distinct-value compression as d26 at both
+    levels — the cum-weight windows run over |distinct cents| (then
+    |distinct deviations|) per group, never raw orders; the
+    statuses-sized median table broadcasts back for the deviation
+    re-key. Two narrow window stages + one broadcast join; the raw
+    fact table is scanned once."""
+    o = table(spark, sf_dir, "orders")
+    px = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pp = px.groupBy("o_orderstatus", "cents").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    # pp feeds the median pass AND the deviation re-key; persist so
+    # the (status, cents) compression shuffle runs once (released by
+    # the registry wrapper before the next query).
+    pp = pp.persist()
+
+    def lower_median(df, val_col, out_name):
+        w_cum = Window.partitionBy("o_orderstatus").orderBy(val_col)
+        w_all = Window.partitionBy("o_orderstatus")
+        cum = df.select(
+            "o_orderstatus",
+            val_col,
+            F.sum("w").over(w_cum).alias("cumw"),
+            F.sum("w").over(w_all).alias("total"),
+        )
+        return (
+            cum.filter(2 * F.col("cumw") >= F.col("total"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.min(val_col).alias(out_name),
+                F.max("total").cast("long").alias("__total"),
+            )
+        )
+
+    med = lower_median(pp, "cents", "median_cents").withColumnRenamed(
+        "__total", "n"
+    )
+    dev = (
+        pp.join(F.broadcast(med.select("o_orderstatus", "median_cents")), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
+            "w",
+        )
+        .groupBy("o_orderstatus", "adev")
+        .agg(F.sum("w").alias("w"))
+    )
+    mad = lower_median(dev, "adev", "mad_cents").drop("__total")
+    return med.join(mad, "o_orderstatus").select(
+        "o_orderstatus", "median_cents", "mad_cents", "n"
+    )

@@ -170,6 +170,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e31_time_weighted_avg",
     "s10_python_datasource_stream",
     "m08_video_scene_cut",
+    "d34_mad",
 })
 
 

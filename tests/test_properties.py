@@ -1413,3 +1413,136 @@ def test_kmeans_inertia_is_monotone_in_iterations(spark, data):
     tol = 1e-3 * len(rows) + 1e-9
     for earlier, later in zip(inertias, inertias[1:]):
         assert later <= earlier + tol, inertias
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=10**7),  # offset seconds
+            st.floats(min_value=0.01, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2, max_size=60,
+    )
+)
+def test_twap_matches_pure_python_reference(spark, events, tmp_path_factory):
+    """e31 vs an independent pure-Python TWAP on arbitrary event
+    sets: per user, sum(value_micros·dur_us)/(1e6·sum(dur_us)) with
+    the last event excluded — exact integer accumulation on both
+    sides, so the comparison is equality after the shared 4dp
+    round."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.plans.e_windows import e31_time_weighted_avg
+
+    # Unique (user, ts): drop duplicate offsets per user (the
+    # operator breaks ties by event_id; the reference would need the
+    # same rule — dedup keeps the property about the MATH).
+    seen, rows = set(), []
+    for u, off, v in events:
+        if (u, off) not in seen:
+            seen.add((u, off))
+            rows.append((u, off, v))
+    tmp = tmp_path_factory.mktemp("e31prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=off) for _, off, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_intervals, r.twap)
+        for r in e31_time_weighted_avg(spark, str(tmp)).collect()
+    }
+
+    expected = {}
+    by_user: dict[int, list] = {}
+    for u, off, v in rows:
+        by_user.setdefault(u, []).append((off, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        num, den = 0, 0
+        for (o1, v1), (o2, _) in zip(evs, evs[1:]):
+            # Spark casts the DOUBLE to decimal(18,6) HALF_UP — mirror
+            # on the double's exact binary expansion, not its repr.
+            vmic = int(
+                decimal.Decimal(v1).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+                * 1000000
+            )
+            dur_us = (o2 - o1) * 1_000_000
+            num += vmic * dur_us
+            den += dur_us
+        twap = num / (1e6 * den)
+        expected[u] = (
+            len(evs) - 1,
+            float(
+                decimal.Decimal(twap).quantize(
+                    decimal.Decimal("0.0001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            ),
+        )
+    assert got == expected, (got, expected)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prices=st.lists(
+        st.integers(min_value=100, max_value=99999),  # cents
+        min_size=1, max_size=80,
+    )
+)
+def test_mad_matches_pure_python_reference(spark, prices, tmp_path_factory):
+    """d34 vs an independent pure-Python lower-median MAD on
+    arbitrary integer multisets (duplicates and even counts are the
+    interesting cases for the lower-median convention)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.plans.d_aggregates import d34_mad
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]  # smallest v with 2*cum >= n
+
+    tmp = tmp_path_factory.mktemp("d34prop")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "o_custkey": pa.array([1] * len(prices), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(prices)),
+            "o_totalprice": pa.array([c / 100 for c in prices], pa.float64()),
+            "o_orderdate": pa.array([datetime.date(2024, 6, 1)] * len(prices)),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(prices)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+    rows = d34_mad(spark, str(tmp)).collect()
+    assert len(rows) == 1
+    med = lower_median(prices)
+    mad = lower_median([abs(c - med) for c in prices])
+    r = rows[0]
+    assert (r.median_cents, r.mad_cents, r.n) == (med, mad, len(prices)), (
+        r, med, mad, sorted(prices),
+    )

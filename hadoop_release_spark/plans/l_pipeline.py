@@ -1134,3 +1134,113 @@ def l41_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
         .select("doc_id", "source", F.col("rn").cast("bigint").alias("sample_rank"))
     )
+
+
+# ---------------------------------------------------------------- l50
+#: Span-corruption geometry (T5 defaults scaled to a fixed grid):
+#: one masked span per 20-token block, deterministic md5-derived
+#: start offset (0-16) and length (1-5, mean 3) ⇒ ~15% corruption.
+_L50_BLOCK = 20
+_L50_MAX_START = 17
+_L50_MAX_LEN = 5
+
+
+def _o_l50() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), blocks AS (
+      SELECT doc_id, tk, len(tk) AS ntok,
+             unnest(range(0, (len(tk) + {_L50_BLOCK} - 1) // {_L50_BLOCK}))
+               AS b
+      FROM toks WHERE len(tk) > 0
+    ), spans AS (
+      SELECT doc_id, tk, ntok, b,
+             b * {_L50_BLOCK}
+               + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                      % {_L50_MAX_START} AS BIGINT) AS start_tok,
+             1 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 9, 8))::BIGINT
+                      % {_L50_MAX_LEN} AS BIGINT) AS raw_len
+      FROM blocks
+    ), clipped AS (
+      SELECT doc_id, tk, b AS span_idx, start_tok,
+             least(start_tok + raw_len,
+                   least((b + 1) * {_L50_BLOCK}, ntok)) - start_tok AS span_len
+      FROM spans WHERE start_tok < ntok
+    )
+    SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(tk[start_tok + 1 : start_tok + span_len], ' ')
+             AS target_text
+    FROM clipped
+    """
+
+
+@register("l50_span_corruption", oracle=_o_l50(), priority="P2")
+def l50_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan (Raffel et al. §3.1.4): the
+    masking schedule a denoising pretraining objective needs — for
+    every document, one masked span per 20-token block with
+    md5-derived start (0-16) and length (1-5, mean 3) ≈ 15%
+    corruption at mean span 3, the published defaults. Emits
+    (span_idx, start_tok, span_len, target_text) — the sentinel
+    positions and target sequence a T5 data loader consumes.
+    Deterministic by construction (rule 6: md5-integer arithmetic),
+    so every epoch and every engine regenerates the identical
+    schedule — and the oracle checks span GEOMETRY and target TEXT
+    both.
+
+    Scale shape: pure per-row expressions fused onto the scan
+    (filter-split once, then a block-range explode bounded by
+    ntok/20); no shuffle at all — the whole schedule is map-side.
+    Non-overlap is structural (one span per block), which is what
+    makes the plan declarative instead of a sequential RNG walk."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tk"),
+    ).withColumn("ntok", F.size("tk"))
+    blocks = toks.filter(F.col("ntok") > 0).select(
+        "doc_id",
+        "tk",
+        "ntok",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("ntok") + _L50_BLOCK - 1) / _L50_BLOCK)
+                .cast("long") - 1,
+            )
+        ).alias("b"),
+    )
+    h = F.md5(F.concat_ws(":", "doc_id", "b"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _L50_MAX_START
+    h2 = 1 + F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % _L50_MAX_LEN
+    spans = blocks.select(
+        "doc_id",
+        "tk",
+        "ntok",
+        F.col("b").alias("span_idx"),
+        (F.col("b") * _L50_BLOCK + h1).alias("start_tok"),
+        h2.alias("raw_len"),
+    ).filter(F.col("start_tok") < F.col("ntok"))
+    end = F.least(
+        F.col("start_tok") + F.col("raw_len"),
+        F.least((F.col("span_idx") + 1) * _L50_BLOCK, F.col("ntok")),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        "start_tok",
+        (end - F.col("start_tok")).alias("span_len"),
+        F.array_join(
+            F.slice(
+                "tk",
+                (F.col("start_tok") + 1).cast("int"),
+                (end - F.col("start_tok")).cast("int"),
+            ),
+            " ",
+        ).alias("target_text"),
+    )

@@ -171,6 +171,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "s10_python_datasource_stream",
     "m08_video_scene_cut",
     "d34_mad",
+    "l50_span_corruption",
 })
 
 

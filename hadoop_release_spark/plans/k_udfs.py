@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
@@ -308,3 +308,43 @@ def k09_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@register(
+    "k10_udaf_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+             AS cust_total
+    FROM orders
+    """,
+    priority="P2",
+)
+def k10_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER A WINDOW — the last Python-UDF
+    transport path the k-family was missing (k03 runs the same UDAF
+    shape in groupBy().agg(); here the SAME decorated function
+    attaches to Window.partitionBy, where Spark plans a
+    WindowInPandas exec: every row keeps its identity and receives
+    its partition's aggregate — no join-back needed). Unbounded
+    partition frame; per-customer order totals broadcast onto each
+    order row.
+
+    Float discipline: groups are ≤ ~40 rows, so pandas' float sum
+    vs the oracle's is ≪ the 4dp half-grid (k03 argument).
+
+    Scale shape: one hash-partition exchange on the window key, the
+    Python worker sees Arrow batches per partition — same shuffle
+    count as the pure-JVM form; the UDF only adds the Arrow hop."""
+
+    @F.pandas_udf("double")
+    def psum(v: pd.Series) -> float:
+        return float(_round_half_away(float(v.sum()), 4))
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        psum("o_totalprice").over(w).alias("cust_total"),
+    )

@@ -172,6 +172,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m08_video_scene_cut",
     "d34_mad",
     "l50_span_corruption",
+    "k10_udaf_window",
 })
 
 

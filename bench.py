@@ -72,6 +72,8 @@ HEADLINE = [
     "l48_semantic_decontaminate",  # embedding-space eval screening
     "m07_audio_fingerprint",  # WAV decode → zero-crossing fingerprint
     "e31_time_weighted_avg",  # TWAP, decimal-exact weighting
+    "m08_video_scene_cut",    # frame-diff cut detection
+    "l50_span_corruption",    # T5 denoising mask schedule
 ]
 
 

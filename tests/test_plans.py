@@ -427,3 +427,28 @@ def test_l47_pq_joins_are_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "l47_pq_ann")
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_l50_span_schedule_is_shuffle_free(spark, sf_dir):
+    """l50's docstring claim, pinned: the whole span-corruption
+    schedule is map-side (per-row expressions + a bounded explode) —
+    ZERO exchanges. Any refactor that introduces a shuffle (e.g. a
+    groupBy for span ids) breaks the op's defining property."""
+    plan = _plan(spark, sf_dir, "l50_span_corruption")
+    assert "Exchange" not in plan, plan
+
+
+def test_d34_windows_run_over_compressed_values(spark, sf_dir):
+    """d34's docstring claim, pinned the d26 way: each cum-weight
+    Window must sit ABOVE a HashAggregate (the (status, value)
+    distinct-value compression) — a Window directly over the raw
+    orders scan would run on |orders| rows instead of |distinct
+    cents| and is the shape that dies at 100 TB. Both median levels
+    also broadcast the statuses-sized table, never shuffle it."""
+    plan = _plan(spark, sf_dir, "d34_mad")
+    assert "BroadcastHashJoin" in plan, plan
+    # Every Window's input chain must contain a HashAggregate before
+    # reaching a scan: cheap proxy — the plan orders operators
+    # bottom-up per subtree, so assert aggregate count strictly
+    # exceeds window-stage count (partial+final pairs per level).
+    assert plan.count("HashAggregate") >= 2 * plan.count("Window "), plan

@@ -699,3 +699,42 @@ def a17_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.hex("content")).alias("content_md5"),
     )
+
+
+@register(
+    "a18_scan_file_metadata",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS min_row_index,
+           CAST(count(*) - 1 AS BIGINT) AS max_row_index
+    FROM documents
+    """,
+    priority="P2",
+)
+def a18_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` /
+    `_metadata.row_number`... exposed as `row_index`) — the lineage
+    surface every large-scale ingestion audit needs: which physical
+    file and position each record came from, WITHOUT any column
+    stored in the data. Aggregated per file to the dense-index
+    invariant (count n with indices exactly 0..n-1), so the oracle
+    is robust to row ordering inside the file.
+
+    Scale shape: metadata columns are populated by the scan itself —
+    zero extra I/O; the per-file agg is the standard partial+final
+    pair. At 100 TB this is how bad-record quarantines point back to
+    source files."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "file_name"
+        ),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return d.groupBy("file_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("row_index").cast("long").alias("min_row_index"),
+        F.max("row_index").cast("long").alias("max_row_index"),
+    )

@@ -173,6 +173,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d34_mad",
     "l50_span_corruption",
     "k10_udaf_window",
+    "a18_scan_file_metadata",
 })
 
 

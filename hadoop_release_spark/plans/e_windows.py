@@ -1844,3 +1844,55 @@ def e31_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("twap"),
     )
+
+
+@register(
+    "e32_new_vs_returning",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // {DAY_US}
+               AS day
+      FROM events
+    ), first_day AS (
+      SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT u.day,
+           CAST(count(*) FILTER (WHERE u.day = f.d0) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE u.day > f.d0) AS BIGINT)
+             AS returning_users
+    FROM ud u JOIN first_day f USING (user_id)
+    GROUP BY u.day
+    """,
+    priority="P2",
+)
+def e32_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting
+    counterpart of e16's DAU and e13's cohort retention: each active
+    (user, day) classifies against the user's FIRST active day, so
+    every day's actives decompose exactly into new + returning.
+    All-integer epoch-day grain (e13 convention), hash-exact.
+
+    Scale shape: ONE distinct (user, day) compression shuffle (the
+    DAU table — tiny vs raw events), first-day = a min re-agg of
+    that same table on its existing user partitioning, joined back
+    on user_id; conditional counts fuse into one partial+final day
+    agg. The raw fact table is scanned once and never re-shuffled."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )

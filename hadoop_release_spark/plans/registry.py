@@ -174,6 +174,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l50_span_corruption",
     "k10_udaf_window",
     "a18_scan_file_metadata",
+    "e32_new_vs_returning",
 })
 
 

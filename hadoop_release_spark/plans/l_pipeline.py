@@ -1244,3 +1244,80 @@ def l50_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------- l52
+_L52_GRAM_K = 8
+
+
+def _o_l52() -> str:
+    from hadoop_release_spark.operators.dedup import o_word_shingles_case
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, substring(md5(g), 1, 16) AS gk
+      FROM (SELECT doc_id, unnest({o_word_shingles_case(_L52_GRAM_K)}) AS g
+            FROM toks)
+    ), first AS (
+      SELECT gk, min(doc_id) AS first_doc FROM grams GROUP BY gk
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id
+    ), novel AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      FROM first GROUP BY first_doc
+    )
+    SELECT p.doc_id, p.n_grams,
+           coalesce(n.n_novel, 0) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+             / CAST(p.n_grams AS DOUBLE) AS novelty
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
+    """
+
+
+@register("l52_ngram_novelty", oracle=_o_l52(), priority="P2")
+def l52_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-novelty in ingestion order — the diversity metric
+    data curation tracks per shard: for each document, the fraction
+    of its distinct 8-grams whose FIRST corpus occurrence (lowest
+    doc_id) is this document. A shard of boilerplate scores ≈0 and
+    adds nothing to training; the running sum of n_novel is the
+    corpus's distinct-gram growth curve. Shares the l02/l28 shingle
+    definition (operators/dedup.py, one generator both engines).
+
+    Determinism: gram keys are 16-hex md5 prefixes (rule 6); counts
+    exact; novelty = one IEEE division of identical ints.
+
+    Scale shape: the gram shuffle carries (16-hex key, doc_id) slim
+    pairs — never gram text (the l28 idiom); first-occurrence is a
+    min agg with map-side combine; the novel count is a re-agg of
+    that gram-keyed table, NOT a second corpus pass; per-doc sizes
+    ride the same exploded scan. No joins touch raw documents."""
+    from hadoop_release_spark.operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), k=_L52_GRAM_K)).alias("g"),
+    ).select("doc_id", F.substring(F.md5("g"), 1, 16).alias("gk"))
+    first = grams.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

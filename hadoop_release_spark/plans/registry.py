@@ -175,6 +175,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "k10_udaf_window",
     "a18_scan_file_metadata",
     "e32_new_vs_returning",
+    "l52_ngram_novelty",
 })
 
 

@@ -1321,3 +1321,113 @@ def l52_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------- l53
+#: FIM geometry: md5-derived cut points; docs shorter than 4 tokens
+#: pass through unsplit (psm_applied = false).
+_L53_MIN_TOKENS = 4
+
+
+def _o_l53() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), cuts AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 8))::BIGINT
+                      % (len(t) - 2) AS BIGINT) AS c1r,
+             1 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 8))::BIGINT
+                      % (len(t) - 2) AS BIGINT) AS c2r
+      FROM toks WHERE len(t) >= {_L53_MIN_TOKENS}
+    ), ordered AS (
+      SELECT doc_id, t, n,
+             least(c1r, c2r) AS c1, greatest(c1r, c2r) + 1 AS c2
+      FROM cuts
+    )
+    SELECT doc_id, TRUE AS psm_applied,
+           CAST(c1 AS BIGINT) AS n_prefix,
+           CAST(c2 - c1 AS BIGINT) AS n_middle,
+           CAST(n - c2 AS BIGINT) AS n_suffix,
+           array_to_string(t[c2 + 1 : n], ' ')
+             || '<|fim_prefix|>' || array_to_string(t[1 : c1], ' ')
+             || '<|fim_middle|>' || array_to_string(t[c1 + 1 : c2], ' ')
+             AS psm_text
+    FROM ordered
+    UNION ALL
+    SELECT doc_id, FALSE AS psm_applied,
+           CAST(len(t) AS BIGINT) AS n_prefix,
+           0 AS n_middle, 0 AS n_suffix,
+           array_to_string(t, ' ') AS psm_text
+    FROM toks WHERE len(t) < {_L53_MIN_TOKENS}
+    """
+
+
+@register("l53_fim_transform", oracle=_o_l53(), priority="P2")
+def l53_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): split
+    each document's token sequence at two md5-derived cut points
+    into (prefix, middle, suffix) and emit the PSM reordering
+    ``suffix ⟨fim_prefix⟩ prefix ⟨fim_middle⟩ middle`` — the data
+    augmentation that teaches a causal LM to infill. Cut points are
+    deterministic (rule 6), so every epoch and engine produces the
+    identical split; the two raw cuts order-normalize (min, max+1)
+    so middle is always non-empty. Docs under 4 tokens pass
+    through unsplit with psm_applied = false.
+
+    Scale shape: pure per-row expressions fused onto the scan —
+    zero shuffles, zero joins (the l50 posture; together they cover
+    the two standard denoising objectives)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    h = lambda salt: (  # noqa: E731
+        1
+        + F.conv(
+            F.substring(F.md5(F.concat_ws("", F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n") - 2)
+    )
+    long_docs = toks.filter(F.col("n") >= _L53_MIN_TOKENS).select(
+        "doc_id",
+        "t",
+        "n",
+        h(":fim1").alias("c1r"),
+        h(":fim2").alias("c2r"),
+    )
+    ordered = long_docs.select(
+        "doc_id",
+        "t",
+        "n",
+        F.least("c1r", "c2r").alias("c1"),
+        (F.greatest("c1r", "c2r") + 1).alias("c2"),
+    )
+    seg = lambda lo, length: F.array_join(  # noqa: E731
+        F.slice("t", lo, length), " "
+    )
+    split_rows = ordered.select(
+        "doc_id",
+        F.lit(True).alias("psm_applied"),
+        F.col("c1").cast("long").alias("n_prefix"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("n_middle"),
+        (F.col("n") - F.col("c2")).cast("long").alias("n_suffix"),
+        F.concat(
+            seg((F.col("c2") + 1).cast("int"), (F.col("n") - F.col("c2")).cast("int")),
+            F.lit("<|fim_prefix|>"),
+            seg(F.lit(1), F.col("c1").cast("int")),
+            F.lit("<|fim_middle|>"),
+            seg((F.col("c1") + 1).cast("int"), (F.col("c2") - F.col("c1")).cast("int")),
+        ).alias("psm_text"),
+    )
+    short_rows = toks.filter(F.col("n") < _L53_MIN_TOKENS).select(
+        "doc_id",
+        F.lit(False).alias("psm_applied"),
+        F.col("n").cast("long").alias("n_prefix"),
+        F.lit(0).cast("long").alias("n_middle"),
+        F.lit(0).cast("long").alias("n_suffix"),
+        F.array_join("t", " ").alias("psm_text"),
+    )
+    return split_rows.unionByName(short_rows)

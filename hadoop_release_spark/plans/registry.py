@@ -176,6 +176,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "a18_scan_file_metadata",
     "e32_new_vs_returning",
     "l52_ngram_novelty",
+    "l53_fim_transform",
 })
 
 

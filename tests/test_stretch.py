@@ -194,3 +194,25 @@ def test_stream_reader_partitions_tile_the_offset_range(sf_dir):
         for a, b in zip(parts, parts[1:]):
             assert a.end == b.start, (lo, hi)
         assert all(p.start < p.end for p in parts)
+
+
+def test_stream_reader_read_returns_exact_row_range(spark, sf_dir):
+    """s10's executor-side read(): a [start, end) split must yield
+    exactly that row range's records (pyarrow ground truth) — the
+    row-group trim is where an off-by-one would silently duplicate
+    or drop boundary rows across micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.sources.pydatasource import (
+        DocumentsStreamReader,
+        RowRangePartition,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    full = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist()
+    r = DocumentsStreamReader({"path": path, "numPartitions": "4"})
+    for lo, hi in [(0, 5), (3, 17), (len(full) - 7, len(full))]:
+        batches = list(r.read(RowRangePartition(lo, hi)))
+        got = pa.Table.from_batches(batches).column("doc_id").to_pylist()
+        assert got == full[lo:hi], (lo, hi)

@@ -1896,3 +1896,68 @@ def e32_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+#: e33 bar grain: 1-hour buckets in epoch-microseconds.
+_E33_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "e33_ohlc_bars",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {_E33_HOUR_US} AS bucket,
+             event_type, value,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             event_id
+      FROM events
+    ), w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bucket, event_type
+                                ORDER BY t_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bucket, event_type
+                                ORDER BY t_us DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT bucket, event_type,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY bucket, event_type
+    """,
+    priority="P2",
+)
+def e33_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close) per hour per event type — the
+    finance/telemetry resampling standard: open = value of the
+    bucket's FIRST event, close = its LAST, high/low = extremes.
+    First/last are (ts, event_id)-tie-broken so the bars are
+    deterministic even under simultaneous events; values are CARRIED
+    (never computed), so doubles hash exactly with no float rule.
+
+    Scale shape: ONE (bucket, type) partial+final agg — min_by/
+    max_by on a packed (t_us, event_id) struct give open/close
+    without any window or self-join (the oracle's two row_number
+    windows are the SQL equivalent; Spark's aggregate form shuffles
+    bar-count rows, not events). This is the map-side-combine bar
+    builder that resamples 100 TB of ticks in one pass."""
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    b = ev.select(
+        F.expr(f"unix_micros(ts) DIV {_E33_HOUR_US}").alias("bucket"),
+        "event_type",
+        "value",
+        t_us.alias("t_us"),
+        "event_id",
+    )
+    key = F.struct("t_us", "event_id")
+    return b.groupBy("bucket", "event_type").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+    )

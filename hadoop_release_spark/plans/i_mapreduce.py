@@ -880,3 +880,80 @@ def i15_mr_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum(F.col("av") * F.col("bv")).cast("long").alias("c"))
     )
+
+
+@register(
+    "i16_mr_cooccurrence",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM ud GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           p.n_both,
+           CAST(p.n_both AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - p.n_both AS DOUBLE)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    """,
+    priority="P2",
+)
+def i16_mr_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence 'pairs' — the canonical MapReduce design
+    pattern (Lin & Dyer ch.3) the i-family was missing: emit
+    (item_a, item_b) per shared context, aggregate counts, derive
+    the association measure — here event types co-engaged by the
+    same user, scored by Jaccard of their user sets (the
+    link-prediction / market-basket primitive). Exact integers, one
+    IEEE division.
+
+    Scale shape: ONE distinct (type, user) compression first (the
+    'stripes-lite' trick — raw events never self-join); the pair
+    self-join fans out ≤ |types per user|² per user, bounded by the
+    type vocabulary, never by event volume; sizes are a tiny re-agg
+    broadcast back. At 100 TB with a large item vocabulary the same
+    plan holds with a frequency cutoff on the compression output."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("event_type", "user_id").distinct()
+    sizes = ud.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = ud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

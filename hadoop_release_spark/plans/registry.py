@@ -177,6 +177,9 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e32_new_vs_returning",
     "l52_ngram_novelty",
     "l53_fim_transform",
+    "e33_ohlc_bars",
+    "s11_countmin_sketch",
+    "i16_mr_cooccurrence",
 })
 
 

@@ -305,3 +305,109 @@ def s10_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
     return materialize(agg, output_mode="complete")
+
+
+#: s11 CMS geometry: d=4 hash rows × w=256 buckets; row-i hash =
+#: md5(key || ':' || i) first 8 hex as int mod w (rule-6 portable).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+#: Query keys: the bounded evaluation set whose estimates we check.
+CMS_QUERY_BOUND = 100
+
+
+@register(
+    "s11_countmin_sketch",
+    oracle=f"""
+    WITH keys AS (
+      SELECT l_partkey FROM lineitem
+    ), hashed AS (
+      SELECT l_partkey, i.i,
+             CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+                  % {CMS_WIDTH} AS BIGINT) AS bucket
+      FROM keys CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS i) i
+    ), sketch AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY i, bucket
+    ), qk AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_partkey < {CMS_QUERY_BOUND}
+    ), qh AS (
+      SELECT qk.l_partkey, i.i,
+             CAST(('0x' || substring(md5(CAST(qk.l_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+                  % {CMS_WIDTH} AS BIGINT) AS bucket
+      FROM qk CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS i) i
+    ), est AS (
+      SELECT q.l_partkey, min(s.c) AS cms_estimate
+      FROM qh q JOIN sketch s USING (i, bucket)
+      GROUP BY q.l_partkey
+    ), truth AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_count
+      FROM lineitem WHERE l_partkey < {CMS_QUERY_BOUND}
+      GROUP BY l_partkey
+    )
+    SELECT t.l_partkey, t.true_count, e.cms_estimate
+    FROM truth t JOIN est e USING (l_partkey)
+    """,
+    priority="P2",
+)
+def s11_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan): fixed d×w counter
+    grid estimating ANY key's frequency with one-sided error
+    (estimate ≥ truth, over-count ≤ εN w.h.p.) — the mergeable
+    frequency sketch for streams and shards, complementing s01/s06's
+    cardinality sketches and d21's exact heavy hitters. UNLIKE the
+    HLL ops this one is FULLY hash-oracled: the row hashes are
+    md5-derived (rule 6), so the sketch contents — and therefore
+    every estimate — are bit-identical in any engine. The one-sided
+    error bound is additionally pytest-pinned.
+
+    Scale shape: the build is ONE partial+final agg over keys×d
+    slim (i, bucket) rows — map-side combine collapses to ≤ d·w
+    counters per task, the definition of a mergeable sketch (shard
+    sketches SUM cell-wise); estimates probe d cells per query key
+    via a join on the d·w-row sketch (broadcast-sized at any scale,
+    since d·w is a constant)."""
+    li = table(spark, sf_dir, "lineitem")
+    ii = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("i")
+
+    def bucket(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key_col.cast("string"), F.col("i"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    hashed = li.select(F.col("l_partkey"), ii).select(
+        "l_partkey", "i", bucket(F.col("l_partkey")).alias("bucket")
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    qk = (
+        li.filter(F.col("l_partkey") < CMS_QUERY_BOUND)
+        .select("l_partkey")
+        .distinct()
+    )
+    qh = qk.select(F.col("l_partkey"), ii).select(
+        "l_partkey", "i", bucket(F.col("l_partkey")).alias("bucket")
+    )
+    est = (
+        qh.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    truth = (
+        li.filter(F.col("l_partkey") < CMS_QUERY_BOUND)
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    return truth.join(est, "l_partkey").select(
+        "l_partkey", "true_count", "cms_estimate"
+    )

@@ -216,3 +216,15 @@ def test_stream_reader_read_returns_exact_row_range(spark, sf_dir):
         batches = list(r.read(RowRangePartition(lo, hi)))
         got = pa.Table.from_batches(batches).column("doc_id").to_pylist()
         assert got == full[lo:hi], (lo, hi)
+
+
+def test_countmin_estimate_is_one_sided(spark, sf_dir):
+    """CMS guarantee: estimate ≥ true count for EVERY key (an
+    estimate below truth means the hash rows disagree with the build
+    — a broken sketch, not just a loose one)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    rows = specs()["s11_countmin_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    bad = [r for r in rows if r.cms_estimate < r.true_count]
+    assert not bad, bad[:5]

@@ -1741,3 +1741,120 @@ def d34_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "o_orderstatus").select(
         "o_orderstatus", "median_cents", "mad_cents", "n"
     )
+
+
+#: d36 winsorization bounds: clamp at the exact lower 5th / 95th
+#: percentile (smallest value whose cumulative count reaches the
+#: rank — the d26 lower-median rule generalized to any quantile).
+_D36_LO_TWENTIETHS = 1   # p05 = 1/20
+_D36_HI_TWENTIETHS = 19  # p95 = 19/20
+
+
+@register(
+    "d36_winsorized_mean",
+    oracle=f"""
+    WITH px AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), pp AS (
+      SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS w
+      FROM px GROUP BY l_returnflag, cents
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM pp
+    ), bounds AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cumw * 20 >= total * {_D36_LO_TWENTIETHS}
+                      THEN cents END) AS lo,
+             min(CASE WHEN cumw * 20 >= total * {_D36_HI_TWENTIETHS}
+                      THEN cents END) AS hi
+      FROM cum GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag, b.lo AS lo_cents, b.hi AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(p.cents, b.lo), b.hi)) AS BIGINT)
+             AS wins_sum_cents,
+           CAST(sum(least(greatest(p.cents, b.lo), b.hi)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS wins_mean_cents
+    FROM px p JOIN bounds b USING (l_returnflag)
+    GROUP BY p.l_returnflag, b.lo, b.hi
+    """,
+    priority="P2",
+)
+def d36_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag — the robust-mean standard:
+    clamp every price into the exact [p05, p95] band, then average
+    (unlike trimming, every row still counts, so totals reconcile).
+    Percentile bounds use the d26 lower-quantile rule (smallest
+    value whose cumulative count reaches the rank) in pure integer
+    arithmetic — cumw·20 ≥ total·k avoids any division; the clamped
+    sum is an exact bigint, the mean one IEEE division.
+
+    Scale shape: bounds ride the d26 distinct-value compression
+    (window over |distinct cents| per flag, not |lineitem|); the
+    flag-count bounds table broadcasts back onto the ORIGINAL scan
+    for the clamp+sum partial+final agg. Two fact scans total —
+    trading a scan for never shuffling raw rows; at 100 TB the
+    second scan re-reads pruned columns only (flag, cents)."""
+    li = table(spark, sf_dir, "lineitem")
+    px = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pp = px.groupBy("l_returnflag", "cents").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    bounds = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("cumw") * 20 >= F.col("total") * _D36_LO_TWENTIETHS,
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cumw") * 20 >= F.col("total") * _D36_HI_TWENTIETHS,
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = px.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "c"
+        ),
+    )
+    return (
+        clamped.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("wins_sum_cents"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "n",
+            "wins_sum_cents",
+            (
+                F.col("wins_sum_cents").cast("double")
+                / F.col("n").cast("double")
+            ).alias("wins_mean_cents"),
+        )
+    )

@@ -180,6 +180,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e33_ohlc_bars",
     "s11_countmin_sketch",
     "i16_mr_cooccurrence",
+    "d36_winsorized_mean",
 })
 
 

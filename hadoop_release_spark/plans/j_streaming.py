@@ -485,3 +485,70 @@ def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+@register(
+    "j12_stream_dynamic_session",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             CASE WHEN event_type = 'view'
+                  THEN 600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_id, t_us,
+             max(t_us + gap_us) OVER (PARTITION BY user_id
+                                      ORDER BY t_us, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+               AS run_end
+      FROM ev
+    ), flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(run_end) OVER w IS NULL
+                    OR t_us > lag(run_end) OVER w
+                  THEN 1 ELSE 0 END AS new_session
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sessions AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY t_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(t_us) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    priority="P2",
+)
+def j12_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the gap is a per-EVENT expression
+    (views close after 10 min, heavier interactions hold 30 min) —
+    `session_window(ts, gapExpr)`, the Spark 3.2+ generalization of
+    j03's fixed gap. Merge semantics are interval-union: each event
+    extends its session to ts + its OWN gap, sessions chain while
+    the running max end reaches the next event (boundary rule
+    empirically identical to j03's: an event landing EXACTLY on the
+    running end merges; strictly after opens a new session — the
+    oracle's running-max/lag rewrite encodes exactly that and the
+    hash gate would catch a drift).
+
+    Scale shape: same single (user_id) state-store partitioning as
+    j03; the gap expression is evaluated per row map-side, so
+    dynamic gaps cost nothing extra at any scale."""
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = materialize(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        ts_us(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )

@@ -181,6 +181,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "s11_countmin_sketch",
     "i16_mr_cooccurrence",
     "d36_winsorized_mean",
+    "j12_stream_dynamic_session",
 })
 
 

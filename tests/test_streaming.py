@@ -460,3 +460,46 @@ def test_tws_twin_matches_applyinpandas_semantics(spark):
         return final
 
     assert run(stateful_user_totals) == run(stateful_user_totals_tws)
+
+
+def test_dynamic_session_gap_depends_on_event_type(spark):
+    """j12 semantics: a 20-minute silence after a 'view' (10-min gap)
+    SPLITS the session, while the same silence after a 'click'
+    (30-min gap) MERGES — the gap is the PRECEDING event's, which is
+    what distinguishes dynamic session_window from j03's fixed gap."""
+    import pandas as pd
+
+    from hadoop_release_spark.streaming.runner import (
+        materialize,
+        scoped_stream_partitions,  # noqa: F401
+    )
+
+    def run(event_type):
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", event_type),
+                (2, "2024-01-01 10:20:00", "view"),
+            ],
+            "event_id long, ts_s string, event_type string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            F.lit(7).alias("user_id"),
+        )
+        path = scratch_dir(f"dyn-gap-{event_type}")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, user_id long"
+        ).parquet(path)
+        gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+            F.lit("30 minutes")
+        )
+        agg = stream.groupBy(F.session_window("ts", gap), "user_id").agg(
+            F.count("*").alias("n")
+        )
+        out = materialize(agg, output_mode="complete")
+        return sorted(r.n for r in out.collect())
+
+    assert run("view") == [1, 1]    # 10-min gap expired → two sessions
+    assert run("click") == [2]      # 30-min gap still open → one session

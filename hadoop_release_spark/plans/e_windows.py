@@ -1961,3 +1961,157 @@ def e33_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+#: e34: epoch-microseconds per day, the sweep partition grain.
+_E34_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "e34_peak_concurrency",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                      OR t_us - lag(t_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY t_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx,
+             t_us
+      FROM flagged
+    ), iv AS (
+      SELECT min(t_us) AS s_us, max(t_us) + 1 AS e_excl_us
+      FROM sess GROUP BY user_id, session_idx
+    ), deltas AS (
+      SELECT s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT e_excl_us AS t, CAST(-1 AS BIGINT) AS d FROM iv
+    ), cum AS (
+      SELECT t // {_E34_DAY_US} AS day_id, t, d,
+             SUM(d) OVER (PARTITION BY t // {_E34_DAY_US}
+                          ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM deltas
+    ), day_agg AS (
+      SELECT day_id, max(c) AS max_cum,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+      FROM cum GROUP BY day_id
+    ), spans AS (
+      SELECT unnest(generate_series(s_us // {_E34_DAY_US} + 1,
+                                    (e_excl_us - 1) // {_E34_DAY_US}))
+               AS day_id
+      FROM iv
+      WHERE (e_excl_us - 1) // {_E34_DAY_US} > s_us // {_E34_DAY_US}
+    ), carry AS (
+      SELECT day_id, CAST(count(*) AS BIGINT) AS carry_in
+      FROM spans GROUP BY day_id
+    )
+    SELECT CAST(coalesce(a.day_id, c.day_id) AS BIGINT) AS day_id,
+           CAST(coalesce(c.carry_in, 0) AS BIGINT) AS carry_in,
+           CAST(coalesce(c.carry_in, 0)
+                + greatest(0, coalesce(a.max_cum, 0)) AS BIGINT)
+             AS peak_concurrency,
+           CAST(coalesce(a.n_starts, 0) AS BIGINT) AS n_starts
+    FROM day_agg a FULL OUTER JOIN carry c ON a.day_id = c.day_id
+    """,
+    priority="P2",
+)
+def e34_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    standard (licence seats, server load, peak DAU): sessionize
+    (e11's exact gap rule), convert each session to a +1/-1
+    boundary-event pair ([start, end] inclusive, so the -1 lands at
+    end+1µs), sweep each day's boundary events in time order, and
+    report carry_in + max(0, running sum) — the day's true peak
+    including sessions still open from prior days. Tie rule: at the
+    same microsecond -1 sorts before +1 (a session starting exactly
+    when another's exclusive end fires does not overlap it). All
+    integers — no float rule.
+
+    Scale shape: the sweep-line running sum is DAY-PARTITIONED, not
+    a single global window — each day's boundary events sort
+    independently, and cross-midnight state arrives as carry_in,
+    computed by exploding each session into the days it spans past
+    its start (sequence(day(s)+1, day(end))) and counting per day:
+    span lengths are bounded by session length, so the explode is
+    O(sessions · days-spanned), never O(days²). One user_id shuffle
+    builds sessions (e11's plan), one day-keyed shuffle sweeps
+    boundary pairs (2 rows per session, not per event), and the
+    day-level join is tiny. At higher volume the same carry trick
+    re-partitions by hour unchanged."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select("user_id", "event_id", F.unix_micros("ts").alias("t_us"))
+    prev = F.lag("t_us").over(w)
+    sess = seq.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("t_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_idx").agg(
+        F.min("t_us").alias("s_us"),
+        (F.max("t_us") + 1).alias("e_excl_us"),
+    )
+    # iv feeds the sweep AND the carry explode; persist so the
+    # session shuffle runs once (released by the registry wrapper).
+    iv = iv.persist()
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).cast("long").alias("d")),
+                F.struct(
+                    F.col("e_excl_us").alias("t"), F.lit(-1).cast("long").alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select(
+        F.expr(f"x.t DIV {_E34_DAY_US}").alias("day_id"),
+        F.col("x.t").alias("t"),
+        F.col("x.d").alias("d"),
+    )
+    w_day = (
+        Window.partitionBy("day_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = deltas.withColumn("c", F.sum("d").over(w_day))
+    day_agg = cum.groupBy("day_id").agg(
+        F.max("c").alias("max_cum"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
+    )
+    carry = (
+        iv.select(
+            F.expr(f"s_us DIV {_E34_DAY_US}").alias("d0"),
+            F.expr(f"(e_excl_us - 1) DIV {_E34_DAY_US}").alias("d1"),
+        )
+        # Spark's sequence(a, b) DESCENDS when a > b (DuckDB's
+        # generate_series is empty) — filter the no-span case first.
+        .filter(F.col("d1") > F.col("d0"))
+        .select(F.explode(F.expr("sequence(d0 + 1, d1)")).alias("day_id"))
+        .groupBy("day_id")
+        .agg(F.count("*").cast("long").alias("carry_in"))
+    )
+    return (
+        day_agg.join(carry, "day_id", "full_outer")
+        .select(
+            F.col("day_id").cast("long").alias("day_id"),
+            F.coalesce("carry_in", F.lit(0)).cast("long").alias("carry_in"),
+            (
+                F.coalesce("carry_in", F.lit(0))
+                + F.greatest(F.lit(0).cast("long"), F.coalesce("max_cum", F.lit(0)))
+            )
+            .cast("long")
+            .alias("peak_concurrency"),
+            F.coalesce("n_starts", F.lit(0)).cast("long").alias("n_starts"),
+        )
+    )

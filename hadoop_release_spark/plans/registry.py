@@ -182,6 +182,10 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "i16_mr_cooccurrence",
     "d36_winsorized_mean",
     "j12_stream_dynamic_session",
+    "e34_peak_concurrency",
+    "d35_mann_whitney",
+    "l54_kneser_ney",
+    "l55_tokenizer_fertility",
 })
 
 

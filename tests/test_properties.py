@@ -1546,3 +1546,133 @@ def test_mad_matches_pure_python_reference(spark, prices, tmp_path_factory):
     assert (r.median_cents, r.mad_cents, r.n) == (med, mad, len(prices)), (
         r, med, mad, sorted(prices),
     )
+
+
+def _write_user_events(tmp: str, rows: list[tuple[int, int]]) -> None:
+    """rows = (user_id, t_us offset from T0); full events schema."""
+    base = T0
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(microseconds=t) for _, t in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+
+def _ref_peak_concurrency(rows: list[tuple[int, int]], gap_us: int):
+    """Pure-Python sweep-line reference for e34: sessions by the gap
+    rule, [start, end] inclusive intervals, per-day peak including
+    cross-midnight carry; tie rule -1 before +1."""
+    day_us = 86_400 * 1_000_000
+    by_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    iv = []
+    for ts in by_user.values():
+        ts.sort()
+        s = e = ts[0]
+        for t in ts[1:]:
+            if t - e > gap_us:
+                iv.append((s, e + 1))
+                s = t
+            e = t
+        iv.append((s, e + 1))
+    deltas = []
+    for s, e1 in iv:
+        deltas.append((s, 1))
+        deltas.append((e1, -1))
+    deltas.sort()
+    days = {t // day_us for t, _ in deltas}
+    for s, e1 in iv:
+        days.update(range(s // day_us + 1, (e1 - 1) // day_us + 1))
+    out = {}
+    for d in sorted(days):
+        start, end = d * day_us, (d + 1) * day_us
+        carry = sum(1 for s, e1 in iv if s < start and e1 > start)
+        cur = mx = carry
+        n_starts = 0
+        for t, dd in deltas:
+            if start <= t < end:
+                cur += dd
+                mx = max(mx, cur)
+                n_starts += dd == 1
+        out[d] = (carry, mx, n_starts)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=5 * 24).map(
+                lambda h: h * 3_600_000_000
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_peak_concurrency_matches_sweep_reference(spark, rows):
+    """e34 must equal an independent pure-Python sweep for any event
+    layout — including sessions spanning several midnights (the 12 h
+    gap rule merges hour-grained events into multi-day sessions, so
+    the carry_in path is exercised constantly)."""
+    from hadoop_release_spark.plans.e_windows import SESSION_GAP_US
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="e34_prop_")
+    try:
+        _write_user_events(tmp, rows)
+        got = {
+            r["day_id"]: (r["carry_in"], r["peak_concurrency"], r["n_starts"])
+            for r in specs()["e34_peak_concurrency"].fn(spark, tmp).collect()
+        }
+        base_us = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        )
+        want = _ref_peak_concurrency(
+            [(u, base_us + t) for u, t in rows], SESSION_GAP_US
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_peak_concurrency_touching_sessions_never_overlap(spark):
+    """e34 tie rule pinned: user A's single-event session occupies
+    [t, t] (exclusive end t+1); user B starting exactly at t+1 fires
+    its +1 AFTER A's -1 at the same microsecond, so peak stays 1 —
+    while user C starting at t (inside A's inclusive end) overlaps
+    for peak 2 on a different day."""
+    from hadoop_release_spark.plans.registry import specs
+
+    day_us = 86_400 * 1_000_000
+    tmp = tempfile.mkdtemp(prefix="e34_tie_")
+    try:
+        # day 0: A at t, B at t+1µs (no overlap). day 2: A' and C'
+        # simultaneous at t2 (overlap).
+        _write_user_events(
+            tmp,
+            [(1, 1000), (2, 1001), (1, 2 * day_us + 5), (3, 2 * day_us + 5)],
+        )
+        got = {
+            r["day_id"]: r["peak_concurrency"]
+            for r in specs()["e34_peak_concurrency"].fn(spark, tmp).collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        ) // day_us
+        assert got[base_day] == 1
+        assert got[base_day + 2] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

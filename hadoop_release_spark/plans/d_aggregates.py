@@ -1858,3 +1858,138 @@ def d36_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wins_mean_cents"),
         )
     )
+
+
+@register(
+    "d35_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents, CAST(sum(is1) AS BIGINT) AS a,
+             CAST(sum(1 - is1) AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ), cum AS (
+      SELECT cents, a, b,
+             coalesce(sum(a + b) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumx
+      FROM per
+    ), agg AS (
+      -- HUGEINT accumulation (the d32 rule): rank products overflow
+      -- BIGINT once n1*2n nears 2^63; narrow back loudly at the end.
+      SELECT CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(b) AS BIGINT) AS n2,
+             sum(CAST(a AS HUGEINT) * (2 * cumx + a + b + 1)) AS r1_x2,
+             sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b)
+                 - (a + b)) AS tie_t
+      FROM cum
+    ), named AS (
+      SELECT n1, n2,
+             CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+             CAST(tie_t AS BIGINT) AS tie_t,
+             (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(CAST(tie_t AS BIGINT) AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS var_d
+      FROM agg
+    )
+    SELECT n1, n2, u1_x2, tie_t,
+           CASE WHEN var_d > 0 THEN
+             (CAST(u1_x2 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt(var_d))
+           END AS z_stat
+    FROM named
+    """,
+    priority="P2",
+)
+def d35_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (finalized 'F' vs open 'O' order totals) —
+    the NONPARAMETRIC A/B readout completing the testing suite: d22
+    compares means (assumes moments), d32 compares whole ECDFs, d35
+    ranks — robust to outliers and any monotone transform. Midranks
+    handle ties via the ×2 trick: 2·midrank(v) = 2·cum_before + w + 1
+    stays integral, so 2R1, 2U1 = 2R1 − n1(n1+1), and the tie term
+    T = Σ(w³−w) are EXACT integers on both engines; z (normal
+    approximation with tie-corrected variance) is one shared IEEE
+    expression tree over those integers (the d22 rule — no rounding
+    anywhere).
+
+    Scale shape: distinct-value compression first (one shuffle to
+    |distinct cents| rows), then ONE range-partitioned two-phase
+    prefix sum (operators/rank.py, never a partition-less window)
+    and a single global agg with map-side combine. Rank products
+    accumulate in decimal(38,0) (DuckDB HUGEINT) and narrow back to
+    bigint behind a loud raise_error guard (the d32 overflow rule:
+    n1·2n nears 2^63 at ~2e9 rows per arm)."""
+    from hadoop_release_spark.operators.rank import global_prefix_sums
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    is1 = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    per = (
+        o.select(cents.alias("cents"), is1.alias("is1"))
+        .groupBy("cents")
+        .agg(
+            F.sum("is1").cast("long").alias("a"),
+            F.sum(1 - F.col("is1")).cast("long").alias("b"),
+        )
+    )
+    cum = global_prefix_sums(per, ["cents"], ["a", "b"], ["c1x", "c2x"])
+    w = F.col("a") + F.col("b")
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = cum.select(
+        "a",
+        "b",
+        (2 * (F.col("c1x") + F.col("c2x")) + w + 1).alias("rank_x2"),
+    ).agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(dec19(F.col("a")) * F.col("rank_x2")).alias("r1_x2"),
+        F.sum(dec19(F.col("a") + F.col("b")) * (F.col("a") + F.col("b"))
+              * (F.col("a") + F.col("b")) - (F.col("a") + F.col("b"))
+              ).alias("tie_t_dec"),
+    )
+    big = F.lit("9223372036854775807").cast("decimal(38,0)")
+    guard = lambda c, what: F.when(  # noqa: E731
+        F.abs(c) > big,
+        F.raise_error(
+            F.lit(f"d35_mann_whitney: {what} exceeds bigint; widen to decimal(38,0)")
+        ).cast("long"),
+    ).otherwise(c.cast("long"))
+    stats = agg.select(
+        "n1",
+        "n2",
+        guard(
+            F.col("r1_x2")
+            - dec19(F.col("n1")) * (F.col("n1") + 1),
+            "2*U1",
+        ).alias("u1_x2"),
+        guard(F.col("tie_t_dec"), "tie term").alias("tie_t"),
+    )
+    # ONE shared IEEE tree, mirrored token-for-token in the oracle.
+    # z is NULL for the degenerate all-tied pool (variance 0): a 0/0
+    # there is a loud ANSI error on Spark and NaN on DuckDB — neither
+    # is the statistic.
+    var_expr = (
+        "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0D)"
+        " * ((CAST(n1 + n2 AS DOUBLE) + 1.0D)"
+        " - CAST(tie_t AS DOUBLE)"
+        " / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0D)))"
+    )
+    named = stats.withColumn("var_d", F.expr(var_expr))
+    z_expr = (
+        "CASE WHEN var_d > 0 THEN"
+        " (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        " / (2.0D * sqrt(var_d)) END"
+    )
+    return named.select(
+        "n1", "n2", "u1_x2", "tie_t", F.expr(z_expr).alias("z_stat")
+    )

@@ -1676,3 +1676,56 @@ def test_peak_concurrency_touching_sessions_never_overlap(spark):
         assert got[base_day + 2] == 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    g1=st.lists(st.integers(min_value=100, max_value=130), min_size=2, max_size=40),
+    g2=st.lists(st.integers(min_value=100, max_value=130), min_size=2, max_size=40),
+)
+def test_mann_whitney_matches_midrank_reference(spark, g1, g2, tmp_path_factory):
+    """d35 vs an independent pure-Python midrank computation on
+    arbitrary overlapping multisets — the tight value range forces
+    heavy cross-group ties, the hard case for the ×2 midrank trick
+    and the tie-corrected variance."""
+    import math
+
+    from hadoop_release_spark.plans.d_aggregates import d35_mann_whitney
+
+    tmp = tmp_path_factory.mktemp("d35prop")
+    n = len(g1) + len(g2)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(g1) + ["O"] * len(g2)),
+            "o_totalprice": pa.array(
+                [c / 100 for c in g1 + g2], pa.float64()
+            ),
+            "o_orderdate": pa.array([datetime.date(2024, 6, 1)] * n),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+    [r] = d35_mann_whitney(spark, str(tmp)).collect()
+
+    pooled = sorted(g1 + g2)
+    # midrank of value v = average of the 1-based ranks it occupies
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    count = {v: pooled.count(v) for v in set(pooled)}
+    rank2 = {v: 2 * first[v] + (count[v] - 1) for v in count}  # 2*midrank
+    r1_x2 = sum(rank2[v] for v in g1)
+    u1_x2 = r1_x2 - len(g1) * (len(g1) + 1)
+    tie_t = sum(c**3 - c for c in count.values())
+    assert (r.n1, r.n2, r.u1_x2, r.tie_t) == (
+        len(g1), len(g2), u1_x2, tie_t,
+    )
+    n1, n2 = float(len(g1)), float(len(g2))
+    var = (n1 * n2 / 12.0) * ((n1 + n2 + 1.0) - tie_t / ((n1 + n2) * (n1 + n2 - 1.0)))
+    if var > 0:
+        z_ref = (u1_x2 - n1 * n2) / (2.0 * math.sqrt(var))
+        assert math.isclose(r.z_stat, z_ref, rel_tol=1e-12, abs_tol=1e-12)
+    else:
+        assert r.z_stat is None  # degenerate all-tied pool

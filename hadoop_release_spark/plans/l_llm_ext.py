@@ -1416,3 +1416,106 @@ def l49_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+#: l54: Kneser–Ney fixed discount (the Chen & Goodman default grid
+#: point) and the min bigram count that bounds the emitted table.
+_L54_DISCOUNT = "0.75"
+_L54_MIN_COUNT = 5
+
+
+@register(
+    "l54_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pos GROUP BY t[i], t[i + 1]
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1fwd
+      FROM bg GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1rev
+      FROM bg GROUP BY w2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bg
+    )
+    SELECT b.w1, b.w2, b.c12, x.c1, x.n1fwd, n.n1rev,
+           (CAST(b.c12 AS DOUBLE) - {_L54_DISCOUNT}) / CAST(x.c1 AS DOUBLE)
+           + ({_L54_DISCOUNT} * CAST(x.n1fwd AS DOUBLE)
+              / CAST(x.c1 AS DOUBLE))
+             * (CAST(n.n1rev AS DOUBLE) / CAST(t.ntypes AS DOUBLE))
+             AS p_kn
+    FROM bg b
+    JOIN ctx x ON b.w1 = x.w1
+    JOIN cont n ON b.w2 = n.w2
+    CROSS JOIN tot t
+    WHERE b.c12 >= {_L54_MIN_COUNT}
+    """,
+    priority="P2",
+)
+def l54_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM estimation (Kneser & Ney
+    1995; Chen & Goodman 1999 eq. 4.23, fixed discount D=0.75) — the
+    n-gram LM TRAINER the corpus pipeline pairs with l43's scorer:
+    P(w2|w1) = (c12−D)/c1 + (D·N1+(w1,·)/c1) · N1+(·,w2)/N_types.
+    The continuation counts N1+ (HOW MANY contexts a word follows,
+    not how often) are what distinguish KN from Katz — "San
+    Francisco" inflates c(Francisco) but not N1+(·,Francisco).
+    Summed over the full vocabulary the estimate is exactly
+    normalized (pinned in the hypothesis property). Every count is
+    an exact bigint; p_kn is one shared IEEE tree over exact-double
+    casts (the d22 rule — no rounding anywhere).
+
+    Scale shape: bigram extraction is a per-row ARRAY transform
+    fused onto the scan (no window, no self-join — token position
+    never shuffles); ONE (w1,w2) map-side-combined agg builds the
+    count table, and all three statistic tables (context, forward
+    continuation, reverse continuation) are RE-AGGREGATIONS of that
+    bigram table — the corpus is scanned once. N_types is a 1-row
+    broadcast (d29 pattern). At 100 TB the ctx/cont joins stay
+    word-keyed (Zipf-bounded); the production variant broadcasts the
+    top-K vocabulary and folds the tail into one OOV row (the l42
+    idiom)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    # bg feeds three re-aggregations and the final join; persist so
+    # the bigram shuffle runs once (released by the registry wrapper).
+    bg = bg.persist()
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fwd"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1rev"))
+    tot = bg.agg(F.count("*").cast("long").alias("ntypes"))
+    p_kn = (
+        f"(CAST(c12 AS DOUBLE) - {_L54_DISCOUNT}D) / CAST(c1 AS DOUBLE)"
+        f" + ({_L54_DISCOUNT}D * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        " * (CAST(n1rev AS DOUBLE) / CAST(ntypes AS DOUBLE))"
+    )
+    return (
+        bg.filter(F.col("c12") >= _L54_MIN_COUNT)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "n1fwd", "n1rev", F.expr(p_kn).alias("p_kn"))
+    )

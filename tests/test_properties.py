@@ -1729,3 +1729,73 @@ def test_mann_whitney_matches_midrank_reference(spark, g1, g2, tmp_path_factory)
         assert math.isclose(r.z_stat, z_ref, rel_tol=1e-12, abs_tol=1e-12)
     else:
         assert r.z_stat is None  # degenerate all-tied pool
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_kneser_ney_matches_reference(spark, docs, tmp_path_factory):
+    """l54 vs an independent pure-Python interpolated-KN estimator on
+    a 3-word alphabet (dense ties and repeated bigrams). Also
+    self-checks the reference: summed over the FULL vocabulary,
+    interpolated KN is exactly normalized per context."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L54_MIN_COUNT,
+        l54_kneser_ney,
+    )
+
+    tmp = tmp_path_factory.mktemp("l54prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(" ".join(d)) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    got = {
+        (r.w1, r.w2): r
+        for r in l54_kneser_ney(spark, str(tmp)).collect()
+    }
+
+    D = 0.75
+    c12 = Counter()
+    for d in docs:
+        for x, y in zip(d, d[1:]):
+            c12[(x, y)] += 1
+    c1 = Counter()
+    n1fwd = Counter()
+    n1rev = Counter()
+    for (x, y), c in c12.items():
+        c1[x] += c
+        n1fwd[x] += 1
+        n1rev[y] += 1
+    ntypes = len(c12)
+
+    def p_kn(x, y):
+        return (c12.get((x, y), 0) - D if (x, y) in c12 else 0.0) / c1[x] + (
+            D * n1fwd[x] / c1[x]
+        ) * (n1rev.get(y, 0) / ntypes)
+
+    # reference self-check: exact normalization over the full vocab
+    vocab = set(n1rev) | set(c1)
+    for x in c1:
+        assert math.isclose(sum(p_kn(x, y) for y in vocab), 1.0, rel_tol=1e-9)
+
+    want = {k: v for k, v in c12.items() if v >= _L54_MIN_COUNT}
+    assert set(got) == set(want)
+    for (x, y), r in got.items():
+        assert (r.c12, r.c1, r.n1fwd, r.n1rev) == (
+            c12[(x, y)], c1[x], n1fwd[x], n1rev[y],
+        )
+        assert math.isclose(r.p_kn, p_kn(x, y), rel_tol=1e-12)

@@ -1519,3 +1519,112 @@ def l54_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c12", "c1", "n1fwd", "n1rev", F.expr(p_kn).alias("p_kn"))
     )
+
+
+@register(
+    "l55_tokenizer_fertility",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), per2 AS (
+      SELECT *, n_bpe * 100 // n_ws AS f100 FROM per
+    ), base AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM per2 GROUP BY lang, source
+    ), pp AS (
+      SELECT lang, source, f100, CAST(count(*) AS BIGINT) AS w
+      FROM per2 GROUP BY lang, source, f100
+    ), cum AS (
+      SELECT lang, source, f100,
+             sum(w) OVER (PARTITION BY lang, source ORDER BY f100) AS cumw,
+             sum(w) OVER (PARTITION BY lang, source) AS total
+      FROM pp
+    ), med AS (
+      SELECT lang, source, min(f100) AS med_bpe_per_100ws
+      FROM cum WHERE 2 * cumw >= total GROUP BY lang, source
+    )
+    SELECT b.lang, b.source, b.n_docs, b.ws_tokens, b.bpe_tokens, b.chars,
+           CAST(b.bpe_tokens AS DOUBLE) / CAST(b.ws_tokens AS DOUBLE)
+             AS fertility,
+           CAST(b.chars AS DOUBLE) / CAST(b.bpe_tokens AS DOUBLE)
+             AS chars_per_bpe,
+           m.med_bpe_per_100ws
+    FROM base b JOIN med m ON b.lang = m.lang AND b.source = m.source
+    """,
+    priority="P2",
+)
+def l55_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per (lang, source) — the
+    vocabulary-design diagnostic every multilingual pipeline tracks
+    (Ács 2019; fertility ≈ subword tokens per word): languages the
+    tokenizer segments poorly burn context length and train slower,
+    so fertility drives vocab allocation and sampling temperature.
+    Uses l16's exact BPE-ish pre-merge segmentation (letter runs /
+    digit runs / single punctuation); corpus-level fertility and
+    chars-per-token are exact-bigint sums with ONE IEEE division
+    each (e04 rule); the distribution's centre rides as the exact
+    integer lower-median of per-doc bpe·100 DIV ws (the d26 rule —
+    no float median anywhere).
+
+    Scale shape: the per-doc stage is pure JVM regexp/size
+    expressions fused onto the scan; ONE (lang, source) agg with
+    map-side combine for the sums, and the median rides the d26
+    distinct-value compression ((lang, source, f100) agg → window
+    over |distinct f100| rows per group, never raw docs). Group
+    count is #langs × #sources — tiny forever."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per = d.select(
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.regexp_count("text", F.lit(pat)).cast("long").alias("n_bpe"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).withColumn("f100", F.expr("n_bpe * 100 DIV n_ws"))
+    base = per.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    pp = per.groupBy("lang", "source", "f100").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("lang", "source").orderBy("f100")
+    w_all = Window.partitionBy("lang", "source")
+    med = (
+        pp.select(
+            "lang",
+            "source",
+            "f100",
+            F.sum("w").over(w_cum).alias("cumw"),
+            F.sum("w").over(w_all).alias("total"),
+        )
+        .filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("lang", "source")
+        .agg(F.min("f100").alias("med_bpe_per_100ws"))
+    )
+    return base.join(med, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("chars").cast("double") / F.col("bpe_tokens").cast("double")).alias(
+            "chars_per_bpe"
+        ),
+        "med_bpe_per_100ws",
+    )

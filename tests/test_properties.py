@@ -1799,3 +1799,28 @@ def test_kneser_ney_matches_reference(spark, docs, tmp_path_factory):
             c12[(x, y)], c1[x], n1fwd[x], n1rev[y],
         )
         assert math.isclose(r.p_kn, p_kn(x, y), rel_tol=1e-12)
+
+
+def test_tokenizer_fertility_planted(spark, tmp_path_factory):
+    """l55 on a hand-computed fixture: 'ab cd' → 2 ws tokens, 2 BPE
+    tokens; 'a-b x9' → 2 ws tokens, 5 BPE tokens (a, -, b, x, 9);
+    median of per-doc bpe*100 DIV ws = lower-median{100, 250}."""
+    from hadoop_release_spark.plans.l_llm_ext import l55_tokenizer_fertility
+
+    tmp = tmp_path_factory.mktemp("l55plant")
+    texts = ["ab cd", "a-b x9"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    [r] = l55_tokenizer_fertility(spark, str(tmp)).collect()
+    assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.chars) == (2, 4, 7, 11)
+    assert r.fertility == 7 / 4
+    assert r.chars_per_bpe == 11 / 7
+    assert r.med_bpe_per_100ws == 100

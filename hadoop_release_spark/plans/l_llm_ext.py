@@ -1628,3 +1628,121 @@ def l55_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "med_bpe_per_100ws",
     )
+
+
+#: l56: cosine threshold above which two same-cluster embeddings are
+#: semantic duplicates (rounded-sim grid, rule r3).
+_L56_TAU = "0.3"
+
+
+def _o_l56() -> str:
+    """DuckDB mirror of the SemDeDup pipeline (assign → same-cluster
+    pairs → min-id survivor rule); cosine folds mirrored exactly."""
+    cos_ac = o_cosine("e.embedding", "c.centroid", _DIM)
+    cos_ab = o_cosine("a.embedding", "b.embedding", _DIM)
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), assign0 AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster
+      FROM assign0 WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             round({cos_ab}, 3) AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ), killers AS (
+      SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of,
+             max(sim) AS max_sim
+      FROM pairs WHERE sim >= {_L56_TAU} GROUP BY id_b
+    )
+    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_kept,
+           k.dup_of, k.max_sim
+    FROM assigned s LEFT JOIN killers k ON s.vec_id = k.vec_id
+    """
+
+
+@register("l56_semdedup", oracle=_o_l56(), priority="P2")
+def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding cosine INSIDE k-means clusters — the web-scale recipe
+    that made semantic dedup tractable for LAION/LLM corpora: pairs
+    are only examined within a cluster, so the quadratic blow-up is
+    bounded by cluster size, not corpus size. Survivor rule is
+    deterministic low-id preference: a vector is dropped iff some
+    LOWER-id vector in its cluster has rounded cosine ≥ τ (the
+    paper keeps one random point per ε-ball; low-id is the
+    reproducible equivalent — and slightly more aggressive than
+    greedy-on-kept, since a dropped middle vector still shadows its
+    own neighbors; documented, pinned in pytest). Output: one row
+    per vector with (cluster, is_kept, dup_of = lowest shadowing
+    id, max_sim).
+
+    Scale shape: centroid set broadcasts (assign_clusters — per-row
+    argmin, corpus never shuffles for assignment); the ONLY join is
+    cluster-keyed, so pair work is Σ|cluster|² — with k-means K ≈
+    √N clusters this is the SemDeDup contract (the paper's K=50k on
+    LAION); the deterministic systematic centroid sample stands in
+    for the l21 k-means trainer exactly as in l19. No transitive
+    closure pass (l22 covers that); the min-id rule is one
+    group-agg over threshold pairs."""
+    from hadoop_release_spark.operators.similarity import assign_clusters
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_clusters(e, centroids).select(
+        "vec_id", "embedding", "cluster"
+    )
+    # assigned feeds both pair sides and the output spine; persist so
+    # the broadcast-argmin assignment runs once (released by the
+    # registry wrapper before the next query).
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "id_a",
+            F.round(cosine(F.col("va"), F.col("vb")), 3).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.expr(_L56_TAU))
+    )
+    killers = pairs.groupBy("id_b").agg(
+        F.min("id_a").cast("long").alias("dup_of"),
+        F.max("sim").alias("max_sim"),
+    )
+    return (
+        assigned.join(
+            killers, assigned.vec_id == killers.id_b, "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.col("id_b").isNull(), 1).otherwise(0).cast("long").alias(
+                "is_kept"
+            ),
+            "dup_of",
+            "max_sim",
+        )
+    )

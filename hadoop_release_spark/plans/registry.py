@@ -186,6 +186,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d35_mann_whitney",
     "l54_kneser_ney",
     "l55_tokenizer_fertility",
+    "l56_semdedup",
 })
 
 

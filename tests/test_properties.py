@@ -1824,3 +1824,40 @@ def test_tokenizer_fertility_planted(spark, tmp_path_factory):
     assert r.fertility == 7 / 4
     assert r.chars_per_bpe == 11 / 7
     assert r.med_bpe_per_100ws == 100
+
+
+def test_semdedup_min_id_survivor_chain(spark, tmp_path_factory):
+    """l56 survivor semantics pinned: with τ=0.3, B (60° from A) is
+    shadowed by A; C (120° from A, 60° from B) is shadowed by the
+    already-DROPPED B — the documented low-id rule is stricter than
+    greedy-on-kept; orthogonal D survives."""
+    import math
+
+    from hadoop_release_spark.plans.l_llm_ext import l56_semdedup
+
+    dim = 64
+
+    def vec(theta_deg):
+        v = [0.0] * dim
+        v[0] = math.cos(math.radians(theta_deg))
+        v[1] = math.sin(math.radians(theta_deg))
+        return v
+
+    d_vec = [0.0] * dim
+    d_vec[2] = 1.0
+    tmp = tmp_path_factory.mktemp("l56plant")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [vec(0), vec(60), vec(120), d_vec], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/embeddings.parquet")
+    rows = {r.vec_id: r for r in l56_semdedup(spark, str(tmp)).collect()}
+    assert rows[0].is_kept == 1 and rows[0].dup_of is None
+    assert rows[1].is_kept == 0 and rows[1].dup_of == 0
+    assert rows[2].is_kept == 0 and rows[2].dup_of == 1  # shadowed by dropped B
+    assert rows[3].is_kept == 1 and rows[3].dup_of is None

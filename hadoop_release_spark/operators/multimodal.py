@@ -484,3 +484,24 @@ def video_scene_cuts(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, frame_idx int, diff_total long, is_cut boolean"
     )
+
+
+def attach_image_payload_canon(df: DataFrame) -> DataFrame:
+    """Image payload variant with PLANTED near-duplicates: every doc
+    whose id ends in 9 carries its predecessor's exact image (canon
+    id = doc_id − 1), and dims derive from the canon id too, so the
+    pair's BMPs are byte-identical — the ~10% duplicate rate an
+    image-dedup operator must surface. Deterministic and
+    oracle-replayable (hex = md5(canon), w = canon % 13 + 4,
+    h = canon % 7 + 4)."""
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            canon = d - 1 if d % 10 == 9 else d
+            out.append(_doc_bmp(canon, canon))
+        return pd.Series(out)
+
+    return df.withColumn("payload", make("doc_id"))

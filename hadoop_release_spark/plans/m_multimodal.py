@@ -371,3 +371,161 @@ def m08_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames in memory at once (streaming decode posture)."""
     d = attach_video_payload(table(spark, sf_dir, "documents"))
     return video_scene_cuts(d)
+
+
+#: m09: Hamming radius for "near-duplicate" on the 64-bit aHash.
+_M09_NEAR_BITS = 6
+
+
+@register(
+    "m09_phash_near_dup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+               AS canon
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, canon % 13 + 4 AS w, canon % 7 + 4 AS h,
+             md5(CAST(canon AS VARCHAR)) AS hex
+      FROM docs
+    ), cells AS (
+      SELECT doc_id, w, h, i.i AS idx,
+             3 * ((((i.i // 8) * h) // 8) * w + (((i.i % 8) * w) // 8)) AS p,
+             hex
+      FROM dims, unnest(range(0, 64)) AS i(i)
+    ), gray AS (
+      SELECT doc_id, idx,
+        ( (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*(p % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*(p % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+1) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+1) % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+2) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+2) % 16)+2, 1))-1)
+        ) // 3 AS g
+      FROM cells
+    ), tot AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS s FROM gray GROUP BY doc_id
+    ), hashes AS (
+      SELECT g.doc_id,
+             CAST(sum(CASE WHEN g.idx < 32 AND 64*g.g > t.s
+                           THEN (CAST(1 AS BIGINT) << g.idx)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN g.idx >= 32 AND 64*g.g > t.s
+                           THEN (CAST(1 AS BIGINT) << (g.idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM gray g JOIN tot t ON g.doc_id = t.doc_id
+      GROUP BY g.doc_id
+    ), banded AS (
+      SELECT doc_id, b.b AS band,
+             CASE b.b WHEN 0 THEN lo % 65536
+                      WHEN 1 THEN lo // 65536
+                      WHEN 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bucket
+      FROM hashes, unnest(range(0, 4)) AS b(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.lo, hb.lo))
+                + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN bit_count(xor(ha.lo, hb.lo))
+                          + bit_count(xor(ha.hi, hb.hi))
+                          <= {_M09_NEAR_BITS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_near
+    FROM cand c
+    JOIN hashes ha ON c.doc_a = ha.doc_id
+    JOIN hashes hb ON c.doc_b = hb.doc_id
+    """,
+    priority="P2",
+)
+def m09_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate candidate pairs — l11/l12's SimHash-band
+    layout applied to m06's perceptual aHash, closing the multimodal
+    dedup loop: REAL BMP decode → 64-bit aHash → 4×16-bit bands →
+    bucket self-join candidates → exact Hamming verify
+    (bit_count(xor) on the two 32-bit halves), emitting every
+    candidate with its distance and an is_near ≤ {{radius}} flag.
+    The fixture payload plants byte-identical images on ~10% of docs
+    (id ending in 9 carries its predecessor's image), so true
+    duplicates (Hamming 0, all bands collide) and random band
+    collisions (high Hamming) both appear — the flag discriminates.
+
+    Scale shape: decode runs once per image in the Arrow-batched
+    mapInPandas stage (the m06 posture); after it only 5 integer
+    columns exist. The band exchange carries slim (doc_id, band,
+    bucket) rows — never pixels, never payloads (the l02/l11 LSH
+    invariant) — and the verify join re-attaches two bigints per
+    side. All-pairs never happens: candidates are bucket-scoped,
+    64-bit-hash re-use of the banding math is pure integer
+    arithmetic."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_image_payload_canon,
+        image_ahash,
+    )
+
+    d = attach_image_payload_canon(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
+    hashes = image_ahash(d).select("doc_id", "ahash_lo", "ahash_hi")
+    # hashes feeds the band explode and both verify sides; persist so
+    # the Python decode stage runs once (released by the wrapper).
+    hashes = hashes.persist()
+    banded = hashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.expr("ahash_lo % 65536"),
+                F.expr("ahash_lo DIV 65536"),
+                F.expr("ahash_hi % 65536"),
+                F.expr("ahash_hi DIV 65536"),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        F.col("ahash_hi").alias("hi_a"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+    )
+    hamming = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast(
+        "long"
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.alias("hamming"),
+            F.when(hamming <= _M09_NEAR_BITS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_near"),
+        )
+    )

@@ -187,6 +187,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l54_kneser_ney",
     "l55_tokenizer_fertility",
     "l56_semdedup",
+    "m09_phash_near_dup",
 })
 
 

@@ -228,3 +228,32 @@ def test_ahash_threshold_arithmetic_by_hand(spark):
     lo = sum(b << i for i, b in enumerate(expect[:32]))
     hi = sum(b << i for i, b in enumerate(expect[32:]))
     assert (row["ahash_lo"], row["ahash_hi"]) == (lo, hi)
+
+
+def test_m09_planted_duplicate_pair(spark, tmp_path_factory):
+    """The canon-id payload rule makes doc 9 carry doc 8's exact
+    image: all four bands collide and the pair verifies at Hamming 0
+    / is_near 1 through the REAL decode + banding path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.plans.m_multimodal import m09_phash_near_dup
+
+    tmp = tmp_path_factory.mktemp("m09plant")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([8, 9, 100], pa.int64()),
+            "text": pa.array(["x", "y", "z"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in m09_phash_near_dup(spark, str(tmp)).collect()
+    }
+    assert (8, 9) in rows
+    assert rows[(8, 9)].hamming == 0
+    assert rows[(8, 9)].is_near == 1

@@ -452,3 +452,44 @@ def test_d34_windows_run_over_compressed_values(spark, sf_dir):
     # bottom-up per subtree, so assert aggregate count strictly
     # exceeds window-stage count (partial+final pairs per level).
     assert plan.count("HashAggregate") >= 2 * plan.count("Window "), plan
+
+
+def test_e34_sweep_is_day_partitioned_not_global(spark, sf_dir):
+    """e34's defining scale property, pinned: the sweep-line running
+    sum windows on day_id (and sessions on user_id) — NO
+    partition-less window may appear, or the whole corpus funnels
+    through one task at 100 TB."""
+    plan = _plan(spark, sf_dir, "e34_peak_concurrency")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_l54_statistics_reaggregate_the_bigram_table(spark, sf_dir):
+    """l54's docstring claim, pinned: context/continuation counts,
+    N_types, and the final spine all read the PERSISTED bigram-count
+    table (InMemoryTableScan), so the corpus-wide token explode
+    materializes once — a consumer reading the parquet directly
+    would re-run the explode per statistic at 100 TB."""
+    plan = _plan(spark, sf_dir, "l54_kneser_ney")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_l56_assignment_broadcasts_centroids(spark, sf_dir):
+    """l56's SemDeDup contract, pinned: cluster assignment is a
+    broadcast nested-loop over the tiny centroid set (per-row
+    argmin; the corpus never shuffles to be assigned), and the pair
+    stage is a cluster-keyed SortMergeJoin/ShuffledHashJoin — never
+    a corpus-level cartesian."""
+    plan = _plan(spark, sf_dir, "l56_semdedup")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_m09_band_exchange_is_slim(spark, sf_dir):
+    """m09's LSH invariant (the l02/l11 rule), pinned: every
+    hash-partitioning exchange carries only id/band/bucket or the
+    two 32-bit hash halves — the binary payload column must never
+    cross a shuffle."""
+    plan = _plan(spark, sf_dir, "m09_phash_near_dup")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload" not in line, line

@@ -2115,3 +2115,79 @@ def e34_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_starts", F.lit(0)).cast("long").alias("n_starts"),
         )
     )
+
+
+@register(
+    "e35_max_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), cum1 AS (
+      SELECT user_id, t_us, event_id,
+             sum(cents) OVER (PARTITION BY user_id
+                              ORDER BY t_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS bal
+      FROM seq
+    ), cum AS (
+      SELECT user_id, bal,
+             max(bal) OVER (PARTITION BY user_id
+                            ORDER BY t_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cum1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents
+    FROM cum GROUP BY user_id
+    """,
+    priority="P2",
+)
+def e35_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the risk metric every equity /
+    engagement curve gets: running balance (cumulative event value),
+    running peak, and the deepest peak-to-trough drop
+    max_t(peak_t − bal_t). Entirely integer cents (2-dp values cast
+    through DECIMAL(12,2)·100 — the d22 rule), (t_us, event_id)
+    tie-broken, so no float rule applies anywhere.
+
+    Scale shape: ONE user_id shuffle serves the whole plan — the
+    running sum, the running max OVER the running sum, and the final
+    per-user aggregate all share the same partitioning+ordering
+    (the e11 argument), so Catalyst plans a single Exchange. The
+    running max of a running sum composes in one window pass; no
+    self-join, no global window."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cum = (
+        seq.select(
+            "user_id",
+            "t_us",
+            "event_id",
+            F.sum("cents").over(w).alias("bal"),
+        )
+        .withColumn("peak", F.max("bal").over(w))
+        .drop("t_us", "event_id")
+    )
+    return cum.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("bal")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+    )

@@ -188,6 +188,8 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l55_tokenizer_fertility",
     "l56_semdedup",
     "m09_phash_near_dup",
+    "e35_max_drawdown",
+    "l57_mlm_masking",
 })
 
 

@@ -1861,3 +1861,43 @@ def test_semdedup_min_id_survivor_chain(spark, tmp_path_factory):
     assert rows[1].is_kept == 0 and rows[1].dup_of == 0
     assert rows[2].is_kept == 0 and rows[2].dup_of == 1  # shadowed by dropped B
     assert rows[3].is_kept == 1 and rows[3].dup_of is None
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=50
+    )
+)
+def test_max_drawdown_matches_loop_reference(spark, cents, tmp_path_factory):
+    """e35 vs the obvious sequential loop: running balance, running
+    peak, deepest peak-to-trough drop — including all-negative and
+    monotone-rising curves (drawdown 0 edge)."""
+    from hadoop_release_spark.plans.e_windows import e35_max_drawdown
+
+    tmp = tmp_path_factory.mktemp("e35prop")
+    n = len(cents)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([c / 100 for c in cents], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    [r] = e35_max_drawdown(spark, str(tmp)).collect()
+    bal = peak = 0
+    first = True
+    max_dd = 0
+    for c in cents:
+        bal += c
+        peak = bal if first else max(peak, bal)
+        first = False
+        max_dd = max(max_dd, peak - bal)
+    assert (r.n_events, r.peak_cents, r.max_drawdown_cents) == (n, peak, max_dd)

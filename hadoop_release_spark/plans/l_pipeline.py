@@ -1431,3 +1431,109 @@ def l53_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("t", " ").alias("psm_text"),
     )
     return split_rows.unionByName(short_rows)
+
+
+#: l57 BERT masking schedule: select 15% of tokens; of those, 80%
+#: become [MASK], 10% a random vocab token, 10% stay (Devlin §3.1).
+_L57_SELECT_PCT = 15
+_L57_MASK_TOKEN = "[MASK]"
+
+
+def _o_l57() -> str:
+    u = (
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+        " CAST(pos AS VARCHAR) || ':mlm'), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM toks0 WHERE len(tk) >= 1)
+    ), m AS (
+      SELECT doc_id, pos, tok, {u} AS u FROM toks
+    ), sel AS (
+      SELECT * FROM m WHERE u % 100 < {_L57_SELECT_PCT}
+    ), vocab AS (
+      SELECT tok AS vtok, row_number() OVER (ORDER BY tok) AS vid
+      FROM (SELECT DISTINCT tok FROM toks)
+    ), vs AS (
+      SELECT CAST(count(*) AS BIGINT) AS vsize FROM vocab
+    )
+    SELECT s.doc_id, CAST(s.pos AS INT) AS pos, s.tok AS original,
+           CASE WHEN (s.u // 100) % 10 <= 7 THEN 'mask'
+                WHEN (s.u // 100) % 10 = 8 THEN 'random'
+                ELSE 'keep' END AS action,
+           CASE WHEN (s.u // 100) % 10 <= 7 THEN '{_L57_MASK_TOKEN}'
+                WHEN (s.u // 100) % 10 = 8 THEN v.vtok
+                ELSE s.tok END AS replacement
+    FROM sel s CROSS JOIN vs
+    JOIN vocab v ON v.vid = (s.u // 1000) % vs.vsize + 1
+    """
+
+
+@register("l57_mlm_masking", oracle=_o_l57(), priority="P2")
+def l57_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM masking schedule (Devlin et al. 2018 §3.1) —
+    with l50 (T5 spans) and l53 (FIM) this completes the denoising
+    objective family: select 15% of token positions, then 80% →
+    [MASK], 10% → a RANDOM vocabulary token, 10% → unchanged.
+    Every decision is rule-6 md5-integer arithmetic on
+    (doc_id, pos), so all epochs and both engines regenerate the
+    identical schedule; the random replacement indexes the corpus's
+    own deterministic vocabulary (dense ids by token sort order).
+    Emits one row per SELECTED position: (doc_id, pos, original,
+    action, replacement).
+
+    Scale shape: position explode + hash decisions are per-row
+    expressions fused onto the scan; the 85% unselected tokens are
+    FILTERED before anything shuffles. Vocabulary ids come from the
+    two-phase range-partitioned ranker (operators/rank.py — never a
+    single-partition window even over the vocab), and the
+    replacement lookup is a BROADCAST join on vid (the vocab is
+    Zipf-compact; the l42 top-K/OOV fold applies if it ever isn't).
+    The vocabulary size rides as a 1-row broadcast (d29 pattern)."""
+    from hadoop_release_spark.operators.rank import global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "doc_id", "pos", F.lit("mlm"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sel = toks.withColumn("u", u).filter(F.col("u") % 100 < _L57_SELECT_PCT)
+    vocab = global_row_number(
+        toks.select("tok").distinct(), ["tok"], "vid"
+    ).withColumnRenamed("tok", "vtok")
+    vs = vocab.agg(F.count("*").cast("long").alias("vsize"))
+    act = (F.col("u") / 100).cast("long") % 10
+    out = (
+        sel.crossJoin(F.broadcast(vs))
+        .withColumn("rid", (F.col("u") / 1000).cast("long") % F.col("vsize") + 1)
+        .join(F.broadcast(vocab), F.col("rid") == F.col("vid"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("tok").alias("original"),
+            F.when(act <= 7, "mask")
+            .when(act == 8, "random")
+            .otherwise("keep")
+            .alias("action"),
+            F.when(act <= 7, F.lit(_L57_MASK_TOKEN))
+            .when(act == 8, F.col("vtok"))
+            .otherwise(F.col("tok"))
+            .alias("replacement"),
+        )
+    )
+    return out

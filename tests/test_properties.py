@@ -1901,3 +1901,58 @@ def test_max_drawdown_matches_loop_reference(spark, cents, tmp_path_factory):
         first = False
         max_dd = max(max_dd, peak - bal)
     assert (r.n_events, r.peak_cents, r.max_drawdown_cents) == (n, peak, max_dd)
+
+
+def test_mlm_masking_matches_hashlib_reference(spark, tmp_path_factory):
+    """l57's whole schedule recomputed with hashlib: selection,
+    80/10/10 action split, and the vocab-indexed random replacement
+    must match row-for-row (validates conv/md5/posexplode semantics
+    against CPython's md5)."""
+    import hashlib
+
+    from hadoop_release_spark.plans.l_pipeline import (
+        _L57_MASK_TOKEN,
+        _L57_SELECT_PCT,
+        l57_mlm_masking,
+    )
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "pack my box with five dozen liquor jugs",
+        2: "the five boxing wizards jump quickly",
+    }
+    tmp = tmp_path_factory.mktemp("l57plant")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in docs.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    got = {
+        (r.doc_id, r.pos): (r.original, r.action, r.replacement)
+        for r in l57_mlm_masking(spark, str(tmp)).collect()
+    }
+
+    vocab = sorted({t for s in docs.values() for t in s.split()})
+    want = {}
+    for doc_id, text in docs.items():
+        for pos, tok in enumerate(text.split()):
+            u = int(
+                hashlib.md5(f"{doc_id}:{pos}:mlm".encode()).hexdigest()[:8], 16
+            )
+            if u % 100 >= _L57_SELECT_PCT:
+                continue
+            a = (u // 100) % 10
+            if a <= 7:
+                want[(doc_id, pos)] = (tok, "mask", _L57_MASK_TOKEN)
+            elif a == 8:
+                want[(doc_id, pos)] = (
+                    tok, "random", vocab[(u // 1000) % len(vocab)]
+                )
+            else:
+                want[(doc_id, pos)] = (tok, "keep", tok)
+    assert got == want and len(want) > 0

@@ -74,6 +74,11 @@ HEADLINE = [
     "e31_time_weighted_avg",  # TWAP, decimal-exact weighting
     "m08_video_scene_cut",    # frame-diff cut detection
     "l50_span_corruption",    # T5 denoising mask schedule
+    # round-6b flagships (this session)
+    "l54_kneser_ney",         # bigram KN LM estimation, one corpus scan
+    "l56_semdedup",           # cluster-scoped semantic dedup
+    "e34_peak_concurrency",   # day-partitioned sweep-line + carry
+    "m09_phash_near_dup",     # banded Hamming dedup over aHash
 ]
 
 

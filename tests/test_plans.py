@@ -196,6 +196,16 @@ _PLAN_NODE_ALLOWLIST = {
         # a16: single-row broadcast — the 1-row orphan count attaches
         # to the 1-row orders total (O(1·1)).
         "a16_validate_constraints",
+        # l54: single-row broadcast — the N_types scalar attaches to
+        # the filtered bigram table (O(bigrams·1)).
+        "l54_kneser_ney",
+        # l56: corpus × bounded broadcast CENTROID set (the l19
+        # assignment argmin — K ≈ √N rows, never corpus-scale); same
+        # exit condition as l19 if K ever stops being broadcastable.
+        "l56_semdedup",
+        # l57: single-row broadcast — the vocab-size scalar attaches
+        # before the replacement-id modulo (O(selected·1)).
+        "l57_mlm_masking",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -1993,3 +1993,148 @@ def d35_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return named.select(
         "n1", "n2", "u1_x2", "tie_t", F.expr(z_expr).alias("z_stat")
     )
+
+
+#: d37 Poisson bootstrap: B replicas; per (row, replica) the weight
+#: is Poisson(1)-distributed, derived from a 32-bit md5 integer via
+#: the inverse CDF with FIXED integer thresholds (truncated at 8 —
+#: P(w>8) < 1e-6 is part of the defined semantics). _D37_THRESH[k] =
+#: floor(2^32 · P(W ≤ k)); w = #{k : u ≥ T_k}.
+_D37_B = 100
+import math as _math  # noqa: E402
+
+_D37_THRESH = []
+_acc = 0.0
+_pk = _math.exp(-1.0)
+for _k in range(9):
+    _acc += _pk
+    _D37_THRESH.append(int(_acc * 2**32))
+    _pk /= _k + 1
+del _acc, _pk, _k
+
+
+def _o_d37() -> str:
+    w_sql = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _D37_THRESH
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), point AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM base GROUP BY o_orderstatus
+    ), drawn AS (
+      SELECT o_orderstatus, cents, b.b AS b,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                    || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+               AS u
+      FROM base, unnest(range(0, {_D37_B})) AS b(b)
+    ), weighted AS (
+      SELECT o_orderstatus, b, cents, {w_sql} AS w FROM drawn
+    ), rep AS (
+      SELECT o_orderstatus, b,
+             CAST(sum(cents * w) AS BIGINT) AS sb,
+             CAST(sum(w) AS BIGINT) AS nb
+      FROM weighted GROUP BY o_orderstatus, b
+    ), means AS (
+      SELECT o_orderstatus,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY CAST(sb AS DOUBLE)
+                                         / CAST(nb AS DOUBLE), b) AS rn
+      FROM rep WHERE nb > 0
+    ), ci AS (
+      SELECT o_orderstatus,
+             min(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+             min(CASE WHEN rn = {_D37_B - 2} THEN m END) AS ci_hi
+      FROM means GROUP BY o_orderstatus
+    )
+    SELECT p.o_orderstatus, p.n_rows,
+           CAST(p.s AS DOUBLE) / CAST(p.n_rows AS DOUBLE) AS point_mean,
+           c.ci_lo, c.ci_hi
+    FROM point p JOIN ci c ON p.o_orderstatus = c.o_orderstatus
+    """
+
+
+@register("d37_poisson_bootstrap", oracle=_o_d37(), priority="P2")
+def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value per status — THE resampling method that scales (Chamandy
+    et al., Google 2012): classic bootstrap needs n draws per
+    replica (a shuffle per replica); the Poisson approximation gives
+    every (row, replica) an INDEPENDENT Poisson(1) weight, so all B
+    replicas ride one map-side pass. Weights are deterministic rule-6
+    integers: u = md5(orderkey:replica) 32-bit prefix, w = #{k: u ≥
+    T_k} against fixed inverse-CDF thresholds — no RNG, both engines
+    regenerate identical resamples. Replica means are exact-bigint
+    sums with one IEEE division; the CI picks ranked replica means
+    at positions 3 / B−2 (2.5%/97.5% lower-quantile rule, B=100),
+    id-tie-broken.
+
+    Scale shape: the ×B explode multiplies CPU, NOT shuffle — the
+    (status, b) partial agg collapses each task to ≤ statuses·B
+    rows before the exchange (map-side combine), and the ranking
+    window runs over B rows per status. The point mean re-reads the
+    2-column projection once (cheap vs. shipping it through the
+    explode). This plan is identical at 100 TB: bootstrap cost =
+    one extra CPU-bound scan, zero extra shuffle volume."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    point = base.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    drawn = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_D37_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = None
+    for t in _D37_THRESH:
+        term = F.when(F.col("u") >= t, 1).otherwise(0)
+        w = term if w is None else w + term
+    rep = (
+        drawn.withColumn("w", w)
+        .groupBy("o_orderstatus", "b")
+        .agg(
+            F.sum(F.col("cents") * F.col("w")).cast("long").alias("sb"),
+            F.sum("w").cast("long").alias("nb"),
+        )
+        .filter(F.col("nb") > 0)
+    )
+    m = F.col("sb").cast("double") / F.col("nb").cast("double")
+    win = Window.partitionBy("o_orderstatus").orderBy(m, "b")
+    means = rep.select(
+        "o_orderstatus", m.alias("m"), F.row_number().over(win).alias("rn")
+    )
+    ci = means.groupBy("o_orderstatus").agg(
+        F.min(F.when(F.col("rn") == 3, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == _D37_B - 2, F.col("m"))).alias("ci_hi"),
+    )
+    return point.join(ci, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_rows",
+        (F.col("s").cast("double") / F.col("n_rows").cast("double")).alias(
+            "point_mean"
+        ),
+        "ci_lo",
+        "ci_hi",
+    )

@@ -190,6 +190,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m09_phash_near_dup",
     "e35_max_drawdown",
     "l57_mlm_masking",
+    "d37_poisson_bootstrap",
 })
 
 

@@ -1956,3 +1956,48 @@ def test_mlm_masking_matches_hashlib_reference(spark, tmp_path_factory):
             else:
                 want[(doc_id, pos)] = (tok, "keep", tok)
     assert got == want and len(want) > 0
+
+
+def test_poisson_bootstrap_matches_hashlib_reference(spark, tmp_path_factory):
+    """d37's whole resampling pipeline recomputed with hashlib:
+    identical weights, replica means, and ranked CI endpoints on a
+    small planted table (one status, 40 orders)."""
+    import hashlib
+
+    from hadoop_release_spark.plans.d_aggregates import (
+        _D37_B,
+        _D37_THRESH,
+        d37_poisson_bootstrap,
+    )
+
+    cents = [(i * 37) % 1000 + 100 for i in range(40)]
+    tmp = tmp_path_factory.mktemp("d37plant")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(40), pa.int64()),
+            "o_custkey": pa.array([1] * 40, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 40),
+            "o_totalprice": pa.array([c / 100 for c in cents], pa.float64()),
+            "o_orderdate": pa.array([datetime.date(2024, 6, 1)] * 40),
+            "o_orderpriority": pa.array(["1-URGENT"] * 40),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+    [r] = d37_poisson_bootstrap(spark, str(tmp)).collect()
+
+    means = []
+    for b in range(_D37_B):
+        sb = nb = 0
+        for okey, c in enumerate(cents):
+            u = int(hashlib.md5(f"{okey}:{b}".encode()).hexdigest()[:8], 16)
+            w = sum(1 for t in _D37_THRESH if u >= t)
+            sb += c * w
+            nb += w
+        if nb > 0:
+            means.append((sb / nb, b))
+    means.sort()
+    assert r.n_rows == 40
+    assert r.point_mean == sum(cents) / 40
+    assert r.ci_lo == means[2][0]          # rank 3
+    assert r.ci_hi == means[_D37_B - 3][0]  # rank B-2
+    assert r.ci_lo <= r.point_mean <= r.ci_hi

@@ -130,3 +130,61 @@ def global_row_number(df: DataFrame, cols: list, rn_name: str = "rn") -> DataFra
         .withColumn(rn_name, (F.col("__local_rn") + F.col("__rank_offset")).cast("long"))
         .drop(_PID, "__local_rn", "__rank_offset")
     )
+
+
+def global_prefix_max(
+    df: DataFrame, order_cols: list, value_col: str, out_name: str = "max_before"
+) -> DataFrame:
+    """Append the EXCLUSIVE global prefix MAX of ``value_col`` (long)
+    in the total order of ``order_cols`` — null where no prior row
+    exists. Same two-phase shape as :func:`global_prefix_sums` (a
+    bare ``max() OVER (ORDER BY …)`` collapses to one partition):
+    range-partition once, per-partition exclusive running max in a
+    parallel window, then per-partition maxes (#partitions longs)
+    collect into exclusive cross-partition offsets broadcast back.
+    The persist is load-bearing for the same sampling reason as
+    global_row_number."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    parted = df.repartitionByRange(n_part, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    parted = parted.persist()
+
+    totals = (
+        parted.groupBy(_PID)
+        .agg(F.max(F.col(value_col).cast("long")).alias("__pmax"))
+        .orderBy(_PID)
+        .collect()
+    )
+    rows, acc = [], None
+    for row in totals:
+        rows.append((row[_PID], acc))
+        v = row["__pmax"]
+        if v is not None:
+            acc = v if acc is None else max(acc, v)
+    offset_df = df.sparkSession.createDataFrame(
+        rows, f"{_PID} int, __max_offset long"
+    )
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        parted.withColumn(
+            "__local_excl", F.max(F.col(value_col).cast("long")).over(w)
+        )
+        .join(F.broadcast(offset_df), _PID)
+        .withColumn(
+            out_name,
+            F.when(
+                F.col("__local_excl").isNull(), F.col("__max_offset")
+            ).when(
+                F.col("__max_offset").isNull(), F.col("__local_excl")
+            ).otherwise(
+                F.greatest(F.col("__local_excl"), F.col("__max_offset"))
+            ),
+        )
+    )
+    return out.drop(_PID, "__local_excl", "__max_offset")

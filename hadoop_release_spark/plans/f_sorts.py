@@ -142,3 +142,72 @@ def f05_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(KEYSET_PAGE)
     )
+
+
+@register(
+    "f06_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d_days
+      FROM orders
+    ), g AS (
+      SELECT cents, CAST(max(d_days) AS BIGINT) AS dmax
+      FROM pts GROUP BY cents
+    ), m AS (
+      SELECT cents, dmax,
+             max(dmax) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mlt
+      FROM g
+    )
+    SELECT p.o_orderkey, p.cents, p.d_days
+    FROM pts p JOIN m ON p.cents = m.cents
+    WHERE (m.mlt IS NULL OR p.d_days > m.mlt) AND p.d_days = m.dmax
+    """,
+    priority="P2",
+)
+def f06_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — Börzsönyi et al. 2001, the
+    multi-criteria shortlist: orders minimizing price while
+    maximizing recency; a point survives iff NO other order is both
+    ≤ price and ≥ date with one strict. The sort-based
+    characterization makes it declarative: p is on the skyline iff
+    its date (a) exceeds the exclusive prefix-max of dates over all
+    strictly cheaper price levels, and (b) equals the max date at
+    its own price level (ties at identical (price, date) all
+    survive — neither dominates). Exact integers (cents, epoch
+    days) — no float rule.
+
+    Scale shape: distinct-price compression first (one map-side
+    combined agg to |price levels| rows), then ONE two-phase
+    range-partitioned prefix-MAX pass (operators/rank.py
+    global_prefix_max — never a partition-less running window); the
+    level stats join back on cents (broadcastable when price levels
+    are compact). The fact table shuffles once, to its price level —
+    the 2-D skyline at 100 TB in two narrow passes."""
+    from hadoop_release_spark.operators.rank import global_prefix_max
+
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias(
+            "d_days"
+        ),
+    )
+    g = pts.groupBy("cents").agg(F.max("d_days").cast("long").alias("dmax"))
+    m = global_prefix_max(g, ["cents"], "dmax", "mlt")
+    return (
+        pts.join(m, "cents")
+        .filter(
+            (F.col("mlt").isNull() | (F.col("d_days") > F.col("mlt")))
+            & (F.col("d_days") == F.col("dmax"))
+        )
+        .select("o_orderkey", "cents", "d_days")
+    )

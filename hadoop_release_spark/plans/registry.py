@@ -191,6 +191,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e35_max_drawdown",
     "l57_mlm_masking",
     "d37_poisson_bootstrap",
+    "f06_skyline",
 })
 
 

@@ -2001,3 +2001,53 @@ def test_poisson_bootstrap_matches_hashlib_reference(spark, tmp_path_factory):
     assert r.ci_lo == means[2][0]          # rank 3
     assert r.ci_hi == means[_D37_B - 3][0]  # rank B-2
     assert r.ci_lo <= r.point_mean <= r.ci_hi
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_matches_brute_force(spark, pts, tmp_path_factory):
+    """f06 vs the O(n²) dominance definition on tiny grids (heavy
+    ties — the hard case: equal (price, date) pairs must ALL
+    survive, equal-price-worse-date must not)."""
+    from hadoop_release_spark.plans.f_sorts import f06_skyline
+
+    tmp = tmp_path_factory.mktemp("f06prop")
+    n = len(pts)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n),
+            "o_totalprice": pa.array([c / 100 for c, _ in pts], pa.float64()),
+            "o_orderdate": pa.array(
+                [
+                    datetime.datetime(2024, 6, 1) + datetime.timedelta(days=d)
+                    for _, d in pts
+                ],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+    got = {r.o_orderkey for r in f06_skyline(spark, str(tmp)).collect()}
+
+    def dominated(i):
+        ci, di = pts[i]
+        return any(
+            (cj <= ci and dj >= di and (cj < ci or dj > di))
+            for j, (cj, dj) in enumerate(pts)
+            if j != i
+        )
+
+    want = {i for i in range(n) if not dominated(i)}
+    assert got == want

@@ -505,3 +505,63 @@ def attach_image_payload_canon(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", make("doc_id"))
+
+
+def attach_video_payload_canon(df: DataFrame) -> DataFrame:
+    """Video payload variant with PLANTED duplicate clips (the m09
+    canon-id rule): a doc whose id ends in 9 carries its
+    predecessor's exact clip, dims and frame pixels keyed on the
+    canon id — deterministic and oracle-replayable."""
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            canon = d - 1 if d % 10 == 9 else d
+            out.append(_doc_video(canon, canon))
+        return pd.Series(out)
+
+    return df.withColumn("payload", make("doc_id"))
+
+
+FRAME_AHASH_SCHEMA = "doc_id long, frame_idx int, ahash_lo long, ahash_hi long"
+
+
+def video_frame_ahashes(df: DataFrame, stride: int = 2) -> DataFrame:
+    """mapInPandas per-frame perceptual hashing: container parse →
+    every ``stride``-th frame → REAL BMP decode → the m06 aHash
+    (integer gray, 8×8 floor-rule grid, 64·gray > Σgray threshold).
+    1 clip → N sampled-frame rows of four integers — the video
+    fingerprint set a near-dup join consumes."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video(bytes(payload))
+                for idx in range(0, len(frames), stride):
+                    w, h, _, rgb = decode_bmp(frames[idx])
+                    gray = (
+                        np.frombuffer(rgb, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                        .sum(axis=2)
+                        // 3
+                    )
+                    xs = (np.arange(8) * w) // 8
+                    ys = (np.arange(8) * h) // 8
+                    g = gray[np.ix_(ys, xs)].ravel()
+                    s = int(g.sum())
+                    bits = [1 if 64 * int(v) > s else 0 for v in g]
+                    lo = sum(b << i for i, b in enumerate(bits[:32]))
+                    hi = sum(b << i for i, b in enumerate(bits[32:]))
+                    rows.append((doc_id, idx, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ahash_lo", "ahash_hi"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_AHASH_SCHEMA
+    )

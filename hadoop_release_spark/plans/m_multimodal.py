@@ -529,3 +529,144 @@ def m09_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_near"),
         )
     )
+
+
+@register(
+    "m10_video_near_dup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+               AS canon
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, canon,
+             canon % 9 + 4 AS w, canon % 5 + 4 AS h,
+             canon % 5 + 2 AS n_frames
+      FROM docs
+    ), sampled AS (
+      SELECT doc_id, canon, w, h, f.f AS fidx,
+             md5(CAST(canon AS VARCHAR) || ':' || CAST(f.f AS VARCHAR))
+               AS hex
+      FROM meta, unnest(range(0, n_frames)) AS f(f)
+      WHERE f.f % 2 = 0
+    ), cells AS (
+      SELECT doc_id, fidx, w, h, i.i AS idx,
+             3 * ((((i.i // 8) * h) // 8) * w + (((i.i % 8) * w) // 8)) AS p,
+             hex
+      FROM sampled, unnest(range(0, 64)) AS i(i)
+    ), gray AS (
+      SELECT doc_id, fidx, idx,
+        ( (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*(p % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*(p % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+1) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+1) % 16)+2, 1))-1)
+        + (16*(strpos('0123456789abcdef',
+                      substring(hex, 2*((p+2) % 16)+1, 1))-1)
+            + strpos('0123456789abcdef',
+                     substring(hex, 2*((p+2) % 16)+2, 1))-1)
+        ) // 3 AS g
+      FROM cells
+    ), tot AS (
+      SELECT doc_id, fidx, CAST(sum(g) AS BIGINT) AS s
+      FROM gray GROUP BY doc_id, fidx
+    ), hashes AS (
+      SELECT g.doc_id, g.fidx,
+             CAST(sum(CASE WHEN g.idx < 32 AND 64*g.g > t.s
+                           THEN (CAST(1 AS BIGINT) << g.idx)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN g.idx >= 32 AND 64*g.g > t.s
+                           THEN (CAST(1 AS BIGINT) << (g.idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM gray g JOIN tot t ON g.doc_id = t.doc_id AND g.fidx = t.fidx
+      GROUP BY g.doc_id, g.fidx
+    ), fps AS (
+      SELECT DISTINCT doc_id, lo, hi FROM hashes
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+      FROM fps GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_frames
+      FROM fps a JOIN fps b ON a.lo = b.lo AND a.hi = b.hi
+                           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_frames,
+           za.nf AS n_a, zb.nf AS n_b,
+           CAST(s.shared_frames AS DOUBLE)
+           / CAST(za.nf + zb.nf - s.shared_frames AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes za ON s.doc_a = za.doc_id
+    JOIN sizes zb ON s.doc_b = zb.doc_id
+    """,
+    priority="P2",
+)
+def m10_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-FINGERPRINT overlap — the
+    content-ID primitive: each clip becomes the SET of its sampled
+    frames' perceptual aHashes (m06's hash over m05's stride
+    sampling), candidate pairs share at least one exact frame hash,
+    and the score is set Jaccard. Hash equality IS the LSH here —
+    re-encoded copies of a clip collide frame-by-frame. The fixture
+    plants duplicate clips with the m09 canon-id rule (~10% of docs
+    carry their predecessor's clip → Jaccard 1 pairs), while
+    unrelated clips surface only through rare thumbnail-hash
+    collisions (low Jaccard) — the score separates them.
+
+    Scale shape: decode + per-frame hashing is ONE Arrow-batched
+    mapInPandas pass (payloads never shuffle — the m06/m09
+    invariant); after it a clip is ≤ n_frames rows of four integers.
+    The ONLY join is keyed on the 64-bit frame hash (map-side
+    combined distinct first), so work is Σ|hash bucket|² over
+    near-singleton buckets — never clip×clip. Sizes re-aggregate
+    the fingerprint table; jaccard is one IEEE division over exact
+    counts (d22 rule)."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_video_payload_canon,
+        video_frame_ahashes,
+    )
+
+    d = attach_video_payload_canon(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
+    fps = (
+        video_frame_ahashes(d)
+        .select("doc_id", F.col("ahash_lo").alias("lo"), F.col("ahash_hi").alias("hi"))
+        .distinct()
+    )
+    # fps feeds both pair sides and the size table; persist so the
+    # Python decode stage runs once (released by the wrapper).
+    fps = fps.persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("nf"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "lo", "hi")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "lo", "hi")
+    shared = (
+        a.join(b, ["lo", "hi"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b"))
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_frames",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_frames").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_frames")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

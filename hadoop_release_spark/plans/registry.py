@@ -192,6 +192,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l57_mlm_masking",
     "d37_poisson_bootstrap",
     "f06_skyline",
+    "m10_video_near_dup",
 })
 
 

@@ -257,3 +257,33 @@ def test_m09_planted_duplicate_pair(spark, tmp_path_factory):
     assert (8, 9) in rows
     assert rows[(8, 9)].hamming == 0
     assert rows[(8, 9)].is_near == 1
+
+
+def test_m10_planted_duplicate_clip(spark, tmp_path_factory):
+    """The canon-id clip rule makes doc 9 carry doc 8's exact video:
+    every sampled frame hash matches, so the pair surfaces with
+    Jaccard 1.0 through the real container-parse + decode + aHash
+    path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.plans.m_multimodal import m10_video_near_dup
+
+    tmp = tmp_path_factory.mktemp("m10plant")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([8, 9, 100], pa.int64()),
+            "text": pa.array(["x", "y", "z"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in m10_video_near_dup(spark, str(tmp)).collect()
+    }
+    assert (8, 9) in rows
+    r = rows[(8, 9)]
+    assert r.jaccard == 1.0 and r.n_a == r.n_b == r.shared_frames

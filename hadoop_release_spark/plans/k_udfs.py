@@ -348,3 +348,81 @@ def k10_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         psum("o_totalprice").over(w).alias("cust_total"),
     )
+
+
+@register(
+    "k11_cogrouped_map",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ), e AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(o.key, e.key) AS key,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.spend_cents, 0) AS spend_cents,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.value_cents, 0) AS value_cents
+    FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+    priority="P2",
+)
+def k11_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map transform — the LAST cell of the Pandas
+    transport matrix (k02 scalar, k03 UDAF, k04 grouped map, k06/k07
+    map batches, k08 iter, k09 arrow, k05 UDTF — and this:
+    ``groupBy().cogroup().applyInPandas``): both relations' rows for
+    one key arrive as two aligned pandas frames, the Python analog
+    of a reduce-side join. The demo merges a customer's orders and
+    activity into one 360° row; either side may be EMPTY for a key
+    (customers with no events, users with no orders) — the empty-
+    frame path is the API's defining edge and the oracle's FULL
+    OUTER JOIN checks it.
+
+    Scale shape: each side shuffles ONCE on the key (identical to a
+    shuffle join); Arrow moves whole per-key batches into Python.
+    Cents stay exact integers (the d22 rule) so the hash gate holds
+    bit-for-bit. Built-in join+agg expresses this exact query JVM-
+    side (the oracle) — the operator exists for the API surface,
+    where per-key Python logic genuinely can't be declarative."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+    def merge(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "n_orders": [len(left)],
+                "spend_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "n_events": [len(right)],
+                "value_cents": [int(right["cents"].sum()) if len(right) else 0],
+            }
+        )
+
+    return (
+        o.groupBy("key")
+        .cogroup(e.groupBy("key"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "key long, n_orders long, spend_cents long,"
+                " n_events long, value_cents long"
+            ),
+        )
+    )

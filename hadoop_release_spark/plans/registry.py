@@ -193,6 +193,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d37_poisson_bootstrap",
     "f06_skyline",
     "m10_video_near_dup",
+    "k11_cogrouped_map",
 })
 
 

@@ -2051,3 +2051,39 @@ def test_skyline_matches_brute_force(spark, pts, tmp_path_factory):
 
     want = {i for i in range(n) if not dominated(i)}
     assert got == want
+
+
+def test_cogrouped_map_empty_side_keys(spark, tmp_path_factory):
+    """k11's defining edge pinned: a key present on only ONE side
+    still produces a row, with zeros for the empty frame (customer
+    with no events / user with no orders)."""
+    from hadoop_release_spark.plans.k_udfs import k11_cogrouped_map
+
+    tmp = tmp_path_factory.mktemp("k11plant")
+    tbl_o = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 10], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F"]),
+            "o_totalprice": pa.array([1.50, 2.25], pa.float64()),
+            "o_orderdate": pa.array([datetime.date(2024, 6, 1)] * 2),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        }
+    )
+    pq.write_table(tbl_o, f"{tmp}/orders.parquet")
+    tbl_e = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([T0], pa.timestamp("us")),
+            "user_id": pa.array([20], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([0.75], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(tbl_e, f"{tmp}/events.parquet")
+    rows = {r.key: r for r in k11_cogrouped_map(spark, str(tmp)).collect()}
+    assert rows[10].n_orders == 2 and rows[10].spend_cents == 375
+    assert rows[10].n_events == 0 and rows[10].value_cents == 0
+    assert rows[20].n_orders == 0 and rows[20].spend_cents == 0
+    assert rows[20].n_events == 1 and rows[20].value_cents == 75

@@ -2138,3 +2138,157 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+#: d38: one day in epoch-microseconds (duration grid).
+_D38_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "d38_kaplan_meier",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
+      FROM events
+    ), horizon AS (
+      SELECT max(t_us) AS h_us FROM ev
+    ), w AS (
+      SELECT user_id, event_type, t_us,
+             min(CASE WHEN event_type = 'view' THEN t_us END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM ev
+    ), users AS (
+      SELECT user_id, min(t0) AS t0,
+             min(CASE WHEN event_type = 'purchase' AND t_us >= t0
+                      THEN t_us END) AS te
+      FROM w WHERE t0 IS NOT NULL GROUP BY user_id
+    ), durs AS (
+      SELECT user_id,
+             CASE WHEN u.te IS NOT NULL
+                  THEN (u.te - u.t0) // {_D38_DAY_US}
+                  ELSE (h.h_us - u.t0) // {_D38_DAY_US} END AS dur_days,
+             CASE WHEN u.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM users u CROSS JOIN horizon h
+    ), g AS (
+      SELECT dur_days, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+      FROM durs GROUP BY dur_days
+    ), tot AS (
+      SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM g
+    ), risk AS (
+      SELECT dur_days, d, c,
+             t.n_total
+             - coalesce(sum(d + c) OVER (ORDER BY dur_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n
+      FROM g CROSS JOIN tot t
+    ), terms AS (
+      SELECT dur_days, d, c, n,
+             CASE WHEN n > d
+                  THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                  END AS term
+      FROM risk
+    )
+    SELECT dur_days, CAST(n AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CASE WHEN term IS NOT NULL THEN
+             CAST(round(sum(term) OVER (ORDER BY dur_days
+                        ROWS UNBOUNDED PRECEDING) + 0.0, 6) AS DOUBLE)
+           END AS ln_survival
+    FROM terms
+    """,
+    priority="P2",
+)
+def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate for TIME-TO-CONVERSION — the
+    product-analytics question "how long from first view to first
+    purchase", with users who never convert correctly treated as
+    RIGHT-CENSORED at the data horizon (naive conversion-time
+    averages silently drop them — the bias KM exists to fix). Per
+    distinct duration day: at-risk count n, events d, censored c,
+    and ln S(t) = Σ_{{t'≤t}} ln((n−d)/n). The log-space form avoids
+    a running product; the sum spans ≤|distinct durations| terms so
+    accumulation order adds ~1e-13 ≪ the 5e-7 half-grid, and the
+    final value is r6-rounded with the signed-zero guard (the d27
+    discipline). n = d can only happen at the LAST duration (at-risk
+    minus events = censored-here + everyone later), where
+    ln_survival is NULL (S = 0).
+
+    Scale shape: ONE user_id shuffle builds conversion durations
+    (the t0 window and the per-user agg share partitioning — e11
+    argument); durations compress to |distinct days| rows; the
+    running windows over that duration GRID are day-bounded exactly
+    like e19's day-grid windows (documented bounded-domain
+    exception), with the horizon and total as 1-row broadcasts."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    horizon = ev.agg(F.max("t_us").alias("h_us"))
+    w_u = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w_u)
+    users = (
+        ev.withColumn("t0", t0)
+        .filter(F.col("t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t0").alias("t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t_us") >= F.col("t0")),
+                    F.col("t_us"),
+                )
+            ).alias("te"),
+        )
+    )
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("te").isNotNull(),
+            F.expr(f"(te - t0) DIV {_D38_DAY_US}"),
+        )
+        .otherwise(F.expr(f"(h_us - t0) DIV {_D38_DAY_US}"))
+        .alias("dur_days"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = durs.groupBy("dur_days").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    tot = g.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n_total"))
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "term",
+            F.when(
+                F.col("n") > F.col("d"),
+                F.log(
+                    (F.col("n") - F.col("d")).cast("double")
+                    / F.col("n").cast("double")
+                ),
+            ),
+        )
+    )
+    return risk.select(
+        "dur_days",
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(
+            F.col("term").isNotNull(),
+            F.round(F.sum("term").over(w_run) + F.lit(0.0), 6).cast("double"),
+        ).alias("ln_survival"),
+    )

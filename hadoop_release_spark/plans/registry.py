@@ -194,6 +194,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "f06_skyline",
     "m10_video_near_dup",
     "k11_cogrouped_map",
+    "d38_kaplan_meier",
 })
 
 

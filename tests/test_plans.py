@@ -206,6 +206,9 @@ _PLAN_NODE_ALLOWLIST = {
         # l57: single-row broadcast — the vocab-size scalar attaches
         # before the replacement-id modulo (O(selected·1)).
         "l57_mlm_masking",
+        # d38: two single-row broadcasts — the data horizon attaches
+        # to per-user durations, the total to the duration grid.
+        "d38_kaplan_meier",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -2087,3 +2087,74 @@ def test_cogrouped_map_empty_side_keys(spark, tmp_path_factory):
     assert rows[10].n_events == 0 and rows[10].value_cents == 0
     assert rows[20].n_orders == 0 and rows[20].spend_cents == 0
     assert rows[20].n_events == 1 and rows[20].value_cents == 75
+
+
+@settings(**_SETTINGS)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),     # first view day
+            st.integers(min_value=-1, max_value=12),    # purchase day; <0 = never
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kaplan_meier_matches_reference(spark, users, tmp_path_factory):
+    """d38 vs a pure-Python KM estimator: risk sets, event/censor
+    counts, and ln-survival (within the r6 grid) for arbitrary
+    view/purchase layouts incl. never-converting users and the
+    n == d last-row saturation (ln_survival NULL)."""
+    import math
+
+    from hadoop_release_spark.plans.d_aggregates import d38_kaplan_meier
+
+    day = 86_400
+    rows = []
+    eid = 0
+    for uid, (v, p) in enumerate(users):
+        rows.append((eid, uid, "view", v * day))
+        eid += 1
+        if p >= v:
+            rows.append((eid, uid, "purchase", p * day))
+            eid += 1
+    tmp = tmp_path_factory.mktemp("d38prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=r[3]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = {r.dur_days: r for r in d38_kaplan_meier(spark, str(tmp)).collect()}
+
+    h = max(r[3] for r in rows) // day
+    durs = []
+    for uid, (v, p) in enumerate(users):
+        if p >= v:
+            durs.append((p - v, 1))
+        else:
+            durs.append((h - v, 0))
+    grid = sorted({d for d, _ in durs})
+    n = len(durs)
+    ln_s = 0.0
+    for t in grid:
+        d_t = sum(1 for d, e in durs if d == t and e)
+        c_t = sum(1 for d, e in durs if d == t and not e)
+        r = got[t]
+        assert (r.n_at_risk, r.d_events, r.c_censored) == (n, d_t, c_t)
+        if n > d_t:
+            ln_s += math.log((n - d_t) / n)
+            assert r.ln_survival is not None
+            assert abs(r.ln_survival - ln_s) < 1e-6 + 1e-9
+        else:
+            assert r.ln_survival is None
+        n -= d_t + c_t
+    assert set(got) == set(grid)

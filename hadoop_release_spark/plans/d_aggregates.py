@@ -2292,3 +2292,178 @@ def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").over(w_run) + F.lit(0.0), 6).cast("double"),
         ).alias("ln_survival"),
     )
+
+
+#: d39 PSI: decile grid of the reference source's length
+#: distribution; +1 Laplace smoothing keeps empty buckets finite.
+_D39_BUCKETS = 10
+
+
+def _o_d39() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN n_chars > b{k} THEN 1 ELSE 0 END" for k in range(1, 10)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), ref AS (
+      SELECT source AS ref_source FROM counts
+      ORDER BY n DESC, source LIMIT 1
+    ), pp AS (
+      SELECT d.n_chars AS v, CAST(count(*) AS BIGINT) AS w
+      FROM documents d CROSS JOIN ref r
+      WHERE d.source = r.ref_source GROUP BY d.n_chars
+    ), cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cumw,
+             sum(w) OVER () AS total
+      FROM pp
+    ), bounds AS (
+      SELECT
+        {", ".join(
+            f"min(CASE WHEN cumw * {_D39_BUCKETS} >= total * {k} "
+            f"THEN v END) AS b{k}" for k in range(1, 10)
+        )}
+      FROM cum
+    ), bucketed AS (
+      SELECT d.source, {bucket} AS bucket
+      FROM documents d CROSS JOIN bounds
+    ), grid AS (
+      SELECT c.source, g.g AS bucket
+      FROM counts c, unnest(range(0, {_D39_BUCKETS})) AS g(g)
+    ), per AS (
+      SELECT g.source, g.bucket,
+             CAST(count(b.bucket) AS BIGINT) AS nb
+      FROM grid g LEFT JOIN bucketed b
+        ON g.source = b.source AND g.bucket = b.bucket
+      GROUP BY g.source, g.bucket
+    ), probs AS (
+      SELECT p.source, p.bucket,
+             CAST(p.nb + 1 AS DOUBLE)
+             / CAST(c.n + {_D39_BUCKETS} AS DOUBLE) AS pr
+      FROM per p JOIN counts c ON p.source = c.source
+    ), refp AS (
+      SELECT p.bucket, p.pr AS pref
+      FROM probs p CROSS JOIN ref r WHERE p.source = r.ref_source
+    )
+    SELECT p.source,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(round(sum((r.pref - p.pr) * ln(r.pref / p.pr)) + 0.0, 6)
+                AS DOUBLE) AS psi
+    FROM probs p
+    JOIN refp r ON p.bucket = r.bucket
+    JOIN counts c ON p.source = c.source
+    CROSS JOIN ref rf
+    WHERE p.source <> rf.ref_source
+    GROUP BY p.source, c.n
+    """
+
+
+@register("d39_psi_drift", oracle=_o_d39(), priority="P2")
+def d39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of document length per source
+    against the reference source — the drift monitor scoring teams
+    put on every feature and corpus shard (PSI < 0.1 stable, > 0.25
+    shifted): bucket by the REFERENCE source's exact length deciles
+    (the d23/d26 lower-quantile rule, pure integers), Laplace-+1
+    smooth so empty buckets stay finite (deterministic, documented —
+    the usual ad-hoc epsilon is not portable), then
+    PSI = Σ_b (p_ref−p_s)·ln(p_ref/p_s). The ln-sum spans exactly
+    {10} buckets, so the d27 discipline applies: raw double terms,
+    one r6 round with the signed-zero guard at the end.
+
+    Scale shape: reference selection and the 9 decile bounds are
+    1-row broadcasts; bucket assignment is a per-row CASE chain
+    fused onto the scan (never a range join); per-(source, bucket)
+    counts map-side combine; the bucket grid (sources × 10) is
+    domain-bounded. The decile window runs over |distinct lengths|
+    of the reference — value-grid bounded (the e19 exception). One
+    fact scan per phase, zero raw-row shuffles."""
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    ref = counts.orderBy(F.desc("n"), "source").limit(1).select(
+        F.col("source").alias("ref_source")
+    )
+    refdocs = d.join(
+        F.broadcast(ref), d.source == F.col("ref_source")
+    ).select("n_chars")
+    pp = refdocs.groupBy("n_chars").agg(F.count("*").cast("long").alias("w"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pp.select(
+        F.col("n_chars").alias("v"),
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cumw") * _D39_BUCKETS >= F.col("total") * k,
+                    F.col("v"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bucket_expr = None
+    for k in range(1, 10):
+        term = F.when(F.col("n_chars") > F.col(f"b{k}"), 1).otherwise(0)
+        bucket_expr = term if bucket_expr is None else bucket_expr + term
+    bucketed = d.crossJoin(F.broadcast(bounds)).select(
+        "source", bucket_expr.alias("bucket")
+    )
+    grid = counts.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(_D39_BUCKETS - 1))).alias(
+            "bucket"
+        ),
+    )
+    per = (
+        grid.join(
+            bucketed.groupBy("source", "bucket").agg(
+                F.count("*").cast("long").alias("nb0")
+            ),
+            ["source", "bucket"],
+            "left",
+        )
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("nb0", F.lit(0)).cast("long").alias("nb"),
+        )
+    )
+    probs = per.join(counts, "source").select(
+        "source",
+        "bucket",
+        (
+            (F.col("nb") + 1).cast("double")
+            / (F.col("n") + _D39_BUCKETS).cast("double")
+        ).alias("pr"),
+    )
+    refp = probs.join(
+        F.broadcast(ref), probs.source == F.col("ref_source")
+    ).select(F.col("bucket"), F.col("pr").alias("pref"))
+    return (
+        probs.join(refp, "bucket")
+        .join(F.broadcast(ref), probs.source == F.col("ref_source"), "left_anti")
+        .join(counts, "source")
+        .groupBy("source", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("pref") - F.col("pr"))
+                    * F.log(F.col("pref") / F.col("pr"))
+                )
+                + F.lit(0.0),
+                6,
+            )
+            .cast("double")
+            .alias("psi")
+        )
+        .select("source", F.col("n").cast("long").alias("n_docs"), "psi")
+    )

@@ -195,6 +195,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m10_video_near_dup",
     "k11_cogrouped_map",
     "d38_kaplan_meier",
+    "d39_psi_drift",
 })
 
 

@@ -209,6 +209,9 @@ _PLAN_NODE_ALLOWLIST = {
         # d38: two single-row broadcasts — the data horizon attaches
         # to per-user durations, the total to the duration grid.
         "d38_kaplan_meier",
+        # d39: single-row broadcast — the 9 decile bounds attach to
+        # every doc for the CASE-chain bucket assignment (O(N·1)).
+        "d39_psi_drift",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -2158,3 +2158,45 @@ def test_kaplan_meier_matches_reference(spark, users, tmp_path_factory):
             assert r.ln_survival is None
         n -= d_t + c_t
     assert set(got) == set(grid)
+
+
+def test_psi_drift_planted_distributions(spark, tmp_path_factory):
+    """d39 semantics pinned: a source with the reference's exact
+    length multiset scores PSI 0.0; a source shifted wholly above
+    the reference's top decile scores the Laplace-smoothed maximum
+    for its mass — recomputed in pure Python."""
+    import math
+
+    from hadoop_release_spark.plans.d_aggregates import (
+        _D39_BUCKETS,
+        d39_psi_drift,
+    )
+
+    ref_lens = list(range(100, 150))          # srcA: 50 docs, the reference
+    same_lens = list(range(100, 150))         # srcB: identical multiset
+    hi_lens = [900] * 50                      # srcC: all past the top decile
+    lens = ref_lens + same_lens + hi_lens
+    srcs = ["srcA"] * 50 + ["srcB"] * 50 + ["srcC"] * 50
+    tmp = tmp_path_factory.mktemp("d39plant")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(lens)), pa.int64()),
+            "text": pa.array(["x"] * len(lens)),
+            "lang": pa.array(["en"] * len(lens)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    got = {r.source: r for r in d39_psi_drift(spark, str(tmp)).collect()}
+    assert set(got) == {"srcB", "srcC"}
+    assert got["srcB"].psi == 0.0
+
+    # pure-Python replay for srcC: ref deciles of 100..149 put all of
+    # srcC's mass in bucket 9.
+    n, B = 50, _D39_BUCKETS
+    pref = [(5 + 1) / (n + B)] * B
+    pc = [(0 + 1) / (n + B)] * (B - 1) + [(50 + 1) / (n + B)]
+    psi = sum((a - b) * math.log(a / b) for a, b in zip(pref, pc))
+    assert abs(got["srcC"].psi - round(psi, 6)) < 1e-9
+    assert got["srcC"].psi > 0.25  # the canonical "shifted" threshold

@@ -2191,3 +2191,89 @@ def e35_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_cents"
         ),
     )
+
+
+#: e36: rolling OLS frame length (last K events per user).
+_E36_K = 8
+
+
+@register(
+    "e36_rolling_ols",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ), rn AS (
+      SELECT user_id, event_id, y,
+             row_number() OVER w AS x
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sums AS (
+      SELECT user_id, event_id, x,
+             sum(y)     OVER f AS sy,
+             sum(x * y) OVER f AS sxy,
+             sum(x)     OVER f AS sx,
+             sum(x * x) OVER f AS sxx
+      FROM rn WINDOW f AS (PARTITION BY user_id ORDER BY x
+                           ROWS BETWEEN {_E36_K - 1} PRECEDING
+                           AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST({_E36_K} * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST({_E36_K} * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST({_E36_K} * sxy - sx * sy AS DOUBLE)
+           / CAST({_E36_K} * sxx - sx * sx AS DOUBLE)
+             AS slope_cents_per_step
+    FROM sums WHERE x >= {_E36_K}
+    """,
+    priority="P2",
+)
+def e36_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope over each user's last K=8 events — the
+    streaming-feature standard (momentum / decay signals for ranking
+    and anomaly models): regress value on event index within a
+    sliding frame. With x = the per-user row number, every windowed
+    sum (Σy, Σxy, Σx, Σx²) is an EXACT bigint, so the slope
+    numerator K·Σxy − Σx·Σy and denominator K·Σx² − (Σx)² are exact
+    integers on both engines and the slope is ONE IEEE division (the
+    d20/d22 sufficient-statistic rule — no rounding anywhere).
+    Emitted only for full frames (x >= K); the denominator is the
+    constant K²(K²−1)/12 > 0 for consecutive x.
+
+    Scale shape: ONE user_id shuffle serves the row numbering and
+    all four frame sums (same partition+order spec → one Sort+Window
+    chain, the e11 argument). Bounded frame (ROWS K-1 PRECEDING)
+    keeps state O(K) per user regardless of history length."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_E36_K - 1), 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("y"),
+    )
+    rn = seq.withColumn("x", F.row_number().over(w)).drop("t_us")
+    sums = (
+        rn.withColumn("sy", F.sum("y").over(f))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(f))
+        .withColumn("sx", F.sum("x").over(f))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(f))
+        .filter(F.col("x") >= _E36_K)
+    )
+    num = _E36_K * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = _E36_K * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_step"
+        ),
+    )

@@ -196,6 +196,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "k11_cogrouped_map",
     "d38_kaplan_meier",
     "d39_psi_drift",
+    "e36_rolling_ols",
 })
 
 

@@ -2200,3 +2200,47 @@ def test_psi_drift_planted_distributions(spark, tmp_path_factory):
     psi = sum((a - b) * math.log(a / b) for a, b in zip(pref, pc))
     assert abs(got["srcC"].psi - round(psi, 6)) < 1e-9
     assert got["srcC"].psi > 0.25  # the canonical "shifted" threshold
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=8, max_size=30
+    )
+)
+def test_rolling_ols_matches_reference(spark, cents, tmp_path_factory):
+    """e36 vs the closed-form OLS on each length-8 frame computed in
+    exact Python integers — numerator, denominator, and the single
+    IEEE division must all match."""
+    from hadoop_release_spark.plans.e_windows import _E36_K, e36_rolling_ols
+
+    tmp = tmp_path_factory.mktemp("e36prop")
+    n = len(cents)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([c / 100 for c in cents], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = {r.event_id: r for r in e36_rolling_ols(spark, str(tmp)).collect()}
+    K = _E36_K
+    assert len(got) == n - K + 1
+    for end in range(K - 1, n):
+        xs = list(range(end - K + 2, end + 2))  # 1-based row numbers
+        ys = cents[end - K + 1 : end + 1]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = K * sxy - sx * sy, K * sxx - sx * sx
+        r = got[end]
+        assert (r.slope_num, r.slope_den) == (num, den)
+        assert r.slope_cents_per_step == num / den
+        assert den == K * K * (K * K - 1) // 12

@@ -12,7 +12,7 @@ byte checksums are additionally crc32-pinned in pytest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -667,6 +667,135 @@ def m10_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("shared_frames")).cast(
                     "double"
                 )
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "m11_audio_near_dup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             200 + (doc_id % 32) * 25 AS f,
+             192 + (doc_id % 4) * 64 AS n
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, f, unnest(range(0, n)) AS i FROM docs
+    ), sgn AS (
+      SELECT doc_id, i, CAST(i // 64 AS INT) AS frame_idx,
+             CASE WHEN (2 * f * i) % 8000 = 0 THEN 0
+                  WHEN (2 * f * i) % 16000 < 8000 THEN 1
+                  ELSE -1 END AS sg
+      FROM samp
+    ), pairs AS (
+      SELECT doc_id, frame_idx, i, sg,
+             lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM sgn
+    ), frames AS (
+      SELECT doc_id, frame_idx,
+             CAST(coalesce(sum(CASE WHEN i % 64 <> 0 AND sg * prev = -1
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS zc
+      FROM pairs GROUP BY doc_id, frame_idx
+    ), sh AS (
+      SELECT a.doc_id,
+             md5(CAST(a.zc AS VARCHAR) || ',' || CAST(b.zc AS VARCHAR)
+                 || ',' || CAST(c.zc AS VARCHAR)) AS key
+      FROM frames a
+      JOIN frames b ON a.doc_id = b.doc_id
+                   AND b.frame_idx = a.frame_idx + 1
+      JOIN frames c ON a.doc_id = c.doc_id
+                   AND c.frame_idx = a.frame_idx + 2
+    ), fps AS (
+      SELECT DISTINCT doc_id, key FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+      FROM fps GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_shingles
+      FROM fps a JOIN fps b ON a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_shingles,
+           za.ns AS n_a, zb.ns AS n_b,
+           CAST(s.shared_shingles AS DOUBLE)
+           / CAST(za.ns + zb.ns - s.shared_shingles AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes za ON s.doc_a = za.doc_id
+    JOIN sizes zb ON s.doc_b = zb.doc_id
+    """,
+    priority="P2",
+)
+def m11_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by zero-crossing SHINGLE overlap —
+    the constellation-matching idea (Wang 2003) reduced to its
+    deterministic core, completing the modality-dedup triple (m09
+    images, m10 video, m11 audio): each clip's per-frame
+    zero-crossing sequence (m07's fingerprint) shingles into
+    3-frame md5 keys; clips sharing a shingle are candidates; the
+    score is shingle-set Jaccard. The m07 fixture's tone classes
+    (freq = canon of doc_id mod 32, length mod 4) make distinct docs
+    carry IDENTICAL audio naturally — Jaccard-1 groups the operator
+    must surface, plus partial overlaps between same-frequency
+    different-length clips.
+
+    Scale shape: decode + framing is the one Arrow-batched
+    mapInPandas pass (m07 posture — payloads never shuffle); the
+    shingle stage is a per-doc frame-window projection (frame counts
+    are tiny); the ONLY corpus join keys on the md5 shingle over
+    near-singleton buckets (the l02/m10 invariant); sizes re-agg
+    the fingerprint table; jaccard is one IEEE division over exact
+    counts."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_zero_crossings,
+    )
+
+    d = attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    frames = audio_zero_crossings(d).select(
+        "doc_id", "frame_idx", F.col("zero_crossings").alias("zc")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sh = (
+        frames.withColumn("zc1", F.lead("zc", 1).over(w))
+        .withColumn("zc2", F.lead("zc", 2).over(w))
+        .filter(F.col("zc2").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", "zc", "zc1", "zc2")).alias("key"),
+        )
+    )
+    fps = sh.distinct()
+    # fps feeds both pair sides and the size table; persist so the
+    # Python decode stage runs once (released by the wrapper).
+    fps = fps.persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("ns"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "key")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "key")
+    shared = (
+        a.join(b, "key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("n_b"))
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_shingles").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("shared_shingles")
+                ).cast("double")
             ).alias("jaccard"),
         )
     )

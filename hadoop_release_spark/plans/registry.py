@@ -197,6 +197,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d38_kaplan_meier",
     "d39_psi_drift",
     "e36_rolling_ols",
+    "m11_audio_near_dup",
 })
 
 

@@ -287,3 +287,37 @@ def test_m10_planted_duplicate_clip(spark, tmp_path_factory):
     assert (8, 9) in rows
     r = rows[(8, 9)]
     assert r.jaccard == 1.0 and r.n_a == r.n_b == r.shared_frames
+
+
+def test_m11_identical_tone_classes_score_one(spark, tmp_path_factory):
+    """m07's tone construction makes docs 1 and 129 (same id mod 32
+    AND mod 4) byte-identical audio: every shingle matches, Jaccard
+    1.0 — while doc 50 (different frequency class) never pairs with
+    them at full overlap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.plans.m_multimodal import m11_audio_near_dup
+
+    tmp = tmp_path_factory.mktemp("m11plant")
+    ids = [1, 129, 50]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * 3),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([1] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in m11_audio_near_dup(spark, str(tmp)).collect()
+    }
+    assert (1, 129) in rows
+    r = rows[(1, 129)]
+    assert r.jaccard == 1.0 and r.n_a == r.n_b == r.shared_shingles
+    assert all(
+        v.jaccard < 1.0 for k, v in rows.items() if k != (1, 129)
+    )

@@ -79,6 +79,8 @@ HEADLINE = [
     "l56_semdedup",           # cluster-scoped semantic dedup
     "e34_peak_concurrency",   # day-partitioned sweep-line + carry
     "m09_phash_near_dup",     # banded Hamming dedup over aHash
+    "d37_poisson_bootstrap",  # one-pass B-replica bootstrap CI
+    "f06_skyline",            # Pareto frontier, two-phase prefix-max
 ]
 
 

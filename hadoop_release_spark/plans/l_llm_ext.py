@@ -1746,3 +1746,104 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sim",
         )
     )
+
+
+#: l58 self-kNN parameters (mirror l19's probe depth).
+_L58_K = 5
+_L58_NPROBE = 4
+
+
+def _o_l58() -> str:
+    cos_ac = o_cosine("e.embedding", "c.centroid", _DIM)
+    cos_qc = o_cosine("q.embedding", "c.centroid", _DIM)
+    cos_aq = o_cosine("a.embedding", "p.qe", _DIM)
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), assign0 AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster
+      FROM assign0 WHERE rn = 1
+    ), probes0 AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+      FROM embeddings q CROSS JOIN centroids c
+    ), probes AS (
+      SELECT query_id, qe, centroid_id AS cluster
+      FROM probes0 WHERE rn <= {_L58_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id, round({cos_aq}, 3) AS score
+      FROM assigned a JOIN probes p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM cand)
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_L58_K}
+    """
+
+
+@register("l58_knn_self_join", oracle=_o_l58(), priority="P2")
+def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide self-kNN join via IVF — EVERY vector gets its
+    top-{{k}} neighbors, the all-pairs similarity join that l09's
+    BroadcastNestedLoopJoin allowlist entry names as its exit path:
+    where l09 bounds the query side (vec_id < 100) and l19 bounds it
+    to 5 probes, here the query set IS the corpus, so nothing may
+    broadcast except the centroid table. Candidates come only from
+    each query's {{nprobe}} nearest clusters; scores are r3-rounded
+    mirrored cosine folds, rankings id-tie-broken (rule 5).
+
+    Scale shape: the probe table (corpus × nprobe slim rows) joins
+    the assigned corpus on CLUSTER with a shuffle hash join — both
+    sides corpus-scale, NEITHER broadcast (the deliberate contrast
+    with l19's bounded-query broadcast); work is Σ_cluster
+    |members|·|probes-to-it| — the IVF contract. Per-query top-k
+    windows partition by query_id. At 100 TB the assigned table is
+    written bucketed by cluster so this join co-locates without a
+    shuffle (c15 pattern); self-recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    from hadoop_release_spark.operators.similarity import assign_clusters
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_clusters(e, centroids).select(
+        "vec_id", "embedding", "cluster"
+    )
+    csim = cosine(F.col("qe"), F.col("centroid"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", csim)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= _L58_NPROBE)
+        .select("query_id", "qe", F.col("centroid_id").alias("cluster"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(probes, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 3).alias("score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _L58_K)
+        .drop("__rn")
+    )

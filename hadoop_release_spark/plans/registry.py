@@ -198,6 +198,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d39_psi_drift",
     "e36_rolling_ols",
     "m11_audio_near_dup",
+    "l58_knn_self_join",
 })
 
 

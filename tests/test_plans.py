@@ -212,6 +212,11 @@ _PLAN_NODE_ALLOWLIST = {
         # d39: single-row broadcast — the 9 decile bounds attach to
         # every doc for the CASE-chain bucket assignment (O(N·1)).
         "d39_psi_drift",
+        # l58: corpus × bounded broadcast CENTROID set, twice (the
+        # assignment argmin and the probe ranking — the l19/l56
+        # shape); the corpus-scale candidate join itself is a
+        # cluster-keyed hash join, pinned separately below.
+        "l58_knn_self_join",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.
@@ -509,3 +514,13 @@ def test_m09_band_exchange_is_slim(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "payload" not in line, line
+
+
+def test_l58_candidate_join_is_hash_not_broadcast_corpus(spark, sf_dir):
+    """l58's defining contrast with l19, pinned: the corpus-scale
+    candidate join (assigned ⋈ probes on cluster) must be a shuffle
+    hash/sort-merge join — if the probe side (which IS the corpus)
+    ever broadcasts, the operator silently becomes l09's bounded
+    shape and dies at scale."""
+    plan = _plan(spark, sf_dir, "l58_knn_self_join")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan

@@ -302,3 +302,36 @@ def test_hard_negative_mining_excludes_same_label(spark):
     ]
     # 100 (same label) excluded despite being nearest; order by sim.
     assert got == [(101, 1), (102, 2), (103, 3)], got
+
+
+def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir):
+    """Corpus-wide self-kNN (l58) recall against exact brute force —
+    the same conservative bound as the bounded-query IVF test; a
+    broken probe or candidate stage collapses recall toward 0."""
+    from hadoop_release_spark.plans.l_llm_ext import _L58_K, l58_knn_self_join
+
+    approx = l58_knn_self_join(spark, sf_dir).toPandas()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 3).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _L58_K)
+        .toPandas()
+    )
+    recalls = []
+    for qid in exact.query_id.unique():
+        truth = set(exact[exact.query_id == qid].vec_id)
+        got = set(approx[approx.query_id == qid].vec_id)
+        assert len(got) == _L58_K
+        recalls.append(len(truth & got) / _L58_K)
+    assert sum(recalls) / len(recalls) >= 0.2, sum(recalls) / len(recalls)

@@ -2277,3 +2277,77 @@ def e36_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_step"
         ),
     )
+
+
+@register(
+    "e37_inter_event_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             (t_us - lag(t_us) OVER (PARTITION BY user_id
+                                     ORDER BY t_us, event_id)) // 1000
+               AS gap_ms
+      FROM seq
+    ), bucketed AS (
+      SELECT event_type,
+             CASE WHEN gap_ms = 0 THEN 0
+                  ELSE length(bin(gap_ms)) END AS bucket,
+             gap_ms
+      FROM gaps WHERE gap_ms IS NOT NULL
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM bucketed GROUP BY event_type, bucket
+    """,
+    priority="P2",
+)
+def e37_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram on power-of-two (log2) buckets per
+    event type — the burstiness/arrival-process profile behind
+    session-gap calibration (e11/j03's 12 h threshold comes from
+    exactly this histogram's valley) and rate-anomaly baselines.
+    Bucket = ⌊log2(gap_ms)⌋+1 computed as length(bin(gap_ms)) —
+    pure integer bit arithmetic, identical in both engines; gap 0
+    (simultaneous events) gets its own bucket 0. All counts and
+    extrema exact integers — no float rule.
+
+    Scale shape: ONE user_id shuffle for the lag (the e11 single
+    Sort+Window), then a (type, bucket) partial+final agg — map-side
+    combine collapses each task to ≤ types × 64 rows. The log2
+    bucketing is what keeps the group domain bounded regardless of
+    gap range (the d18 fixed-width histogram would need a priori
+    bounds)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    gaps = seq.select(
+        "event_type",
+        F.expr(
+            "(t_us - lag(t_us) OVER (PARTITION BY user_id"
+            " ORDER BY t_us, event_id)) DIV 1000"
+        ).alias("gap_ms"),
+    )
+    bucketed = gaps.filter(F.col("gap_ms").isNotNull()).select(
+        "event_type",
+        F.when(F.col("gap_ms") == 0, 0)
+        .otherwise(F.length(F.bin("gap_ms")))
+        .cast("long")
+        .alias("bucket"),
+        "gap_ms",
+    )
+    return bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("gap_ms").cast("long").alias("min_gap_ms"),
+        F.max("gap_ms").cast("long").alias("max_gap_ms"),
+    )

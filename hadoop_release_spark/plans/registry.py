@@ -199,6 +199,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e36_rolling_ols",
     "m11_audio_near_dup",
     "l58_knn_self_join",
+    "e37_inter_event_gaps",
 })
 
 

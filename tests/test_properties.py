@@ -2244,3 +2244,47 @@ def test_rolling_ols_matches_reference(spark, cents, tmp_path_factory):
         assert (r.slope_num, r.slope_den) == (num, den)
         assert r.slope_cents_per_step == num / den
         assert den == K * K * (K * K - 1) // 12
+
+
+@settings(**_SETTINGS)
+@given(
+    gaps_s=st.lists(
+        st.integers(min_value=0, max_value=100000), min_size=1, max_size=30
+    )
+)
+def test_inter_event_gaps_match_reference(spark, gaps_s, tmp_path_factory):
+    """e37 vs pure Python: cumulative timestamps from the planted gap
+    list must come back as exactly those gaps, log2-bucketed
+    (bucket = bit_length of gap_ms, 0 for simultaneous events)."""
+    from hadoop_release_spark.plans.e_windows import e37_inter_event_gaps
+
+    ts = [0]
+    for g in gaps_s:
+        ts.append(ts[-1] + g)
+    tmp = tmp_path_factory.mktemp("e37prop")
+    n = len(ts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=t) for t in ts],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = {
+        r.bucket: (r.n, r.min_gap_ms, r.max_gap_ms)
+        for r in e37_inter_event_gaps(spark, str(tmp)).collect()
+    }
+    want = {}
+    for g in gaps_s:
+        ms = g * 1000
+        b = ms.bit_length()  # 0 for ms == 0
+        n_, lo, hi = want.get(b, (0, ms, ms))
+        want[b] = (n_ + 1, min(lo, ms), max(hi, ms))
+    assert got == want

@@ -2028,9 +2028,13 @@ def _o_d37() -> str:
              CAST(sum(cents) AS BIGINT) AS s
       FROM base GROUP BY o_orderstatus
     ), drawn AS (
+      -- One md5 yields FOUR independent 32-bit draws (hex slices
+      -- 1-8, 9-16, 17-24, 25-32): replica b reads slice b%4 of
+      -- md5(key : b//4), quartering the per-row hash work.
       SELECT o_orderstatus, cents, b.b AS b,
              ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                                    || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                                    || CAST(b.b // 4 AS VARCHAR)),
+                                1 + 8 * (b.b % 4), 8))::BIGINT
                AS u
       FROM base, unnest(range(0, {_D37_B})) AS b(b)
     ), weighted AS (
@@ -2094,18 +2098,34 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("s"),
     )
-    drawn = base.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_D37_B - 1))).alias("b"),
-    ).withColumn(
-        "u",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 8),
-            16,
-            10,
-        ).cast("long"),
+    # One md5 yields FOUR independent 32-bit draws (hex slices), so
+    # the hash evaluates at the GROUP level (b DIV 4) of a two-stage
+    # explode — 25 md5s per row instead of 100, same rule-6
+    # determinism (replica b = 4·g + j reads slice j of
+    # md5(key : g)).
+    drawn = (
+        base.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_D37_B // 4 - 1))).alias("g"),
+        )
+        .withColumn("hex", F.md5(F.concat_ws(":", "o_orderkey", "g")))
+        .select(
+            "o_orderstatus",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            "g",
+            "hex",
+        )
+        .select(
+            "o_orderstatus",
+            "cents",
+            (F.col("g") * 4 + F.col("j")).alias("b"),
+            F.conv(
+                F.expr("substring(hex, 1 + 8 * j, 8)"), 16, 10
+            ).cast("long").alias("u"),
+        )
     )
     w = None
     for t in _D37_THRESH:

@@ -1989,7 +1989,8 @@ def test_poisson_bootstrap_matches_hashlib_reference(spark, tmp_path_factory):
     for b in range(_D37_B):
         sb = nb = 0
         for okey, c in enumerate(cents):
-            u = int(hashlib.md5(f"{okey}:{b}".encode()).hexdigest()[:8], 16)
+            hx = hashlib.md5(f"{okey}:{b // 4}".encode()).hexdigest()
+            u = int(hx[8 * (b % 4) : 8 * (b % 4) + 8], 16)
             w = sum(1 for t in _D37_THRESH if u >= t)
             sb += c * w
             nb += w

@@ -2116,7 +2116,9 @@ def test_kaplan_meier_matches_reference(spark, users, tmp_path_factory):
     for uid, (v, p) in enumerate(users):
         rows.append((eid, uid, "view", v * day))
         eid += 1
-        if p >= v:
+        if p >= 0:
+            # p < v plants a purchase BEFORE the first view — d38
+            # must ignore it (no conversion, user censored).
             rows.append((eid, uid, "purchase", p * day))
             eid += 1
     tmp = tmp_path_factory.mktemp("d38prop")
@@ -2142,7 +2144,7 @@ def test_kaplan_meier_matches_reference(spark, users, tmp_path_factory):
         if p >= v:
             durs.append((p - v, 1))
         else:
-            durs.append((h - v, 0))
+            durs.append((h - v, 0))  # incl. purchase-before-view: censored
     grid = sorted({d for d, _ in durs})
     n = len(durs)
     ln_s = 0.0

@@ -1537,3 +1537,98 @@ def l57_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "l59_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','in','a','is'))) * 1000
+             // len(string_split(text, ' ')) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT a.source, CAST(a.rk AS BIGINT) AS pair_idx,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           CAST(a.score AS BIGINT) AS chosen_score,
+           CAST(b.score AS BIGINT) AS rejected_score,
+           CAST(a.score - b.score AS BIGINT) AS margin
+    FROM ranked a
+    JOIN ranked b ON a.source = b.source AND b.rk = a.n - a.rk + 1
+    WHERE a.rk <= a.n // 2
+    """,
+    priority="P2",
+)
+def l59_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF-style training — the
+    data-prep step that turns a scored pool into (chosen, rejected)
+    pairs: within each source group, rank documents by an
+    INTEGER quality score (stopword density ‰ — the l20 naturalness
+    signal made exact: n_stop·1000 DIV n_tokens, so rankings never
+    compare floats; rule 5 id-tie-broken) and pair best-with-worst
+    inward (rank i ↔ rank n−i+1, i ≤ n/2) — the maximal-margin
+    matching that gives a preference optimizer its strongest
+    gradient signal; the middle document of an odd group is
+    unpaired. Emits (source, pair_idx, chosen/rejected ids+scores,
+    margin ≥ 0).
+
+    Scale shape: scoring is pure JVM expressions fused onto the
+    scan; ONE source-partitioned rank window (groups are
+    prompt/source-sized, never corpus-sized); the pairing self-join
+    keys on (source, rank) — an equi hash join producing exactly
+    ⌊n/2⌋ rows per group. No floats anywhere — margin is an exact
+    integer difference."""
+    d = table(spark, sf_dir, "documents")
+    score = F.expr(
+        "size(filter(split(text, ' '),"
+        " x -> x IN ('the','and','of','to','in','a','is'))) * 1000"
+        " DIV size(split(text, ' '))"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = d.select("doc_id", "source", score.alias("score")).select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+    a = ranked.select(
+        "source",
+        F.col("rk").alias("rk_a"),
+        F.col("n").alias("n_a"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    b = ranked.select(
+        "source",
+        F.col("rk").alias("rk_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        a.join(
+            b,
+            (a.source == b.source)
+            & (F.col("rk_b") == F.col("n_a") - F.col("rk_a") + 1),
+        )
+        .filter(F.col("rk_a") <= F.expr("n_a DIV 2"))
+        .select(
+            a.source,
+            F.col("rk_a").cast("long").alias("pair_idx"),
+            "chosen_id",
+            "rejected_id",
+            F.col("chosen_score").cast("long").alias("chosen_score"),
+            F.col("rejected_score").cast("long").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin"),
+        )
+    )

@@ -200,6 +200,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m11_audio_near_dup",
     "l58_knn_self_join",
     "e37_inter_event_gaps",
+    "l59_preference_pairs",
 })
 
 

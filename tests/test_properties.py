@@ -2291,3 +2291,38 @@ def test_inter_event_gaps_match_reference(spark, gaps_s, tmp_path_factory):
         n_, lo, hi = want.get(b, (0, ms, ms))
         want[b] = (n_ + 1, min(lo, ms), max(hi, ms))
     assert got == want
+
+
+def test_preference_pairs_best_worst_matching(spark, tmp_path_factory):
+    """l59 pairing pinned on a hand-built group of 5: scores rank
+    docs [A,B,C,D,E] best-to-worst → pairs (A,E) and (B,D) with the
+    middle doc C unpaired; margins are exact integer differences."""
+    from hadoop_release_spark.plans.l_pipeline import l59_preference_pairs
+
+    # stopword-density scores: 'the the the' = 1000‰, down to 0‰.
+    texts = {
+        0: "the the the",          # 1000
+        1: "the the xx",           # 666
+        2: "the xx xx",            # 333
+        3: "the xx xx xx",         # 250
+        4: "xx xx xx",             # 0
+    }
+    tmp = tmp_path_factory.mktemp("l59plant")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    rows = {
+        r.pair_idx: r for r in l59_preference_pairs(spark, str(tmp)).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert (rows[1].chosen_id, rows[1].rejected_id) == (0, 4)
+    assert rows[1].margin == 1000
+    assert (rows[2].chosen_id, rows[2].rejected_id) == (1, 3)
+    assert rows[2].margin == 666 - 250

@@ -2487,3 +2487,114 @@ def d39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("n").cast("long").alias("n_docs"), "psi")
     )
+
+
+@register(
+    "d40_tukey_outliers",
+    oracle="""
+    WITH px AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), pp AS (
+      SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS w
+      FROM px GROUP BY l_returnflag, cents
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM pp
+    ), q AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cumw * 4 >= total * 1 THEN cents END) AS q1,
+             min(CASE WHEN cumw * 4 >= total * 3 THEN cents END) AS q3
+      FROM cum GROUP BY l_returnflag
+    ), fences AS (
+      SELECT l_returnflag, q1, q3, q3 - q1 AS iqr,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM q
+    )
+    SELECT p.l_returnflag, f.q1 AS q1_cents, f.q3 AS q3_cents,
+           f.iqr AS iqr_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 2 * p.cents < f.lo2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * p.cents > f.hi2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers
+    FROM px p JOIN fences f USING (l_returnflag)
+    GROUP BY p.l_returnflag, f.q1, f.q3, f.iqr
+    """,
+    priority="P2",
+)
+def d40_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per return flag — the box-plot rule
+    (value outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) that pairs with the
+    robust suite (d26 centre, d34 spread, d36 mean, d35 test): emits
+    exact quartiles, IQR, and low/high outlier counts. The 1.5×
+    factor stays INTEGER by comparing doubled values: outlier_low ⇔
+    2·x < 2·Q1 − 3·IQR — no halves, no floats anywhere; quartiles
+    use the d26/d36 lower-quantile rule (cumw·4 ≥ total·k, pure
+    integer).
+
+    Scale shape: quartiles ride the d26 distinct-value compression
+    (windows over |distinct cents| per flag); the flag-count fence
+    table broadcasts back onto the ORIGINAL 2-column scan for the
+    counting agg (the d36 two-scan trade: raw rows never shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    px = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pp = px.groupBy("l_returnflag", "cents").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    q = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cumw") * 4 >= F.col("total") * 1, F.col("cents"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cumw") * 4 >= F.col("total") * 3, F.col("cents"))
+        ).alias("q3"),
+    )
+    fences = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    return (
+        px.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "iqr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(2 * F.col("cents") < F.col("lo2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(2 * F.col("cents") > F.col("hi2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            F.col("iqr").alias("iqr_cents"),
+            "n",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

@@ -201,6 +201,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l58_knn_self_join",
     "e37_inter_event_gaps",
     "l59_preference_pairs",
+    "d40_tukey_outliers",
 })
 
 

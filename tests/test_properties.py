@@ -2326,3 +2326,52 @@ def test_preference_pairs_best_worst_matching(spark, tmp_path_factory):
     assert rows[1].margin == 1000
     assert (rows[2].chosen_id, rows[2].rejected_id) == (1, 3)
     assert rows[2].margin == 666 - 250
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=4, max_size=60
+    )
+)
+def test_tukey_outliers_match_reference(spark, cents, tmp_path_factory):
+    """d40 vs pure Python: lower-quantile quartiles (smallest value
+    whose cumulative count reaches n·k/4) and the doubled-value
+    fence comparisons, on tie-heavy multisets."""
+    from hadoop_release_spark.plans.d_aggregates import d40_tukey_outliers
+
+    tmp = tmp_path_factory.mktemp("d40prop")
+    n = len(cents)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([c / 100 for c in cents], pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([datetime.date(2024, 6, 1)] * n),
+            "l_commitdate": pa.array([datetime.date(2024, 6, 1)] * n),
+            "l_receiptdate": pa.array([datetime.date(2024, 6, 1)] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+    [r] = d40_tukey_outliers(spark, str(tmp)).collect()
+    s = sorted(cents)
+
+    def lower_q(k):  # smallest v with cum*4 >= n*k
+        cum = 0
+        for v in s:
+            cum += 1
+            if cum * 4 >= n * k:
+                return v
+
+    q1, q3 = lower_q(1), lower_q(3)
+    iqr = q3 - q1
+    lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+    assert (r.q1_cents, r.q3_cents, r.iqr_cents, r.n) == (q1, q3, iqr, n)
+    assert r.n_low_outliers == sum(1 for c in cents if 2 * c < lo2)
+    assert r.n_high_outliers == sum(1 for c in cents if 2 * c > hi2)

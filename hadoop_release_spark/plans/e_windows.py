@@ -2351,3 +2351,100 @@ def e37_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_ms").cast("long").alias("min_gap_ms"),
         F.max("gap_ms").cast("long").alias("max_gap_ms"),
     )
+
+
+#: e38: top-k session paths emitted.
+_E38_TOPK = 20
+
+
+@register(
+    "e38_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                      OR t_us - lag(t_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY t_us, event_id) AS path
+      FROM sess GROUP BY user_id, session_idx
+    ), counts AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    ), ranked AS (
+      SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+      FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, path, n_sessions
+    FROM ranked WHERE rk <= {_E38_TOPK}
+    """,
+    priority="P2",
+)
+def e38_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session paths — the product-analytics path report
+    ("what do users actually do?"): sessionize with e11's exact gap
+    rule, collapse each session to its ordered event-type string
+    (view>click>purchase...), count identical paths corpus-wide,
+    rank. The path string is built with a deterministic
+    (t_us, event_id) order, so simultaneous events cannot reorder
+    it; counts exact, ranking rule-5 tie-broken on the path text.
+
+    Scale shape: ONE user_id shuffle serves sessionization AND the
+    path assembly (the group-agg's sort rides the same partitioning
+    — e11 argument); path counting is a map-side-combined agg over
+    |sessions| rows keyed by the path string (Zipf-concentrated);
+    the final top-k is TakeOrderedAndProject over |distinct paths|.
+    Unbounded path lengths are the 100 TB hazard — production caps
+    the assembled string (slice the collected array) exactly like
+    e28's symbol strings."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    prev = F.lag("t_us").over(w)
+    sess = seq.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("t_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("t_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    # Cut to top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # no global sort), then number the k survivors: the rank window
+    # runs over _E38_TOPK rows, never |distinct paths|.
+    top = counts.orderBy(F.desc("n_sessions"), "path").limit(_E38_TOPK)
+    w_rank = Window.orderBy(F.desc("n_sessions"), "path")
+    return top.withColumn("rank", F.row_number().over(w_rank)).select(
+        F.col("rank").cast("long").alias("rank"), "path", "n_sessions"
+    )

@@ -202,6 +202,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e37_inter_event_gaps",
     "l59_preference_pairs",
     "d40_tukey_outliers",
+    "e38_top_paths",
 })
 
 

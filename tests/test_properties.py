@@ -2375,3 +2375,44 @@ def test_tukey_outliers_match_reference(spark, cents, tmp_path_factory):
     assert (r.q1_cents, r.q3_cents, r.iqr_cents, r.n) == (q1, q3, iqr, n)
     assert r.n_low_outliers == sum(1 for c in cents if 2 * c < lo2)
     assert r.n_high_outliers == sum(1 for c in cents if 2 * c > hi2)
+
+
+def test_top_paths_order_and_tiebreak(spark, tmp_path_factory):
+    """e38 path assembly pinned: simultaneous events order by
+    (t_us, event_id), sessions split on the gap rule, and equal
+    counts tie-break alphabetically on the path text."""
+    from hadoop_release_spark.plans.e_windows import (
+        SESSION_GAP_US,
+        e38_top_paths,
+    )
+
+    gap_s = SESSION_GAP_US // 1_000_000
+    # user 1: one session view>click (simultaneous, event_id orders);
+    # then a new session (past the gap) click alone.
+    # user 2: one session view>click.  → path "view>click" n=2,
+    # "click" n=1.
+    rows = [
+        (1, 1, "view", 0),
+        (2, 1, "click", 0),          # same microsecond: id breaks tie
+        (3, 1, "click", gap_s + 100),
+        (4, 2, "view", 50),
+        (5, 2, "click", 60),
+    ]
+    tmp = tmp_path_factory.mktemp("e38plant")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=r[3]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = [(r.rank, r.path, r.n_sessions) for r in
+           sorted(e38_top_paths(spark, str(tmp)).collect())]
+    assert got == [(1, "view>click", 2), (2, "click", 1)]

@@ -2598,3 +2598,81 @@ def d40_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+@register(
+    "d41_weighted_quantiles",
+    oracle="""
+    WITH px AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qw
+      FROM lineitem
+    ), pp AS (
+      SELECT l_returnflag, cents, CAST(sum(qw) AS BIGINT) AS w
+      FROM px GROUP BY l_returnflag, cents
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(max(total) AS BIGINT) AS total_qty_x100,
+           min(CASE WHEN cumw * 10 >= total * 1 THEN cents END) AS p10_cents,
+           min(CASE WHEN cumw * 10 >= total * 5 THEN cents END) AS p50_cents,
+           min(CASE WHEN cumw * 10 >= total * 9 THEN cents END) AS p90_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+    priority="P2",
+)
+def d41_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted p10/p50/p90 of price, weighted by QUANTITY, per
+    return flag — the generalization that finishes the exact-
+    quantile family: d26 is the weighted median alone, d14/d23 are
+    unweighted; real freight/revenue questions weight each price by
+    units moved. All three quantiles ride ONE cumulative-weight
+    pass: the lower-quantile rule (smallest value whose cumulative
+    weight reaches total·k/10 — cumw·10 ≥ total·k, pure integers) is
+    evaluated as three conditional mins over the same cum table.
+    Weights are exact (quantity transported ×100 through
+    DECIMAL(12,2) — the d22 rule), so no float exists anywhere.
+
+    Scale shape: the d26 distinct-value compression — the window
+    runs over |distinct cents| per flag (weights pre-summed
+    map-side), never raw lineitem; adding more quantiles costs one
+    more conditional min, not another pass."""
+    li = table(spark, sf_dir, "lineitem")
+    px = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("qw"),
+    )
+    pp = px.groupBy("l_returnflag", "cents").agg(
+        F.sum("qw").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+
+    def q(k: int, name: str):
+        return F.min(
+            F.when(F.col("cumw") * 10 >= F.col("total") * k, F.col("cents"))
+        ).alias(name)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("total_qty_x100"),
+        q(1, "p10_cents"),
+        q(5, "p50_cents"),
+        q(9, "p90_cents"),
+    )

@@ -203,6 +203,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l59_preference_pairs",
     "d40_tukey_outliers",
     "e38_top_paths",
+    "d41_weighted_quantiles",
 })
 
 

@@ -2416,3 +2416,58 @@ def test_top_paths_order_and_tiebreak(spark, tmp_path_factory):
     got = [(r.rank, r.path, r.n_sessions) for r in
            sorted(e38_top_paths(spark, str(tmp)).collect())]
     assert got == [(1, "view>click", 2), (2, "click", 1)]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=100, max_value=130),  # cents
+            st.integers(min_value=1, max_value=9),      # qty
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_quantiles_match_reference(spark, rows, tmp_path_factory):
+    """d41 vs pure Python: all three weighted lower-quantiles from
+    one cumulative-weight walk, on tie-heavy value ranges."""
+    from hadoop_release_spark.plans.d_aggregates import d41_weighted_quantiles
+
+    tmp = tmp_path_factory.mktemp("d41prop")
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_quantity": pa.array([float(q) for _, q in rows], pa.float64()),
+            "l_extendedprice": pa.array([c / 100 for c, _ in rows], pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([datetime.date(2024, 6, 1)] * n),
+            "l_commitdate": pa.array([datetime.date(2024, 6, 1)] * n),
+            "l_receiptdate": pa.array([datetime.date(2024, 6, 1)] * n),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+    [r] = d41_weighted_quantiles(spark, str(tmp)).collect()
+
+    w = {}
+    for c, q in rows:
+        w[c] = w.get(c, 0) + q * 100
+    total = sum(w.values())
+
+    def lower_q(k):
+        cum = 0
+        for v in sorted(w):
+            cum += w[v]
+            if cum * 10 >= total * k:
+                return v
+
+    assert r.total_qty_x100 == total
+    assert (r.p10_cents, r.p50_cents, r.p90_cents) == (
+        lower_q(1), lower_q(5), lower_q(9),
+    )

@@ -2676,3 +2676,76 @@ def d41_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(5, "p50_cents"),
         q(9, "p90_cents"),
     )
+
+
+@register(
+    "d42_two_proportion_ztest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(count(*) FILTER (event_type IN ('view', 'purchase'))
+             AS BIGINT) AS n1,
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS x1,
+        CAST(count(*) FILTER (event_type IN ('click', 'signup'))
+             AS BIGINT) AS n2,
+        CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS x2
+      FROM events
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             AS z_stat
+    FROM s
+    """,
+    priority="P2",
+)
+def d42_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the CONVERSION-RATE A/B readout
+    completing the testing suite's coverage of metric types (d22
+    means, d35 ranks, d32 ECDFs, d33 independence, d42 rates):
+    arm 1 = view→purchase conversion, arm 2 = click→signup
+    conversion, pooled-variance z. The four sufficient statistics
+    are exact bigints from ONE conditional-partial global aggregate;
+    p1, p2, and z are one shared IEEE expression tree over those
+    integers (the d22 rule — no rounding anywhere).
+
+    Scale shape: a single global agg with FILTER partials — map-side
+    combine reduces the shuffle to one 4-number row per task
+    regardless of input size; the same shape GROUPs BY experiment_id
+    for thousands of concurrent tests (the d22 note)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.when(F.col("event_type").isin("view", "purchase"), 1))
+        .cast("long")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("x1"),
+        F.count(F.when(F.col("event_type").isin("click", "signup"), 1))
+        .cast("long")
+        .alias("n2"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .cast("long")
+        .alias("x2"),
+    )
+    z_expr = (
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0D - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0D / CAST(n1 AS DOUBLE) + 1.0D / CAST(n2 AS DOUBLE)))"
+    )
+    return s.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr("CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias("p1"),
+        F.expr("CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)").alias("p2"),
+        F.expr(z_expr).alias("z_stat"),
+    )

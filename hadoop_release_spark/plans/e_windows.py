@@ -2448,3 +2448,108 @@ def e38_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w_rank)).select(
         F.col("rank").cast("long").alias("rank"), "path", "n_sessions"
     )
+
+
+#: e39: autocorrelation lags (days) reported.
+_E39_LAGS = [1, 7]
+
+
+@register(
+    "e39_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {86_400 * 1_000_000} AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY day
+    ), lags AS (
+      SELECT unnest(ARRAY{_E39_LAGS}) AS lag
+    ), pairs AS (
+      SELECT l.lag, a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag
+    ), s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+           THEN
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS autocorr
+    FROM s
+    """,
+    priority="P2",
+)
+def e39_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily revenue — the
+    seasonality screen (lag-7 ≫ lag-1 means weekly cycle) every
+    forecasting pipeline runs before model choice. Daily totals are
+    exact integer cents; each lag's Pearson r comes from six exact-
+    bigint sufficient statistics over the aligned (day, day+lag)
+    pairs, and r is one shared IEEE tree over exact-double casts
+    (the d30/d22 rule — no rounding); degenerate zero-variance
+    series yield NULL. Integer-overflow note: Σx² of daily-total
+    cents fits bigint through ~1e5 days × 1e9-cent days; the d32
+    decimal(38,0) migration applies beyond.
+
+    Scale shape: ONE (day) partial+final agg collapses the event log
+    to the day grid map-side; the lag alignment is a grid-bounded
+    self-join on day+lag (|days| rows, the e19 bounded-domain
+    exception); each lag's stats are one 6-number row."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {86_400 * 1_000_000}").alias(
+                "day"
+            ),
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    lags = ev.sparkSession.createDataFrame(
+        [(lag,) for lag in _E39_LAGS], "lag long"
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("cents").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day_a") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    r_expr = (
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN"
+        " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END"
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.expr(r_expr).alias("autocorr"),
+    )

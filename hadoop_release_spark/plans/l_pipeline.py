@@ -1632,3 +1632,56 @@ def l59_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("margin"),
         )
     )
+
+
+#: l60: shard count for rendezvous (highest-random-weight) hashing.
+_L60_SHARDS = 8
+
+
+@register(
+    "l60_rendezvous_sharding",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id, s.s AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR))
+               AS key
+      FROM documents, unnest(range(0, {_L60_SHARDS})) AS s(s)
+    ), ranked AS (
+      SELECT doc_id, shard, key,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY key DESC, shard) AS rn
+      FROM pairs
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard
+    FROM ranked WHERE rn = 1
+    """,
+    priority="P2",
+)
+def l60_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998) — the data-placement primitive behind
+    consistent corpus sharding: doc d goes to
+    argmax_s md5(d:s). Unlike mod-N hashing, REMOVING a shard only
+    reassigns the documents that lived on it (each survivor keeps
+    its argmax) — the minimal-disruption property a growing corpus
+    store needs, pinned by a drop-shard pytest. Deterministic rule-6
+    arithmetic; hex-string comparison is byte-identical in both
+    engines and ties are impossible (distinct md5 inputs).
+
+    Scale shape: the ×N_SHARDS explode and the per-doc argmax window
+    are per-row map-side work (the window partitions by doc_id over
+    exactly N rows); nothing shuffles except the doc_id-keyed window
+    exchange carrying slim (doc, shard, 32-char key) rows. Shard
+    count changes re-run only the argmax — no data movement plan
+    needed for unaffected docs."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias("shard"),
+    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").cast("long").alias("shard"))
+    )

@@ -204,6 +204,9 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d40_tukey_outliers",
     "e38_top_paths",
     "d41_weighted_quantiles",
+    "d42_two_proportion_ztest",
+    "l60_rendezvous_sharding",
+    "e39_autocorrelation",
 })
 
 

@@ -217,6 +217,9 @@ _PLAN_NODE_ALLOWLIST = {
         # shape); the corpus-scale candidate join itself is a
         # cluster-keyed hash join, pinned separately below.
         "l58_knn_self_join",
+        # e39: day-grid × 2-row LAG list broadcast (O(days·2)) ahead
+        # of the equi lag-alignment join.
+        "e39_autocorrelation",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -1685,3 +1685,88 @@ def l60_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("shard").cast("long").alias("shard"))
     )
+
+
+@register(
+    "l61_shard_manifest",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id, s.s AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR))
+               AS key
+      FROM documents, unnest(range(0, {_L60_SHARDS})) AS s(s)
+    ), ranked AS (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY key DESC, shard) AS rn
+      FROM pairs
+    ), assigned AS (
+      SELECT r.doc_id, r.shard, md5(d.text) AS digest,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      WHERE r.rn = 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(digest, '' ORDER BY doc_id)) AS manifest_digest
+    FROM assigned GROUP BY shard
+    """,
+    priority="P2",
+)
+def l61_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard integrity manifest for a reproducible dataset release —
+    the attestation layer on top of l60's placement: per rendezvous
+    shard, the doc count, total size, and a MANIFEST DIGEST =
+    md5(concat of per-doc content digests in doc_id order). Any
+    flipped byte, dropped doc, or reordered write in a shard changes
+    its manifest — the property a training-data release needs to
+    prove "this is exactly the corpus the model saw". Rule-6 md5
+    end-to-end; the concatenation order is the explicit doc_id sort,
+    so the digest is engine- and partitioning-independent.
+
+    Scale shape: assignment is the l60 map-side argmax; ONE shard
+    shuffle groups docs (exactly the placement shuffle the release
+    writer already pays); the in-group digest concat sorts
+    |shard|-sized digest lists (32 B each — the manifest input is
+    ~3000× smaller than the shard's text). At larger shards, chunk
+    the sorted digests and Merkle-fold the chunk digests — same
+    contract, bounded memory."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias("shard"),
+    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
+    assigned = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "shard")
+        .join(d, "doc_id")
+        .select(
+            "shard",
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "digest"))
+                    ),
+                    lambda s: s["digest"],
+                ),
+                "",
+            )
+        ).alias("manifest_digest"),
+    ).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "total_chars",
+        "manifest_digest",
+    )

@@ -207,6 +207,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d42_two_proportion_ztest",
     "l60_rendezvous_sharding",
     "e39_autocorrelation",
+    "l61_shard_manifest",
 })
 
 

@@ -2566,3 +2566,48 @@ def test_autocorrelation_matches_reference(spark, daily, tmp_path_factory):
             assert math.isclose(r.autocorr, ref, rel_tol=1e-9)
         else:
             assert r.autocorr is None
+
+
+def test_shard_manifest_detects_any_mutation(spark, tmp_path_factory):
+    """l61's attestation property: recomputing after flipping one
+    byte of one document changes EXACTLY that document's shard
+    manifest and no other."""
+    from hadoop_release_spark.plans.l_pipeline import l61_shard_manifest
+
+    def write(tmp, texts):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    texts = [f"doc number {i} body" for i in range(60)]
+    t1 = tmp_path_factory.mktemp("l61a")
+    write(t1, texts)
+    before = {
+        r.shard: r.manifest_digest
+        for r in l61_shard_manifest(spark, str(t1)).collect()
+    }
+    mutated = list(texts)
+    mutated[17] = mutated[17] + "!"
+    t2 = tmp_path_factory.mktemp("l61b")
+    write(t2, mutated)
+    out2 = {r.shard: r for r in l61_shard_manifest(spark, str(t2)).collect()}
+    changed = {s for s in before if out2[s].manifest_digest != before[s]}
+    assert len(changed) == 1  # only doc 17's shard's manifest moved
+    # the mutated byte also shows in that shard's size total, and
+    # nowhere else
+    before_sizes = {
+        r.shard: r.total_chars
+        for r in l61_shard_manifest(spark, str(t1)).collect()
+    }
+    for s in before:
+        if s in changed:
+            assert out2[s].total_chars == before_sizes[s] + 1
+        else:
+            assert out2[s].total_chars == before_sizes[s]

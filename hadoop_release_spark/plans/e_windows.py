@@ -2553,3 +2553,64 @@ def e39_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(r_expr).alias("autocorr"),
     )
+
+
+@register(
+    "e40_hour_of_week_profile",
+    oracle="""
+    WITH b AS (
+      SELECT ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // 86400000000 + 3) % 7) AS dow,
+             ((CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // 3600000000) % 24) AS hour,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             user_id
+      FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY dow, hour
+    """,
+    priority="P2",
+)
+def e40_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week traffic heatmap (the 7×24 calendar profile every
+    ops dashboard and capacity plan starts from): events, distinct
+    users, and exact revenue cents per (weekday, hour) cell.
+    Weekday comes from PURE EPOCH ARITHMETIC — (epoch_day + 3) % 7
+    with 0 = Monday (1970-01-01 was a Thursday) — because the
+    engines' dayofweek() functions disagree on numbering and locale;
+    integer arithmetic cannot. All-UTC, all-integer — no float rule
+    (cents via the d22 transport).
+
+    Scale shape: one (dow, hour) partial+final agg — map-side
+    combine collapses every task to ≤168 cells; the exact
+    count-distinct adds the standard two-phase distinct expansion
+    (swap in s01's HLL for the streaming variant). The profile is
+    the d27-style grid-bounded output: 168 rows forever."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 + 3) % 7").alias(
+            "dow"
+        ),
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24").alias(
+            "hour"
+        ),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "user_id",
+    )
+    return b.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        "n_users",
+        "sum_cents",
+    )

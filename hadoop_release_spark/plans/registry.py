@@ -208,6 +208,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l60_rendezvous_sharding",
     "e39_autocorrelation",
     "l61_shard_manifest",
+    "e40_hour_of_week_profile",
 })
 
 

@@ -2611,3 +2611,33 @@ def test_shard_manifest_detects_any_mutation(spark, tmp_path_factory):
             assert out2[s].total_chars == before_sizes[s] + 1
         else:
             assert out2[s].total_chars == before_sizes[s]
+
+
+def test_hour_of_week_epoch_arithmetic(spark, tmp_path_factory):
+    """e40's weekday rule pinned with known dates: (epoch_day+3)%7
+    gives 0 = Monday (1970-01-01, epoch day 0, was a Thursday → 3).
+    2024-06-03 was a Monday → dow 0; 2024-06-09 a Sunday → dow 6;
+    hours are UTC."""
+    from hadoop_release_spark.plans.e_windows import e40_hour_of_week_profile
+
+    tmp = tmp_path_factory.mktemp("e40plant")
+    rows = [
+        (1, datetime.datetime(2024, 6, 3, 9, 30), 1),   # Monday 09h
+        (2, datetime.datetime(2024, 6, 9, 23, 5), 2),   # Sunday 23h
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * 2),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}"] * 2),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = {
+        (r.dow, r.hour): (r.n_events, r.n_users, r.sum_cents)
+        for r in e40_hour_of_week_profile(spark, str(tmp)).collect()
+    }
+    assert got == {(0, 9): (1, 1, 100), (6, 23): (1, 1, 200)}

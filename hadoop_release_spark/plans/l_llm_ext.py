@@ -1847,3 +1847,123 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _L58_K)
         .drop("__rn")
     )
+
+
+def _o_l62() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2
+    ), dbg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS n12
+      FROM pos GROUP BY doc_id, t[i], t[i + 1]
+    ), bg AS (
+      SELECT w1, w2, CAST(sum(n12) AS BIGINT) AS c12
+      FROM dbg GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1fwd
+      FROM bg GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1rev
+      FROM bg GROUP BY w2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bg
+    ), scored AS (
+      SELECT d.doc_id, d.n12,
+             ln((CAST(b.c12 AS DOUBLE) - {_L54_DISCOUNT})
+                / CAST(x.c1 AS DOUBLE)
+                + ({_L54_DISCOUNT} * CAST(x.n1fwd AS DOUBLE)
+                   / CAST(x.c1 AS DOUBLE))
+                  * (CAST(n.n1rev AS DOUBLE) / CAST(t.ntypes AS DOUBLE)))
+               AS lp
+      FROM dbg d
+      JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+      JOIN ctx x ON d.w1 = x.w1
+      JOIN cont n ON d.w2 = n.w2
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(sum(n12) AS BIGINT) AS n_bigrams,
+           CAST(round(-sum(CAST(n12 AS DOUBLE) * lp)
+                      / CAST(sum(n12) AS DOUBLE) + 0.0, 6) AS DOUBLE)
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("l62_kn_perplexity", oracle=_o_l62(), priority="P2")
+def l62_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity (as average negative log-likelihood)
+    under the l54 Kneser–Ney bigram model — the EVAL half of the
+    n-gram LM loop (l54 trains, l62 scores) and a sharper
+    model-based quality filter than l43's unigram NLL: repetitive
+    boilerplate scores low, incoherent word soup scores high, and
+    the KN continuation term penalizes un-contextual bigrams
+    specifically. Scoring corpus = training corpus here, so every
+    bigram has a model entry and p > 0 structurally (a cross-corpus
+    eval adds the OOV floor — documented, not silently assumed).
+    Per-doc ln sums span ≤ doc-length terms → the d27 discipline:
+    raw double terms, one r6 round with the signed-zero guard.
+
+    Scale shape: the doc-bigram table (doc_id, w1, w2, n12) is the
+    ONE corpus-derived artifact; the model tables are
+    re-aggregations of its global collapse (the l54 topology — one
+    corpus scan); scoring joins are word-keyed (Zipf-bounded,
+    broadcast-top-K at the tail per l42/l43); N_types rides a 1-row
+    broadcast; final per-doc agg map-side combines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    dbg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("n12"))
+    )
+    # dbg feeds the model collapse AND the scoring join; persist so
+    # the corpus-wide explode runs once (l54's argument).
+    dbg = dbg.persist()
+    bg = dbg.groupBy("w1", "w2").agg(F.sum("n12").cast("long").alias("c12"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fwd"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1rev"))
+    tot = bg.agg(F.count("*").cast("long").alias("ntypes"))
+    lp = (
+        f"ln((CAST(c12 AS DOUBLE) - {_L54_DISCOUNT}D) / CAST(c1 AS DOUBLE)"
+        f" + ({_L54_DISCOUNT}D * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        " * (CAST(n1rev AS DOUBLE) / CAST(ntypes AS DOUBLE)))"
+    )
+    scored = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n12", F.expr(lp).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n12").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("n12").cast("double") * F.col("lp"))
+            / F.sum("n12").cast("double")
+            + F.lit(0.0),
+            6,
+        )
+        .cast("double")
+        .alias("avg_nll"),
+    )

@@ -209,6 +209,7 @@ _ROUND6_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e39_autocorrelation",
     "l61_shard_manifest",
     "e40_hour_of_week_profile",
+    "l62_kn_perplexity",
 })
 
 

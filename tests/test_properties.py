@@ -2641,3 +2641,56 @@ def test_hour_of_week_epoch_arithmetic(spark, tmp_path_factory):
         for r in e40_hour_of_week_profile(spark, str(tmp)).collect()
     }
     assert got == {(0, 9): (1, 1, 100), (6, 23): (1, 1, 200)}
+
+
+def test_kn_perplexity_matches_reference(spark, tmp_path_factory):
+    """l62 vs a pure-Python KN scorer on a small corpus: per-doc
+    average NLL under the corpus's own bigram KN model (within the
+    r6 grid)."""
+    import math
+    from collections import Counter
+
+    from hadoop_release_spark.plans.l_llm_ext import l62_kn_perplexity
+
+    docs = {
+        0: "a b a b c",
+        1: "b c b c a a",
+        2: "c a b",
+    }
+    tmp = tmp_path_factory.mktemp("l62prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in docs.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in l62_kn_perplexity(spark, str(tmp)).collect()}
+
+    D = 0.75
+    c12 = Counter()
+    for t in docs.values():
+        w = t.split()
+        for x, y in zip(w, w[1:]):
+            c12[(x, y)] += 1
+    c1, n1fwd, n1rev = Counter(), Counter(), Counter()
+    for (x, y), c in c12.items():
+        c1[x] += c
+        n1fwd[x] += 1
+        n1rev[y] += 1
+    nt = len(c12)
+    for doc_id, t in docs.items():
+        w = t.split()
+        s = n = 0
+        for x, y in zip(w, w[1:]):
+            p = (c12[(x, y)] - D) / c1[x] + (D * n1fwd[x] / c1[x]) * (
+                n1rev[y] / nt
+            )
+            s += math.log(p)
+            n += 1
+        r = got[doc_id]
+        assert r.n_bigrams == n
+        assert abs(r.avg_nll - round(-s / n, 6)) < 2e-6

@@ -220,6 +220,9 @@ _PLAN_NODE_ALLOWLIST = {
         # e39: day-grid × 2-row LAG list broadcast (O(days·2)) ahead
         # of the equi lag-alignment join.
         "e39_autocorrelation",
+        # l62: single-row broadcast — the N_types scalar attaches to
+        # the scored doc-bigram table (the l54 shape).
+        "l62_kn_perplexity",
     },
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.

@@ -1990,9 +1990,13 @@ _E34_DAY_US = 86_400 * 1_000_000
       SELECT min(t_us) AS s_us, max(t_us) + 1 AS e_excl_us
       FROM sess GROUP BY user_id, session_idx
     ), deltas AS (
+      -- A -1 landing exactly ON a day boundary belongs to no day's
+      -- sweep: the session is over before the new day starts, and
+      -- its absence from carry_in already accounts for the end.
       SELECT s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
       UNION ALL
       SELECT e_excl_us AS t, CAST(-1 AS BIGINT) AS d FROM iv
+      WHERE e_excl_us % {_E34_DAY_US} != 0
     ), cum AS (
       SELECT t // {_E34_DAY_US} AS day_id, t, d,
              SUM(d) OVER (PARTITION BY t // {_E34_DAY_US}
@@ -2078,6 +2082,14 @@ def e34_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"x.t DIV {_E34_DAY_US}").alias("day_id"),
         F.col("x.t").alias("t"),
         F.col("x.d").alias("d"),
+    ).filter(
+        # A -1 whose exclusive end lands exactly ON a day boundary
+        # would be swept into the NEXT day, where the session is
+        # neither active nor in carry_in (d1 = (e_excl-1) DIV DAY is
+        # the prior day) — it would depress that day's running sum.
+        # The session's absence from carry_in already fully accounts
+        # for its end, so drop the boundary -1 outright.
+        (F.col("d") == 1) | (F.col("t") % _E34_DAY_US != 0)
     )
     w_day = (
         Window.partitionBy("day_id")

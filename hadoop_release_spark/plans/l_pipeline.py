@@ -1517,10 +1517,13 @@ def l57_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("tok").distinct(), ["tok"], "vid"
     ).withColumnRenamed("tok", "vtok")
     vs = vocab.agg(F.count("*").cast("long").alias("vsize"))
-    act = (F.col("u") / 100).cast("long") % 10
+    # Integer DIV, not float division: (u / 100).cast('long') is safe
+    # only while u < 2^32 keeps the quotient exact in double
+    # precision — DIV mirrors the oracle's u // 100 for any width.
+    act = F.expr("u DIV 100") % 10
     out = (
         sel.crossJoin(F.broadcast(vs))
-        .withColumn("rid", (F.col("u") / 1000).cast("long") % F.col("vsize") + 1)
+        .withColumn("rid", F.expr("u DIV 1000") % F.col("vsize") + 1)
         .join(F.broadcast(vocab), F.col("rid") == F.col("vid"))
         .select(
             "doc_id",

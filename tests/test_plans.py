@@ -8,6 +8,8 @@ pruning, and top-k fusion.
 
 from __future__ import annotations
 
+import dataclasses
+
 from hadoop_release_spark.plans.registry import specs
 
 
@@ -135,95 +137,129 @@ _AUDIT_SKIP_PREFIXES = (
     "c26",  # partitioned scratch write (the DPP layout) — pinned below
 )
 
-#: The ONLY queries allowed to contain each anti-pattern node, with
-#: the reason on record. Anything new that trips these must either
-#: justify itself here or fix its plan.
+@dataclasses.dataclass(frozen=True)
+class _BnljGrant:
+    """One BroadcastNestedLoopJoin allowlist entry, as DATA: the
+    bounded-side shape that makes the O(N·M) join acceptable, and the
+    condition under which the grant dies and the query must re-plan.
+    A grant without a non-empty exit condition cannot be constructed
+    — the allowlist cannot silently become a rubber stamp."""
+
+    shape: str           # what the broadcast side IS (and its bound)
+    exit_condition: str  # when this grant expires → required re-plan
+
+    def __post_init__(self) -> None:
+        if not self.shape.strip() or not self.exit_condition.strip():
+            raise ValueError(
+                "BNLJ grant requires both a shape and an exit condition"
+            )
+
+
+#: Shared shapes/exits (most grants are the same O(N·1) pattern).
+_SINGLE_ROW = "single-row global-stats broadcast crossJoin (O(N·1))"
+_SINGLE_ROW_EXIT = (
+    "the stats side ever exceeds one row per grouping → rewrite as an "
+    "equi-join on the grouping key"
+)
+
+
+def _stats_row(what: str) -> _BnljGrant:
+    return _BnljGrant(f"{_SINGLE_ROW}: {what}", _SINGLE_ROW_EXIT)
+
+
+#: name → grant. The hygiene sweep derives its allowed-name set from
+#: the keys; the failure message prints this table so a reviewer sees
+#: every standing justification next to the violation.
+_BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
+    "c09_join_cross": _BnljGrant(
+        "5 regions × 5-row broadcast — the deliberate cross-join demo",
+        "either side stops being a constant-size dimension",
+    ),
+    "l08_knn_query": _BnljGrant(
+        "corpus × ONE broadcast query vector",
+        "more than a bounded batch of query vectors → l19 IVF probe",
+    ),
+    "l09_knn_join": _BnljGrant(
+        "corpus × bounded query set (vec_id < 20, docstring bound; "
+        "broadcast-guard test fails if the bound is lifted)",
+        "query set scales with the corpus → l19 IVF candidate "
+        "generator (tripwire: test_l09_broadcast_guard)",
+    ),
+    "l13_ngram_jaccard": _BnljGrant(
+        "explicitly bounded verify stage over LSH candidate pairs",
+        "candidate pairs stop being LSH-bounded → band-key equi-join",
+    ),
+    "l19_knn_ivf": _BnljGrant(
+        "corpus × broadcast CENTROID set (K ≈ √N, never corpus-scale)",
+        "K stops fitting a broadcast → hierarchical / PQ assignment",
+    ),
+    "l48_semantic_decontaminate": _BnljGrant(
+        "corpus × broadcast eval suite (thousands of rows, fixed)",
+        "eval suite scales with the corpus → l14 LSH / l19 IVF "
+        "candidate generator (tripwire test)",
+    ),
+    "l49_hard_negative_mining": _BnljGrant(
+        "corpus × broadcast anchor batch (bounded per docstring)",
+        "anchor batch scales with the corpus → l19 IVF candidate "
+        "generator (tripwire test)",
+    ),
+    "l33_quantize_embeddings": _stats_row("per-dimension min/max row"),
+    "s08_bloom_prune": _stats_row("few-KB bloom filter mask"),
+    "a14_zorder_layout": _stats_row("min/max normalization row"),
+    "e16_active_users": _stats_row("data-horizon scalar"),
+    "d21_heavy_hitters": _stats_row("global total row"),
+    "d23_hist_equidepth": _stats_row("global count row"),
+    "d29_ratio_to_report": _stats_row("grand total → 25-row rollup"),
+    "d31_benford": _stats_row("order grand total → 9-row histogram"),
+    "l43_lm_score": _stats_row("corpus token total T"),
+    "e29_rfm_segments": _stats_row("population count"),
+    "d32_ks_test": _stats_row("totals/max/argmin rows → ECDF table"),
+    "d33_chi_square": _BnljGrant(
+        "5×5 bounded category-lattice margin grid (c09 shape) + the "
+        "single-row grand-total broadcast",
+        "category domains stop being enum-bounded → key equi-join",
+    ),
+    "a16_validate_constraints": _stats_row("1-row orphan count (O(1·1))"),
+    "l54_kneser_ney": _stats_row("N_types scalar → bigram table"),
+    "l56_semdedup": _BnljGrant(
+        "corpus × broadcast CENTROID set (l19 argmin assignment)",
+        "K stops fitting a broadcast → hierarchical assignment "
+        "(same exit as l19)",
+    ),
+    "l57_mlm_masking": _stats_row("vocab-size scalar"),
+    "d38_kaplan_meier": _stats_row("data horizon + total (two rows)"),
+    "d39_psi_drift": _stats_row("9 decile bounds row"),
+    "l58_knn_self_join": _BnljGrant(
+        "corpus × broadcast CENTROID set twice (assign + probe rank); "
+        "the corpus-scale candidate join is a cluster-keyed hash "
+        "join, pinned separately",
+        "centroid set stops fitting a broadcast → PQ-coded probe "
+        "(l47 shape)",
+    ),
+    "e39_autocorrelation": _BnljGrant(
+        "day-grid × 2-row LAG list broadcast (O(days·2))",
+        "lag list stops being a constant few rows → unpivot + "
+        "equi-join on (day, lag)",
+    ),
+    "l62_kn_perplexity": _stats_row("N_types scalar (l54 shape)"),
+}
+
+
+def _bnlj_table() -> str:
+    """The allowlist rendered for assertion messages: every standing
+    grant with its shape and exit condition."""
+    return "\n".join(
+        f"  {n}: {g.shape}\n      exit: {g.exit_condition}"
+        for n, g in sorted(_BNLJ_ALLOWLIST.items())
+    )
+
+
+#: The ONLY queries allowed to contain each anti-pattern node.
+#: BroadcastNestedLoopJoin membership is DERIVED from the structured
+#: grant table above — a new entry physically cannot be added without
+#: a shape and an exit condition.
 _PLAN_NODE_ALLOWLIST = {
-    # O(N·M) join without hash keys: legitimate only when one side is
-    # a bounded broadcast (kNN query sets, 25-row cross demo) or an
-    # explicitly bounded verify stage (l13). l09's membership depends
-    # on its `vec_id < 20` query-set bound (see its docstring) — if
-    # that bound is ever lifted, l09 must leave this allowlist and
-    # adopt l19's IVF candidate generator instead.
-    "BroadcastNestedLoopJoin": {
-        "c09_join_cross",
-        "l08_knn_query",
-        "l09_knn_join",
-        "l13_ngram_jaccard",
-        "l19_knn_ivf",
-        # l48/l49: corpus × bounded broadcast (eval suites / anchor
-        # batches are thousands of rows, not corpus-scale); the exit
-        # condition mirrors l09 — a bounded side that scales with the
-        # corpus must move to the l14 LSH / l19 IVF candidate
-        # generators (docstrings).
-        "l48_semantic_decontaminate",
-        "l49_hard_negative_mining",
-        # l33: keyless cross join against a SINGLE-ROW broadcast (the
-        # per-dimension min/max stats) — O(N·1), the intended plan.
-        "l33_quantize_embeddings",
-        # s08: same single-row-broadcast shape — the few-KB bloom
-        # mask attaches to every fact row before the probe filter.
-        "s08_bloom_prune",
-        # a14: same single-row-broadcast shape — the min/max
-        # normalization stats row attaches before the z-key map.
-        "a14_zorder_layout",
-        # e16: same single-row-broadcast shape — the data-horizon
-        # scalar clips phantom trailing observation days.
-        "e16_active_users",
-        # d21/d23: same single-row-broadcast shape — the global
-        # total/count row attaches before the per-key threshold /
-        # bucket projection.
-        "d21_heavy_hitters",
-        "d23_hist_equidepth",
-        # d29: same single-row-broadcast shape — the grand-total row
-        # attaches to the 25-row per-nation rollup (O(25·1)).
-        "d29_ratio_to_report",
-        # d31: same single-row-broadcast shape — the order grand
-        # total attaches to the 9-row digit histogram (O(9·1)).
-        "d31_benford",
-        # l43: same single-row-broadcast shape — the corpus token
-        # total T attaches to the per-doc NLL rollup (O(docs·1)).
-        "l43_lm_score",
-        # e29: same single-row-broadcast shape — the population count
-        # attaches to the per-customer RFM rollup (O(customers·1)).
-        "e29_rfm_segments",
-        # d32: same single-row-broadcast shape — totals/max/argmin
-        # rows attach to the distinct-value ECDF table (O(V·1)).
-        "d32_ks_test",
-        # d33: margin-grid cross (5×5 bounded category lattice, the
-        # c09 shape) + the single-row grand-total broadcast.
-        "d33_chi_square",
-        # a16: single-row broadcast — the 1-row orphan count attaches
-        # to the 1-row orders total (O(1·1)).
-        "a16_validate_constraints",
-        # l54: single-row broadcast — the N_types scalar attaches to
-        # the filtered bigram table (O(bigrams·1)).
-        "l54_kneser_ney",
-        # l56: corpus × bounded broadcast CENTROID set (the l19
-        # assignment argmin — K ≈ √N rows, never corpus-scale); same
-        # exit condition as l19 if K ever stops being broadcastable.
-        "l56_semdedup",
-        # l57: single-row broadcast — the vocab-size scalar attaches
-        # before the replacement-id modulo (O(selected·1)).
-        "l57_mlm_masking",
-        # d38: two single-row broadcasts — the data horizon attaches
-        # to per-user durations, the total to the duration grid.
-        "d38_kaplan_meier",
-        # d39: single-row broadcast — the 9 decile bounds attach to
-        # every doc for the CASE-chain bucket assignment (O(N·1)).
-        "d39_psi_drift",
-        # l58: corpus × bounded broadcast CENTROID set, twice (the
-        # assignment argmin and the probe ranking — the l19/l56
-        # shape); the corpus-scale candidate join itself is a
-        # cluster-keyed hash join, pinned separately below.
-        "l58_knn_self_join",
-        # e39: day-grid × 2-row LAG list broadcast (O(days·2)) ahead
-        # of the equi lag-alignment join.
-        "e39_autocorrelation",
-        # l62: single-row broadcast — the N_types scalar attaches to
-        # the scored doc-bigram table (the l54 shape).
-        "l62_kn_perplexity",
-    },
+    "BroadcastNestedLoopJoin": set(_BNLJ_ALLOWLIST),
     # Row-at-a-time Python eval: k01 is the deliberate API-coverage
     # UDF; k05's UDTF eval is row-wise by definition of the API.
     "BatchEvalPython": {"k01_udf_python", "k05_udtf"},
@@ -246,9 +282,17 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             if pat in plan:
                 found[pat].add(name)
     for pat, names in found.items():
-        assert names <= _PLAN_NODE_ALLOWLIST[pat], (
-            f"{pat} appeared outside its allowlist: "
-            f"{sorted(names - _PLAN_NODE_ALLOWLIST[pat])}"
+        extra = names - _PLAN_NODE_ALLOWLIST[pat]
+        detail = (
+            f"\nStanding BNLJ grants (name: shape / exit):\n{_bnlj_table()}\n"
+            "A new grant needs BOTH a bounded-side shape and an exit "
+            "condition (add a _BnljGrant in tests/test_plans.py) — or "
+            "fix the plan."
+            if pat == "BroadcastNestedLoopJoin"
+            else ""
+        )
+        assert not extra, (
+            f"{pat} appeared outside its allowlist: {sorted(extra)}{detail}"
         )
 
 

@@ -1588,7 +1588,12 @@ def _ref_peak_concurrency(rows: list[tuple[int, int]], gap_us: int):
     deltas = []
     for s, e1 in iv:
         deltas.append((s, 1))
-        deltas.append((e1, -1))
+        # A -1 exactly ON a day boundary belongs to no day's sweep:
+        # the session is over before the new day starts and its
+        # absence from carry already accounts for the end (mirrors
+        # the plan's boundary filter).
+        if e1 % day_us != 0:
+            deltas.append((e1, -1))
     deltas.sort()
     days = {t // day_us for t, _ in deltas}
     for s, e1 in iv:
@@ -1608,13 +1613,25 @@ def _ref_peak_concurrency(rows: list[tuple[int, int]], gap_us: int):
     return out
 
 
+_E34_PROP_DAY_US = 86_400 * 1_000_000
+
 @settings(**_SETTINGS)
 @given(
     rows=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=3),
-            st.integers(min_value=0, max_value=5 * 24).map(
-                lambda h: h * 3_600_000_000
+            st.one_of(
+                st.integers(min_value=0, max_value=5 * 24).map(
+                    lambda h: h * 3_600_000_000
+                ),
+                # Day-boundary-adjacent instants: an event at
+                # k·DAY−1 makes the session's exclusive end land
+                # exactly ON the boundary — the case the boundary
+                # -1 filter exists for.
+                st.tuples(
+                    st.integers(min_value=1, max_value=5),
+                    st.sampled_from([-1, 0]),
+                ).map(lambda kj: kj[0] * _E34_PROP_DAY_US + kj[1]),
             ),
         ),
         min_size=1,
@@ -1674,6 +1691,39 @@ def test_peak_concurrency_touching_sessions_never_overlap(spark):
         ) // day_us
         assert got[base_day] == 1
         assert got[base_day + 2] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_peak_concurrency_day_boundary_end(spark):
+    """Pinned: a session ending at 23:59:59.999999 of day D (exclusive
+    end exactly on day D+1's boundary) must NOT depress day D+1's
+    sweep. User 1's session [23:59:59.999999] ends as day 1 starts;
+    user 2 starts at day 1's first microsecond. Day 1's peak is 1 —
+    before the boundary-(-1) filter it reported 0 (the stray -1
+    cancelled user 2's +1 under the -1-before-+1 tie rule)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    day_us = 86_400 * 1_000_000
+    tmp = tempfile.mkdtemp(prefix="e34_bound_")
+    try:
+        _write_user_events(tmp, [(1, day_us - 1), (2, day_us)])
+        got = {
+            r["day_id"]: (r["carry_in"], r["peak_concurrency"], r["n_starts"])
+            for r in specs()["e34_peak_concurrency"].fn(spark, tmp).collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        ) // day_us
+        # Sessionization is per-user, so the two events never merge:
+        # user 1 = [day0 23:59:59.999999] (e_excl on the boundary,
+        # -1 dropped), user 2 = [day1 00:00:00.000000]. User 1's
+        # boundary session is NOT in day 1's carry_in (it ended), and
+        # day 1's sweep must report peak 1 for user 2, not 0.
+        assert got == {
+            base_day: (0, 1, 1),
+            base_day + 1: (0, 1, 1),
+        }, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -332,6 +332,9 @@ def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir):
     for qid in exact.query_id.unique():
         truth = set(exact[exact.query_id == qid].vec_id)
         got = set(approx[approx.query_id == qid].vec_id)
-        assert len(got) == _L58_K
-        recalls.append(len(truth & got) / _L58_K)
+        # IVF with nprobe=4 gives no structural guarantee each query
+        # reaches >= K candidates — pin recall, not fixture-dependent
+        # candidate coverage.
+        assert len(got) <= _L58_K
+        recalls.append(len(truth & got) / min(_L58_K, len(truth)))
     assert sum(recalls) / len(recalls) >= 0.2, sum(recalls) / len(recalls)

@@ -2079,9 +2079,12 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at positions 3 / B−2 (2.5%/97.5% lower-quantile rule, B=100),
     id-tie-broken.
 
-    Scale shape: the ×B explode multiplies CPU, NOT shuffle — the
-    (status, b) partial agg collapses each task to ≤ statuses·B
-    rows before the exchange (map-side combine), and the ranking
+    Scale shape: the ×B/4 explode multiplies CPU, NOT shuffle — all
+    four slice-weights of one md5 evaluate in a single projection
+    (agg input is N·B/4 rows, not N·B), the (status, g) partial agg
+    collapses each task to ≤ statuses·B/4 rows before the exchange
+    (map-side combine), and the replica grain is restored by a
+    posexplode over the already-complete aggregate. The ranking
     window runs over B rows per status. The point mean re-reads the
     2-column projection once (cheap vs. shipping it through the
     explode). This plan is identical at 100 TB: bootstrap cost =
@@ -2098,11 +2101,30 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("s"),
     )
-    # One md5 yields FOUR independent 32-bit draws (hex slices), so
-    # the hash evaluates at the GROUP level (b DIV 4) of a two-stage
-    # explode — 25 md5s per row instead of 100, same rule-6
-    # determinism (replica b = 4·g + j reads slice j of
-    # md5(key : g)).
+    # One md5 yields FOUR independent 32-bit draws (hex slices), and
+    # ALL FOUR weights evaluate in ONE projection per (row, group) —
+    # no second explode: the agg input is N·25 rows (one per md5),
+    # not N·100, and the four replicas of a group ride as 8 partial
+    # aggregate columns (sb_j, nb_j). The groupBy(status, g) is a
+    # COMPLETE aggregate, so the posexplode back to replica grain
+    # (b = 4·g + j, reading slice j of md5(key : g) — same rule-6
+    # determinism as before) runs over statuses·25 rows and needs no
+    # second shuffle.
+    def _slice_w(j: int):
+        # u ≥ T_k evaluated in HEX-STRING space: md5 hex is
+        # fixed-width lowercase, and '0'-'9' < 'a'-'f' in ASCII, so
+        # lexicographic order on an 8-char slice IS numeric order on
+        # the 32-bit value — zero conv() calls (BigInteger hex parse
+        # was ~40% of this query's CPU; measured 8.6 s → 5.4 s at
+        # sf0.1). The oracle keeps the numeric form; both are the
+        # same predicate.
+        s = F.expr(f"substring(hex, {1 + 8 * j}, 8)")
+        w = None
+        for t in _D37_THRESH:
+            term = F.when(s >= format(t, "08x"), 1).otherwise(0)
+            w = term if w is None else w + term
+        return w
+
     drawn = (
         base.select(
             "o_orderkey",
@@ -2114,29 +2136,40 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus",
             "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
             "g",
-            "hex",
+            *[_slice_w(j).alias(f"w{j}") for j in range(4)],
+        )
+    )
+    grp = drawn.groupBy("o_orderstatus", "g").agg(
+        *[
+            agg
+            for j in range(4)
+            for agg in (
+                F.sum(F.col("cents") * F.col(f"w{j}")).cast("long").alias(f"sb{j}"),
+                F.sum(f"w{j}").cast("long").alias(f"nb{j}"),
+            )
+        ]
+    )
+    rep = (
+        grp.select(
+            "o_orderstatus",
+            "g",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"sb{j}").alias("sb"), F.col(f"nb{j}").alias("nb")
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("j", "x"),
         )
         .select(
             "o_orderstatus",
-            "cents",
             (F.col("g") * 4 + F.col("j")).alias("b"),
-            F.conv(
-                F.expr("substring(hex, 1 + 8 * j, 8)"), 16, 10
-            ).cast("long").alias("u"),
-        )
-    )
-    w = None
-    for t in _D37_THRESH:
-        term = F.when(F.col("u") >= t, 1).otherwise(0)
-        w = term if w is None else w + term
-    rep = (
-        drawn.withColumn("w", w)
-        .groupBy("o_orderstatus", "b")
-        .agg(
-            F.sum(F.col("cents") * F.col("w")).cast("long").alias("sb"),
-            F.sum("w").cast("long").alias("nb"),
+            F.col("x.sb").alias("sb"),
+            F.col("x.nb").alias("nb"),
         )
         .filter(F.col("nb") > 0)
     )

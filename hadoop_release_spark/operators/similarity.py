@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_release_spark.functions.vectors import cosine
+from hadoop_release_spark.functions.vectors import cosine, dot, norm2
 
 
 def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -33,14 +33,26 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     ``centroids``: (centroid_id, centroid) — small, broadcast.
     Deterministic tie-break on centroid_id.
     """
-    sim = cosine(F.col("embedding"), F.col("centroid"))
+    # Norms are computed once per VECTOR (before the crossJoin fans
+    # out to |centroids| rows) and reused as scalars — a pair-row
+    # cosine would re-fold both norms per pair, and higher-order
+    # array folds don't enter codegen. Same IEEE ops, same values.
     w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
     return (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", sim)
+        embeddings.withColumn("__enrm", norm2(F.col("embedding")))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn("__cnrm", norm2(F.col("centroid")))
+            )
+        )
+        .withColumn(
+            "__sim",
+            dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("__enrm") * F.col("__cnrm")),
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__sim", "__rn", "centroid")
+        .drop("__sim", "__rn", "centroid", "__enrm", "__cnrm")
         .withColumnRenamed("centroid_id", "cluster")
     )
 
@@ -111,13 +123,22 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Per-vector norms computed once (N rows), not per candidate
+    # pair — same IEEE values, one dot fold per pair instead of
+    # three array folds.
     ea = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm2(F.col(vec_col)).alias("__na"),
     )
     eb = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm2(F.col(vec_col)).alias("__nb"),
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 3)
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 3
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.functions.contracts import r3, r4
-from hadoop_release_spark.functions.vectors import cosine, o_cosine
+from hadoop_release_spark.functions.vectors import cosine, dot, norm2, o_cosine
 from hadoop_release_spark.plans.registry import register
 
 _DIM = 64
@@ -1702,7 +1702,13 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid"),
     )
     assigned = assign_clusters(e, centroids).select(
-        "vec_id", "embedding", "cluster"
+        "vec_id",
+        "embedding",
+        # Norm once per vector — pair scoring below then costs one
+        # dot fold instead of three (the l58 rule; identical IEEE
+        # values since the same ops run on the same inputs).
+        norm2(F.col("embedding")).alias("__nrm"),
+        "cluster",
     )
     # assigned feeds both pair sides and the output spine; persist so
     # the broadcast-argmin assignment runs once (released by the
@@ -1712,11 +1718,13 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.col("__nrm").alias("__na"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("__nrm").alias("__nb"),
     )
     pairs = (
         a.join(b, "cluster")
@@ -1724,7 +1732,11 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_b",
             "id_a",
-            F.round(cosine(F.col("va"), F.col("vb")), 3).alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                3,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= F.expr(_L56_TAU))
     )
@@ -1806,31 +1818,55 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides corpus-scale, NEITHER broadcast (the deliberate contrast
     with l19's bounded-query broadcast); work is Σ_cluster
     |members|·|probes-to-it| — the IVF contract. Per-query top-k
-    windows partition by query_id. At 100 TB the assigned table is
-    written bucketed by cluster so this join co-locates without a
-    shuffle (c15 pattern); self-recall vs brute force is pinned in
-    tests/test_similarity.py."""
-    from hadoop_release_spark.operators.similarity import assign_clusters
-
+    windows partition by query_id. Two CPU rules for the hot path:
+    (a) the corpus × centroid similarity table ranks ONCE — cluster
+    assignment is rank 1 and the probe list is rank ≤ nprobe of the
+    SAME ordering, so the centroid cosines aren't paid twice; (b)
+    per-vector L2 norms are computed once per VECTOR and carried as
+    a scalar, so each candidate pair costs one dot fold instead of
+    three (norms recomputed per pair were 2/3 of the pair work —
+    higher-order array folds don't enter codegen). Identical IEEE
+    values: same ops on the same inputs, reused not recomputed. At
+    100 TB the assigned table is written bucketed by cluster so this
+    join co-locates without a shuffle (c15 pattern); self-recall vs
+    brute force is pinned in tests/test_similarity.py."""
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+    en = e.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("__nrm")
+    )
+    centroids = en.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
+        F.col("__nrm").alias("__cnrm"),
     )
-    assigned = assign_clusters(e, centroids).select(
-        "vec_id", "embedding", "cluster"
-    )
-    csim = cosine(F.col("qe"), F.col("centroid"))
-    wq = Window.partitionBy("query_id").orderBy(
+    wq = Window.partitionBy("vec_id").orderBy(
         F.col("__csim").desc(), F.col("centroid_id")
     )
-    probes = (
-        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__csim", csim)
+    ranked = (
+        en.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__csim",
+            dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("__nrm") * F.col("__cnrm")),
+        )
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= _L58_NPROBE)
-        .select("query_id", "qe", F.col("centroid_id").alias("cluster"))
+        .select(
+            "vec_id",
+            "embedding",
+            "__nrm",
+            F.col("centroid_id").alias("cluster"),
+            "__rn",
+        )
+    )
+    assigned = ranked.filter(F.col("__rn") == 1).select(
+        "vec_id", "embedding", "__nrm", "cluster"
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("__nrm").alias("__qnrm"),
+        "cluster",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -1841,7 +1877,11 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 3).alias("score"),
+            F.round(
+                dot(F.col("embedding"), F.col("qe"))
+                / (F.col("__nrm") * F.col("__qnrm")),
+                3,
+            ).alias("score"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= _L58_K)

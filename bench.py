@@ -81,6 +81,9 @@ HEADLINE = [
     "m09_phash_near_dup",     # banded Hamming dedup over aHash
     "d37_poisson_bootstrap",  # one-pass B-replica bootstrap CI
     "f06_skyline",            # Pareto frontier, two-phase prefix-max
+    # round-7 flagships
+    "l58_knn_self_join",      # corpus-wide IVF self-kNN (norm-precomputed)
+    "d43_theil_sen",          # pairwise-slope robust trend, two-phase selection
 ]
 
 

@@ -188,3 +188,52 @@ def global_prefix_max(
         )
     )
     return out.drop(_PID, "__local_excl", "__max_offset")
+
+
+def global_kth(
+    df: DataFrame, order_cols: list, target_of_total
+) -> DataFrame:
+    """Return the single row at global rank k (1-based) in the total
+    order of ``order_cols`` — distributed SELECTION without numbering
+    every row.
+
+    ``target_of_total(total_rows) -> k`` computes the wanted rank
+    from the global count (e.g. the lower median
+    ``lambda t: (t + 1) // 2``). Two-phase TeraSort shape:
+    range-partition by the order keys ONCE, collect per-partition
+    COUNTS (#partitions longs — O(partitions), never O(data)),
+    locate the one partition containing rank k, and row_number ONLY
+    inside it. Versus :func:`global_row_number` this skips the
+    numbering window over every partition and the offsets join —
+    the other partitions are never sorted. The persist is
+    load-bearing for the same sampling reason as global_row_number.
+    Ties in ``order_cols`` are fine when only the VALUE at rank k is
+    consumed: any stable order among equal keys selects an equal
+    value. Returns an empty frame when df is empty."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    parted = df.repartitionByRange(n_part, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    parted = parted.persist()
+
+    counts = parted.groupBy(_PID).count().orderBy(_PID).collect()
+    total = sum(r["count"] for r in counts)
+    if total == 0:
+        return parted.drop(_PID).limit(0)
+    k = int(target_of_total(total))
+    if not 1 <= k <= total:
+        raise ValueError(f"global_kth: rank {k} outside [1, {total}]")
+    acc, pid, local_k = 0, None, None
+    for r in counts:
+        if acc + r["count"] >= k:
+            pid, local_k = r[_PID], k - acc
+            break
+        acc += r["count"]
+
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        parted.filter(F.col(_PID) == pid)
+        .withColumn("__local_rn", F.row_number().over(w))
+        .filter(F.col("__local_rn") == local_k)
+        .drop(_PID, "__local_rn")
+    )

@@ -2782,3 +2782,145 @@ def d42_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)").alias("p2"),
         F.expr(z_expr).alias("z_stat"),
     )
+
+
+#: d43: one day in epoch-microseconds (daily revenue grid).
+_D43_DAY_US = 86_400 * 1_000_000
+
+
+def _o_d43() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                  // {_D43_DAY_US} AS BIGINT) AS day_id,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+    ), slopes AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE)
+             / CAST(b.day_id - a.day_id AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.day_id < b.day_id
+    ), scomp AS (
+      SELECT slope, CAST(count(*) AS BIGINT) AS w
+      FROM slopes GROUP BY slope
+    ), scum AS (
+      SELECT slope,
+             sum(w) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(w) OVER () AS total
+      FROM scomp
+    ), smed AS (
+      SELECT min(slope) AS slope_med FROM scum WHERE 2 * cum >= total
+    ), resid AS (
+      SELECT CAST(d.cents AS DOUBLE) - s.slope_med * CAST(d.day_id AS DOUBLE)
+               AS r
+      FROM daily d CROSS JOIN smed s
+    ), rcomp AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS w FROM resid GROUP BY r
+    ), rcum AS (
+      SELECT r,
+             sum(w) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER () AS total
+      FROM rcomp
+    ), rmed AS (
+      SELECT min(r) AS intercept_med FROM rcum WHERE 2 * cum >= total
+    )
+    SELECT n.n_days,
+           CAST(n.n_days * (n.n_days - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(round(s.slope_med + 0.0, 6) AS DOUBLE)
+             AS slope_cents_per_day,
+           CAST(round(m.intercept_med + 0.0, 6) AS DOUBLE)
+             AS intercept_cents
+    FROM nd n CROSS JOIN smed s CROSS JOIN rmed m
+    """
+
+
+@register("d43_theil_sen", oracle=_o_d43(), priority="P2")
+def d43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue — the median of
+    all pairwise day-to-day slopes (breakdown point 29%, vs OLS's
+    zero: one bad day cannot bend the line — the robust partner of
+    d20's OLS exactly as d34's MAD partners d12's stddev). Slopes
+    are exact-bigint cent differences under one IEEE division; both
+    medians use the house LOWER-median convention (first value whose
+    inclusive cumulative count reaches half — d26/d34 rule), so every
+    reported number is a selected element, never an average.
+    Intercept = lower median of (cents − slope·day) residuals.
+
+    Scale shape: the pairwise-slope table is |days|² over the DAILY
+    aggregate, never over raw orders — the day grid is
+    calendar-bounded (~2 400 rows for the fixture's seven years;
+    36 k for a century), so the theta self-join is the e39/d33
+    bounded-domain exception, NOT an O(N²) corpus join; the daily
+    rollup itself is one map-side-combined agg. Both medians go
+    through the two-phase SELECTION primitive (rank.global_kth):
+    range-partition by value, per-partition COUNTS collect
+    (O(partitions)), sort only the one partition holding the median
+    rank — never a single-partition window, never a full global
+    numbering. 100× more orders changes only the first agg's input;
+    the slope stage is constant-size."""
+    from hadoop_release_spark.operators.rank import global_kth
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_D43_DAY_US}"
+            ).alias("day_id"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    # daily feeds the pair join (twice), the residual pass, and the
+    # day count; persist so the orders scan+agg runs once (released
+    # by the registry wrapper before the next query).
+    daily = daily.persist()
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    a = daily.select(F.col("day_id").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day_id").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope")
+        )
+    )
+    # .agg(min) over the selected single row is identity in the
+    # normal case and turns the degenerate one-day corpus (no pairs,
+    # empty selection) into a 1-row NULL — matching the oracle's
+    # min() over an empty CTE instead of annihilating the output
+    # through an empty crossJoin.
+    smed = global_kth(slopes, ["slope"], lambda t: (t + 1) // 2).agg(
+        F.min("slope").alias("slope_med")
+    )
+    resid = (
+        daily.crossJoin(F.broadcast(smed))
+        .select(
+            (
+                F.col("cents").cast("double")
+                - F.col("slope_med") * F.col("day_id").cast("double")
+            ).alias("r")
+        )
+    )
+    rmed = global_kth(resid, ["r"], lambda t: (t + 1) // 2).agg(
+        F.min("r").alias("intercept_med")
+    )
+    return (
+        nd.crossJoin(F.broadcast(smed))
+        .crossJoin(F.broadcast(rmed))
+        .select(
+            "n_days",
+            F.expr("CAST(n_days * (n_days - 1) DIV 2 AS BIGINT)").alias(
+                "n_pairs"
+            ),
+            F.round(F.col("slope_med"), 6).alias("slope_cents_per_day"),
+            F.round(F.col("intercept_med"), 6).alias("intercept_cents"),
+        )
+    )

@@ -1773,3 +1773,75 @@ def l61_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "manifest_digest",
     )
+
+
+@register(
+    "l63_quality_calibration",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, tok_cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tok_cnt, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, tok_cnt,
+           CAST(round(CAST(rn - 1 AS DOUBLE)
+                      / CAST(greatest(n - 1, 1) AS DOUBLE) + 0.0, 6)
+                AS DOUBLE) AS pct,
+           CAST(least((rn - 1) * 10 // n, 9) AS BIGINT) AS decile
+    FROM r
+    """,
+    priority="P2",
+)
+def l63_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score — the
+    standard fix for mixing corpora whose raw quality scales differ
+    (a "good" web page and a "good" paper score on different scales;
+    calibrating each source to its own percentile makes one global
+    threshold meaningful). Score = whitespace token count (the l16
+    metric); pct = (rank−1)/(n−1) within the source under the
+    deterministic (score, doc_id) total order (row_number, not rank:
+    ties split deterministically — rule 5); decile = ⌊(rank−1)·10/n⌋
+    in pure integer arithmetic (no float bucketing drift).
+
+    Scale shape: scoring is a scan-fused projection; ONE source
+    shuffle drives both windows (rank and count share the partition).
+    Per-source groups are corpus-scale at 100 TB, so the production
+    swap is the two-phase ranker per source (operators/rank.py, the
+    l27 pattern) or d23's equi-depth quantile cut — the output
+    contract (deterministic per-source percentile) is unchanged;
+    the window form IS the right plan while each source fits its
+    executors' sort budget."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok_cnt"),
+    )
+    w = Window.partitionBy("source").orderBy("tok_cnt", "doc_id")
+    wn = Window.partitionBy("source")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "source",
+            "tok_cnt",
+            # greatest(n-1, 1): a single-doc source calibrates to
+            # pct 0.0 instead of 0/0 NaN (cross-engine NaN hashing
+            # is undefined behavior this contract never emits).
+            F.round(
+                (F.col("rn") - 1).cast("double")
+                / F.greatest(F.col("n") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("pct"),
+            F.least(
+                F.expr("(rn - 1) * 10 DIV n"), F.lit(9)
+            ).cast("long").alias("decile"),
+        )
+    )

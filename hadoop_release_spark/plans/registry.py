@@ -98,14 +98,18 @@ def _wrap(fn: QueryFn) -> QueryFn:
 def _driver_graded_green() -> frozenset[str]:
     """Ids already graded GREEN by the external driver in any prior
     round, read from the CORRECTNESS_r*.json files the driver ships
-    into the repo root. A row counts as green only when it has no
-    error, the row counts matched, and neither hash_match nor
+    into the repo root. A row counts as green when either (a) it has
+    no error, the row counts matched, and neither hash_match nor
     schema_match is recorded False — a rows-match/hash-MISMATCH row
     is a wrong answer and must rotate back to the front of the
-    grading order, not be retired (rows-only checks record
-    hash_match=null, which still counts). Queries that errored or
-    mismatched stay out of the set so they are re-graded next
-    round."""
+    grading order, not be retired — or (b) it is a completed
+    ROWS-ONLY grade: the driver records declared no-oracle ops as
+    err="no_oracle" with a concrete spark_rows count and null match
+    flags (observed in CORRECTNESS_r06), which is that op's maximal
+    possible grade — without this branch the rows-only ops re-graded
+    every round forever, permanently eating window slots. Queries
+    that genuinely errored or mismatched stay out of the set so they
+    are re-graded next round."""
     root = Path(__file__).resolve().parents[2]
     green: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -122,7 +126,12 @@ def _driver_graded_green() -> frozenset[str]:
                 and row.get("hash_match") is not False
                 and row.get("schema_match") is not False
             )
-            if ok:
+            rows_only_ok = (
+                row.get("err") == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row.get("spark_rows") >= 0
+            )
+            if ok or rows_only_ok:
                 green.add(name)
     return frozenset(green)
 
@@ -143,14 +152,26 @@ def grading_order(names: list[str]) -> list[str]:
     expensive streaming tail costs the fewest slots."""
     graded = _driver_graded_green()
     tier = {name: t for t, tier_names in _GRADING_COST_TIERS for name in tier_names}
-    return sorted(
-        names,
-        key=lambda n: (
-            n in graded,
-            3 if n in _ROUND6_PLUS_ADDITIONS else tier.get(n, 1),
-            n,
-        ),
-    )
+
+    def _tier(n: str) -> int:
+        if n in _ROUND7_PLUS_ADDITIONS:
+            return 4
+        if n in _ROUND6_PLUS_ADDITIONS:
+            return 3
+        return tier.get(n, 1)
+
+    return sorted(names, key=lambda n: (n in graded, _tier(n), n))
+
+
+#: Queries REGISTERED in round 7 or later: tier 4, BEHIND the 47
+#: round-6 additions that exactly fill round 7's grading window
+#: (round-6 verdict item 2) — the 50-slot window grades 47 + up to
+#: 3 of these; any overflow waits for round 8 instead of displacing
+#: a never-graded round-6 row.
+_ROUND7_PLUS_ADDITIONS: frozenset[str] = frozenset({
+    "d43_theil_sen",
+    "l63_quality_calibration",
+})
 
 
 #: Queries REGISTERED in round 6 or later. The round-6 driver window

@@ -88,6 +88,12 @@ def test_hash_mismatch_is_not_green(tmp_path, monkeypatch):
         "q_hash_bad": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False},
         "q_schema_bad": {"err": None, "rows_match": True, "schema_match": False, "hash_match": True},
         "q_err": {"err": "boom", "rows_match": None, "schema_match": None, "hash_match": None},
+        # the REAL shape the driver records for declared rows-only
+        # ops (CORRECTNESS_r06 s01-s03/s06/l21): a completed grade —
+        # must retire, or these eat 5 window slots every round.
+        "q_no_oracle": {"err": "no_oracle", "rows_match": None, "schema_match": None, "hash_match": None, "spark_rows": 3, "oracle_rows": None},
+        # a rows-only attempt that never produced rows is NOT a grade
+        "q_no_oracle_failed": {"err": "no_oracle", "rows_match": None, "schema_match": None, "hash_match": None, "spark_rows": None, "oracle_rows": None},
     }
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(report))
 
@@ -99,7 +105,11 @@ def test_hash_mismatch_is_not_green(tmp_path, monkeypatch):
             return self
 
     monkeypatch.setattr(registry, "Path", FakePath)
-    assert registry._driver_graded_green() == {"q_green", "q_rows_only"}
+    assert registry._driver_graded_green() == {
+        "q_green",
+        "q_rows_only",
+        "q_no_oracle",
+    }
 
 
 def test_entry_smoke(spark):

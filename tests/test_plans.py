@@ -241,6 +241,14 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "lag list stops being a constant few rows → unpivot + "
         "equi-join on (day, lag)",
     ),
+    "d43_theil_sen": _BnljGrant(
+        "day-grid × day-grid theta self-join over the DAILY aggregate "
+        "(calendar-bounded, |days|² pairs — the e39/d33 "
+        "bounded-domain exception) + 1-row day-count / median "
+        "broadcasts",
+        "the grid stops being calendar-bounded (sub-day grain) → "
+        "bin-bucketed c11/c20 interval shape",
+    ),
     "l62_kn_perplexity": _stats_row("N_types scalar (l54 shape)"),
 }
 

@@ -2744,3 +2744,144 @@ def test_kn_perplexity_matches_reference(spark, tmp_path_factory):
         r = got[doc_id]
         assert r.n_bigrams == n
         assert abs(r.avg_nll - round(-s / n, 6)) < 2e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # day offset
+            st.integers(min_value=100, max_value=99999),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda rs: len({d for d, _ in rs}) >= 2)
+)
+def test_theil_sen_matches_pairwise_reference(spark, rows):
+    """d43 vs an independent pure-Python Theil-Sen: lower-median of
+    all pairwise daily slopes and of the residuals, over arbitrary
+    multisets of (day, price) orders — duplicate days aggregate,
+    duplicate slopes (collinear runs) stress the tie path of the
+    two-phase selection. Precondition n_days >= 2 (a one-point trend
+    has no slope; the degenerate case returns NULLs by contract)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d43_")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_totalprice": pa.array(
+                    [c / 100.0 for _, c in rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [T0 + datetime.timedelta(days=d) for d, _ in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/orders.parquet")
+        got = specs()["d43_theil_sen"].fn(spark, tmp).collect()[0]
+
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        daily: dict[int, int] = {}
+        for d, c in rows:
+            key = base_day + d
+            daily[key] = daily.get(key, 0) + c
+        days = sorted(daily)
+        n = len(days)
+        slopes = sorted(
+            (daily[b] - daily[a]) / (b - a)
+            for i, a in enumerate(days)
+            for b in days[i + 1 :]
+        )
+        lomed = lambda xs: xs[(len(xs) + 1) // 2 - 1]  # noqa: E731
+        sm = lomed(slopes)
+        im = lomed(sorted(float(daily[d]) - sm * float(d) for d in days))
+        assert got["n_days"] == n
+        assert got["n_pairs"] == n * (n - 1) // 2
+        # plan rounds to 6dp; compare against the unrounded reference
+        # with half-ulp-of-6dp tolerance (avoids HALF_UP-vs-banker
+        # disagreement between engines and Python).
+        assert abs(got["slope_cents_per_day"] - sm) <= 5.1e-7, (got, sm)
+        assert abs(got["intercept_cents"] - im) <= 5.1e-7, (got, im)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=1, max_value=30),  # token count
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quality_calibration_is_per_source_uniform(spark, docs):
+    """l63 vs a pure-Python per-source rank transform: pct must hit
+    exactly the uniform grid (rank-1)/(n-1) under the (score,
+    doc_id) total order, deciles the integer buckets — including
+    single-doc sources (pct 0.0 by the greatest(n-1,1) guard) and
+    all-tied scores (row_number splits ties by doc_id)."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l63_")
+    try:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "source": pa.array([s for s, _ in docs]),
+                "text": pa.array(["w " * (k - 1) + "w" for _, k in docs]),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["source"], r["tok_cnt"], r["pct"], r["decile"])
+            for r in specs()["l63_quality_calibration"].fn(spark, tmp).collect()
+        }
+        by_src: dict[str, list] = {}
+        for i, (s, k) in enumerate(docs):
+            by_src.setdefault(s, []).append((k, i))
+        want = {}
+        for s, members in by_src.items():
+            members.sort()
+            n = len(members)
+            for idx, (k, i) in enumerate(members):
+                want[i] = (s, k, round(idx / max(n - 1, 1), 6),
+                           min(idx * 10 // n, 9))
+        assert set(got) == set(want)
+        for i in got:
+            gs, gk, gp, gd = got[i]
+            ws, wk, wp, wd = want[i]
+            assert (gs, gk, gd) == (ws, wk, wd), (i, got[i], want[i])
+            assert abs(gp - wp) <= 5.1e-7, (i, got[i], want[i])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=1, max_size=120
+    ),
+    kfrac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_global_kth_selects_the_sorted_element(spark, vals, kfrac):
+    """rank.global_kth must return exactly sorted(vals)[k-1] for any
+    multiset and any rank — heavy duplicates put range-partition
+    boundaries inside tie runs, the case where per-partition
+    row_number order is arbitrary but the VALUE at a global rank is
+    still unique."""
+    from hadoop_release_spark.operators.rank import global_kth
+
+    k = max(1, min(len(vals), round(kfrac * len(vals))))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = global_kth(df, ["v"], lambda t: k).collect()
+    assert len(got) == 1
+    assert got[0]["v"] == sorted(vals)[k - 1], (vals, k, got)

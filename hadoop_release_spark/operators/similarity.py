@@ -302,25 +302,41 @@ def ivf_topk(
     cosine rounded 3dp, deterministically tie-broken.
     """
     # Rank centroids per query; keep the nprobe nearest clusters.
-    csim = cosine(F.col("qe"), F.col("centroid"))
+    # Norms once per query/centroid/corpus vector, not per pair —
+    # the assign_clusters rule; identical IEEE values.
+    qn = query.withColumn("__qnrm", norm2(F.col("qe")))
+    csim = dot(F.col("qe"), F.col("centroid")) / (
+        F.col("__qnrm") * F.col("__cnrm")
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("__csim").desc(), F.col("centroid_id"))
     probes = (
-        query.crossJoin(F.broadcast(centroids))
+        qn.crossJoin(
+            F.broadcast(
+                centroids.withColumn("__cnrm", norm2(F.col("centroid")))
+            )
+        )
         .withColumn("__csim", csim)
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qe", F.col("centroid_id").alias("cluster"))
+        .select(
+            "query_id", "qe", "__qnrm", F.col("centroid_id").alias("cluster")
+        )
     )
     # Candidate generation: corpus ⋈ probes on cluster id — the IVF
     # pruning step (partition pruning at scale, a hash join here).
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
-        assigned.join(F.broadcast(probes), "cluster")
+        assigned.withColumn("__enrm", norm2(F.col("embedding")))
+        .join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 3).alias("score"),
+            F.round(
+                dot(F.col("embedding"), F.col("qe"))
+                / (F.col("__enrm") * F.col("__qnrm")),
+                3,
+            ).alias("score"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

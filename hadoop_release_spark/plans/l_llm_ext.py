@@ -1807,7 +1807,7 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide self-kNN join via IVF — EVERY vector gets its
     top-{{k}} neighbors, the all-pairs similarity join that l09's
     BroadcastNestedLoopJoin allowlist entry names as its exit path:
-    where l09 bounds the query side (vec_id < 100) and l19 bounds it
+    where l09 bounds the query side (vec_id < 20) and l19 bounds it
     to 5 probes, here the query set IS the corpus, so nothing may
     broadcast except the centroid table. Candidates come only from
     each query's {{nprobe}} nearest clusters; scores are r3-rounded

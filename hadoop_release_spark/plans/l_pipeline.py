@@ -173,6 +173,13 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias("__g"),
     ).select("doc_id", F.substring(F.md5(F.col("__g")), 1, 16).alias("gram"))
+    # grams feeds THREE consumers (train side, eval side, df-heavy
+    # set) — unpersisted, the shingle+md5 explosion re-runs per
+    # branch. Persist the slim (doc_id, 16-char gram) rows once
+    # (released by the registry wrapper; at 100 TB this is the
+    # standard materialize-the-gram-table step of a decontamination
+    # run, DISK_ONLY if executor memory is tight).
+    grams = grams.persist()
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = grams.filter(~is_eval)
     ev = grams.filter(is_eval).select(

@@ -2037,7 +2037,13 @@ def e34_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     report carry_in + max(0, running sum) — the day's true peak
     including sessions still open from prior days. Tie rule: at the
     same microsecond -1 sorts before +1 (a session starting exactly
-    when another's exclusive end fires does not overlap it). All
+    when another's exclusive end fires does not overlap it).
+    Boundary rule: a -1 whose exclusive end lands exactly ON a day
+    boundary is dropped — it belongs to no day's sweep (the session
+    is over before the new day starts, and its absence from carry_in
+    already accounts for the end); without the drop it depressed the
+    NEXT day's running sum (round-6 advisor find, pinned by
+    test_peak_concurrency_day_boundary_end). All
     integers — no float rule.
 
     Scale shape: the sweep-line running sum is DAY-PARTITIONED, not

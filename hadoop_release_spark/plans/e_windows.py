@@ -2632,3 +2632,97 @@ def e40_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "sum_cents",
     )
+
+
+#: e41: trailing window length (observed days) and MAD multiplier.
+_E41_TRAIL = 28
+_E41_K = 3
+
+
+def _o_e41() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), fr AS (
+      SELECT day_id, cents,
+             list_sort(list(cents) OVER (ORDER BY day_id
+                       ROWS BETWEEN {_E41_TRAIL} PRECEDING
+                       AND 1 PRECEDING)) AS arr
+      FROM daily
+    )
+    SELECT day_id, cents,
+           -- an empty frame aggregates to NULL (not []) in DuckDB
+           CAST(coalesce(len(arr), 0) AS BIGINT) AS n_trail,
+           CASE WHEN len(arr) >= 1
+                THEN arr[(len(arr) + 1) // 2] END AS med_trail,
+           CASE WHEN len(arr) >= 1
+                THEN list_sort(list_transform(arr,
+                       v -> abs(v - arr[(len(arr) + 1) // 2])))
+                     [(len(arr) + 1) // 2] END AS mad_trail,
+           CASE WHEN len(arr) >= {_E41_TRAIL}
+                THEN CAST(abs(cents - arr[(len(arr) + 1) // 2])
+                          > {_E41_K} * list_sort(list_transform(arr,
+                              v -> abs(v - arr[(len(arr) + 1) // 2])))
+                            [(len(arr) + 1) // 2] AS INT)
+           END AS is_anomaly
+    FROM fr
+    """
+
+
+@register("e41_robust_anomaly_days", oracle=_o_e41(), priority="P2")
+def e41_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomaly flags — e19's spike detector with
+    the MAD rule instead of a mean multiple: day d is anomalous when
+    |cents_d − med| > K·mad over the trailing {TRAIL} OBSERVED days
+    (rows frame, excluding d itself), med/mad both lower medians
+    (d34's two-level convention). The robust pair survives what
+    breaks the e19 mean rule: one prior spike inflates a trailing
+    mean and masks the next anomaly, but moves a median of 28 almost
+    nothing. Flags are NULL until a full {TRAIL}-day history exists
+    (med/mad still reported from day 2 on). Entirely integer cents —
+    the |x−med| > K·mad comparison never touches a float.
+
+    Scale shape: the day-grid window is the e19 exception — the
+    window input is the GRID (|days| rows after one map-side-combined
+    agg), not the data, so the unpartitioned window is bounded by the
+    calendar forever; the per-day sort of ≤ {TRAIL} values is
+    constant work. Per-entity variants partition the same window by
+    the entity key. The in-frame median/MAD evaluate on a ≤{TRAIL}-
+    element array — loop-invariant re-evaluation inside the
+    transform is capped by the frame length, not the data."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day_id").rowsBetween(-_E41_TRAIL, -1)
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    base = daily.select("day_id", "cents", arr.alias("__arr"))
+    n = F.size("__arr")
+    mid = F.expr("CAST((size(__arr) + 1) DIV 2 AS INT)")
+    med = F.element_at("__arr", mid)
+    dev = F.sort_array(
+        F.transform(F.col("__arr"), lambda v: F.abs(v - med))
+    )
+    mad = F.element_at(dev, mid)
+    return base.select(
+        "day_id",
+        "cents",
+        n.cast("long").alias("n_trail"),
+        F.when(n >= 1, med).alias("med_trail"),
+        F.when(n >= 1, mad).alias("mad_trail"),
+        F.when(
+            n >= _E41_TRAIL,
+            (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
+        ).alias("is_anomaly"),
+    )

@@ -171,6 +171,7 @@ def grading_order(names: list[str]) -> list[str]:
 _ROUND7_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d43_theil_sen",
     "l63_quality_calibration",
+    "e41_robust_anomaly_days",
 })
 
 

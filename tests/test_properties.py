@@ -2885,3 +2885,62 @@ def test_global_kth_selects_the_sorted_element(spark, vals, kfrac):
     got = global_kth(df, ["v"], lambda t: k).collect()
     assert len(got) == 1
     assert got[0]["v"] == sorted(vals)[k - 1], (vals, k, got)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=45),       # day offset
+            st.integers(min_value=100, max_value=500000), # cents that day
+        ),
+        min_size=1,
+        max_size=45,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_robust_anomaly_matches_mad_reference(spark, days):
+    """e41 vs a pure-Python rolling lower-median/MAD walk over an
+    arbitrary observed-day grid (gaps included — the frame is the
+    last 28 OBSERVED days, a rows frame, so calendar gaps must not
+    shift it). All-integer comparison, no tolerance needed."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e41_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(days)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for d, _ in days],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(days), pa.int64()),
+                "event_type": pa.array(["view"] * len(days)),
+                "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+                "props": pa.array(["{}"] * len(days)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            r["day_id"]: (r["n_trail"], r["med_trail"], r["mad_trail"],
+                          r["is_anomaly"])
+            for r in specs()["e41_robust_anomaly_days"].fn(spark, tmp).collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        seq = sorted((base_day + d, c) for d, c in days)
+        lomed = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]  # noqa: E731
+        want = {}
+        for i, (d, c) in enumerate(seq):
+            frame = [c2 for _, c2 in seq[max(0, i - 28) : i]]
+            n = len(frame)
+            med = lomed(frame) if n else None
+            mad = lomed([abs(v - med) for v in frame]) if n else None
+            flag = (1 if abs(c - med) > 3 * mad else 0) if n >= 28 else None
+            want[d] = (n, med, mad, flag)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

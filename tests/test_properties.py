@@ -2944,3 +2944,59 @@ def test_robust_anomaly_matches_mad_reference(spark, days):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """connected_components_min_label vs an independent union-find on
+    arbitrary random graphs — long chains, cycles, self-merging
+    multi-edges, and isolated nodes all land in the same min-labeled
+    component as the sequential reference. (The pinned chain test
+    covers one topology; this covers the space.)"""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    n_nodes = 25
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_nodes)}
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "__id long"
+    )
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    if not edges:
+        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+    got = {
+        r["__id"]: r["component"]
+        for r in connected_components_min_label(
+            nodes, pairs, max_iters=30
+        ).collect()
+    }
+    assert got == want, (sorted(edges), got, want)

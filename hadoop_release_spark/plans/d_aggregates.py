@@ -2116,14 +2116,21 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lexicographic order on an 8-char slice IS numeric order on
         # the 32-bit value — zero conv() calls (BigInteger hex parse
         # was ~40% of this query's CPU; measured 8.6 s → 5.4 s at
-        # sf0.1). The oracle keeps the numeric form; both are the
-        # same predicate.
+        # sf0.1). The count #{k: u ≥ T_k} is a BINARY-SEARCH CASE
+        # tree over the ascending thresholds (≤4 comparisons/slice
+        # instead of 9 — another ~1.7 s at sf0.1). The oracle keeps
+        # the linear numeric form; same predicate, same weights.
         s = F.expr(f"substring(hex, {1 + 8 * j}, 8)")
-        w = None
-        for t in _D37_THRESH:
-            term = F.when(s >= format(t, "08x"), 1).otherwise(0)
-            w = term if w is None else w + term
-        return w
+
+        def rec(lo: int, hi: int):
+            if lo >= hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                s >= format(_D37_THRESH[mid], "08x"), rec(mid + 1, hi)
+            ).otherwise(rec(lo, mid))
+
+        return rec(0, len(_D37_THRESH))
 
     drawn = (
         base.select(

@@ -84,6 +84,7 @@ HEADLINE = [
     # round-7 flagships
     "l58_knn_self_join",      # corpus-wide IVF self-kNN (norm-precomputed)
     "d43_theil_sen",          # pairwise-slope robust trend, two-phase selection
+    "e41_robust_anomaly_days",  # rolling-MAD day-grid anomaly rule
 ]
 
 

@@ -6,9 +6,13 @@ scale, IVF (inverted-file) coarse quantization bounds the work:
 
   build:  pick K centroids (k-means; here a deterministic stand-in),
           assign every vector to its nearest centroid → cluster id.
-          One broadcast-join + per-row argmin: no shuffle of the
-          corpus beyond the final write, and the assignment is
-          incremental for appended data.
+          One broadcast-join + rank-1 window whose exchange is
+          WindowGroupLimit-compressed to ≤1 row per vector per map
+          task; assignment is incremental for appended data.
+          (A zero-shuffle per-row expression over K literal
+          centroids was measured SLOWER — literal-array folds run
+          interpreted, outside whole-stage codegen — so the join
+          form is deliberate.)
   query:  for each query, rank centroids, keep the nprobe nearest,
           search ONLY vectors in those clusters: a broadcast
           semi-join on cluster id replaces the full scan. Work drops

@@ -126,7 +126,16 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     # Staged signature: shingle hashes bound to a column FIRST, the
     # 64 permutations then reference it — one md5+conv per shingle
-    # instead of one per (shingle, permutation).
+    # instead of one per (shingle, permutation). A mere projection
+    # boundary is NOT enough: CollapseProject inlines single-use
+    # aliases back into the per-permutation lambda (verified on
+    # Spark 4.1.2 — the optimized plan showed md5 nested inside
+    # array_min's lambda; advisor finding, round 7), so the stage is
+    # pinned with a PHYSICAL barrier: the persisted frame carries
+    # __h, and everything downstream (signature, banding) reads the
+    # cached hashes. tests/test_plans.py::
+    # test_lsh_md5_staged_outside_permutation_lambda pins this so a
+    # Spark upgrade can't silently regress it.
     base = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -137,14 +146,9 @@ def lsh_candidate_pairs(
             "__shingles",
             shingle_hashes(F.col("__shingles")).alias("__h"),
         )
-        .select(
-            "__id",
-            "__shingles",
-            minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
-        )
     )
-    # The shingle sets are needed twice (banding above, verification
-    # below); persist so the sketching pass runs once.
+    # The persisted sketch table serves banding (via __h) AND
+    # verification (via __shingles): the shingle+md5 pass runs once.
     base = base.persist()
 
     # Candidate generation on SLIM rows only — (id, band, bucket).
@@ -152,8 +156,13 @@ def lsh_candidate_pairs(
     # width through a shuffle is the thing that breaks at 100 TB.
     # Bucket id = the band's signature rows joined as a string —
     # portable across engines (F.hash would be Spark-specific),
-    # same collision semantics (equality of the 4-tuple).
+    # same collision semantics (equality of the 4-tuple). The
+    # signature projection collapsing into this SELECT is fine — it
+    # reads cached __h, so the collapsed lambda is pmod-only.
     banded = base.select(
+        "__id",
+        minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
+    ).select(
         "__id",
         F.posexplode(
             F.transform(

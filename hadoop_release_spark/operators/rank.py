@@ -209,7 +209,20 @@ def global_kth(
     load-bearing for the same sampling reason as global_row_number.
     Ties in ``order_cols`` are fine when only the VALUE at rank k is
     consumed: any stable order among equal keys selects an equal
-    value. Returns an empty frame when df is empty."""
+    value. Returns an empty frame when df is empty.
+
+    Stale-cache guard (advisor finding, round 7): if a persisted
+    block were evicted between the counts collect and the final
+    action, the recompute re-executes the SAME RDD lineage (same RDD
+    id → same range-partitioner sample seed → identical boundaries
+    for deterministic input), so drift needs nondeterministic input —
+    but belt-and-braces, the returned plan re-counts the selected
+    partition inside the same window sort and yields ZERO rows
+    instead of a plausible-but-wrong value if the partition's
+    contents no longer match the collected count. (localCheckpoint
+    was evaluated and rejected: it drops outputPartitioning, adding
+    one full-data hash exchange per downstream window — measured in
+    the e29 plan.)"""
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parted = df.repartitionByRange(n_part, *order_cols).withColumn(
         _PID, F.spark_partition_id()
@@ -230,10 +243,15 @@ def global_kth(
             break
         acc += r["count"]
 
+    expected = next(r["count"] for r in counts if r[_PID] == pid)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
         parted.filter(F.col(_PID) == pid)
         .withColumn("__local_rn", F.row_number().over(w))
-        .filter(F.col("__local_rn") == local_k)
-        .drop(_PID, "__local_rn")
+        .withColumn("__pcount", F.count("*").over(Window.partitionBy(_PID)))
+        .filter(
+            (F.col("__local_rn") == local_k)
+            & (F.col("__pcount") == F.lit(expected))
+        )
+        .drop(_PID, "__local_rn", "__pcount")
     )

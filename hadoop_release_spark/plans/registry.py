@@ -95,9 +95,9 @@ def _wrap(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-def _driver_graded_green() -> frozenset[str]:
-    """Ids already graded GREEN by the external driver in any prior
-    round, read from the CORRECTNESS_r*.json files the driver ships
+def _grade_history() -> dict[str, int]:
+    """Latest round in which each id was graded GREEN by the external
+    driver, read from the CORRECTNESS_r*.json files the driver ships
     into the repo root. A row counts as green when either (a) it has
     no error, the row counts matched, and neither hash_match nor
     schema_match is recorded False — a rows-match/hash-MISMATCH row
@@ -108,13 +108,16 @@ def _driver_graded_green() -> frozenset[str]:
     flags (observed in CORRECTNESS_r06), which is that op's maximal
     possible grade — without this branch the rows-only ops re-graded
     every round forever, permanently eating window slots. Queries
-    that genuinely errored or mismatched stay out of the set so they
-    are re-graded next round."""
+    that genuinely errored or mismatched stay out of the map so they
+    are re-graded next round. The round number (from the filename)
+    feeds the stalest-first re-grade rotation in
+    :func:`grading_order`."""
     root = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             report = json.loads(path.read_text())
+            rnd = int(path.stem.split("_r")[-1])
         except (OSError, ValueError):
             continue
         for name, row in report.items():
@@ -126,41 +129,71 @@ def _driver_graded_green() -> frozenset[str]:
                 and row.get("hash_match") is not False
                 and row.get("schema_match") is not False
             )
+            # NB: bool is an int subclass in Python, so a malformed
+            # `spark_rows: true` must not count as a completed grade
+            # (advisor finding, round 7) — require a genuine int.
+            n_rows = row.get("spark_rows")
             rows_only_ok = (
                 row.get("err") == "no_oracle"
-                and isinstance(row.get("spark_rows"), int)
-                and row.get("spark_rows") >= 0
+                and isinstance(n_rows, int)
+                and not isinstance(n_rows, bool)
+                and n_rows >= 0
             )
             if ok or rows_only_ok:
-                green.add(name)
-    return frozenset(green)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_graded_green() -> frozenset[str]:
+    """Ids ever graded green by the driver (see :func:`_grade_history`)."""
+    return frozenset(_grade_history())
 
 
 def grading_order(names: list[str]) -> list[str]:
     """Order queries for the driver's correctness sweep: queries the
-    driver has NEVER graded green come first, already-green ones last.
+    driver has NEVER graded green come first, then already-green ones
+    STALEST-FIRST (earliest latest-green round first).
 
     Two rounds of driver evidence (VERDICT.md r2) show the driver
     grades a fixed ~50-query prefix of ``queries()`` per round — a
     COUNT cap, not a time budget — so a stable order re-grades the
     same prefix forever. Rotating never-graded ids to the front makes
     each round's 50 grades all-new, reaching full driver coverage in
-    ceil(157/50) rounds. Within each group the order is cheapest-first
+    ceil(157/50) rounds. Once everything has been graded at least
+    once (round 7: 295/295), each round's window re-grades the
+    queries whose last green grade is OLDEST — r1/r2-vintage rows
+    have seen six rounds of shared-helper churn (vectors.py, rank.py,
+    contracts.py) since they were last driver-checked, so re-grading
+    them keeps the cumulative green wall fresh (round-7 verdict
+    item 1). Within each staleness group the order is cheapest-first
     (measured grading cost, scripts/profile_sweep.py on a
     driver-shaped unconfigured session — see _GRADING_COST_TIERS) so
     that if the cap ever turns out to be partly time-based, the
     expensive streaming tail costs the fewest slots."""
-    graded = _driver_graded_green()
+    history = _grade_history()
     tier = {name: t for t, tier_names in _GRADING_COST_TIERS for name in tier_names}
 
     def _tier(n: str) -> int:
+        if n in _ROUND8_PLUS_ADDITIONS:
+            return 5
         if n in _ROUND7_PLUS_ADDITIONS:
             return 4
         if n in _ROUND6_PLUS_ADDITIONS:
             return 3
         return tier.get(n, 1)
 
-    return sorted(names, key=lambda n: (n in graded, _tier(n), n))
+    return sorted(
+        names, key=lambda n: (n in history, history.get(n, 0), _tier(n), n)
+    )
+
+
+#: Queries REGISTERED in round 8 or later: tier 5, behind every
+#: earlier-registered query so a new op never displaces a pending or
+#: staler re-grade row within its registration round's window. (With
+#: all 295 pre-round-8 rows already green, these never-graded ids
+#: still sort FIRST overall — the window grades them immediately,
+#: then fills the remaining slots with the stalest re-grades.)
+_ROUND8_PLUS_ADDITIONS: frozenset[str] = frozenset()
 
 
 #: Queries REGISTERED in round 7 or later: tier 4, BEHIND the 47

@@ -129,6 +129,35 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
         assert "__shingles" not in l and "__sig" not in l, l
 
 
+def test_lsh_md5_staged_outside_permutation_lambda(spark, sf_dir):
+    """Guard the dedup.py staged-MinHash optimization (2.6× on l02):
+    one md5+conv per SHINGLE, not per (shingle, permutation).
+    CollapseProject inlines single-use projection aliases back into
+    the per-permutation lambda (observed on Spark 4.1.2), so the
+    stage is pinned by persisting the __h hashes frame; this test
+    fails if a Spark upgrade (or a refactor that drops the persist
+    barrier) ever re-nests md5 inside the array_min permutation
+    lambda, silently restoring the 64× md5 cost."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
+    try:
+        lines = (
+            pairs._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        # md5 must exist somewhere (the hash stage wasn't dropped) …
+        assert any("md5" in l for l in lines)
+        # … but never inside the per-permutation signature expression:
+        # a plan line evaluating array_min over the permutations must
+        # be md5-free (it reads the cached __h longs, pmod only).
+        offenders = [l for l in lines if "array_min" in l and "md5" in l]
+        assert not offenders, offenders[0][:500]
+    finally:
+        spark.catalog.clearCache()
+
+
 #: Queries with write/stream side effects — plan-only audit skips
 #: them (their scale posture is pinned by their own tests).
 _AUDIT_SKIP_PREFIXES = (

@@ -2931,3 +2931,130 @@ def d43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("intercept_med"), 6).alias("intercept_cents"),
         )
     )
+
+
+_D44_HOUR_US = 3600 * 1_000_000
+#: Pair window: slopes only between hours at most 7 days apart.
+_D44_W = 168
+
+
+def _o_d44() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                  // {_D44_HOUR_US} AS BIGINT) AS hour_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), nh AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hourly
+    ), slopes AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE)
+             / CAST(b.hour_id - a.hour_id AS DOUBLE) AS slope
+      FROM hourly a JOIN hourly b
+        ON b.hour_id > a.hour_id AND b.hour_id - a.hour_id <= {_D44_W}
+    ), np AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes
+    ), scomp AS (
+      SELECT slope, CAST(count(*) AS BIGINT) AS w
+      FROM slopes GROUP BY slope
+    ), scum AS (
+      SELECT slope,
+             sum(w) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(w) OVER () AS total
+      FROM scomp
+    ), smed AS (
+      SELECT min(slope) AS slope_med FROM scum WHERE 2 * cum >= total
+    )
+    SELECT n.n_hours, p.n_pairs,
+           CAST(round(s.slope_med + 0.0, 6) AS DOUBLE)
+             AS slope_cents_per_hour
+    FROM nh n CROSS JOIN np p CROSS JOIN smed s
+    """
+
+
+@register("d44_theil_sen_hourly", oracle=_o_d44(), priority="P2")
+def d44_theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Theil–Sen at HOURLY grain — d43's documented exit
+    condition exercised: once the grain drops below a day the grid is
+    no longer "calendar-bounded small" (a century of hours is 876k
+    rows — |grid|² pairs would be 7.7e11), so the theta self-join
+    must become the c11/c20 bin-bucketed EQUI-join. Slopes are taken
+    only between hours at most {_D44_W} h apart (the standard
+    windowed/repeated-median variant): bucket hour_id into
+    {_D44_W}-wide bins, replicate the LEFT side into its own and the
+    next bin (≤2 rows — c20's exactly-once rule), equi-join on the
+    bin, filter 0 < Δh ≤ {_D44_W}. Pair count is grid_rows × ≤{_D44_W}
+    — LINEAR in the calendar, never quadratic. Slope = exact-bigint
+    cent difference under one IEEE division (d43 discipline); median
+    slope via the two-phase selection primitive rank.global_kth
+    (lower-median convention).
+
+    Scale shape: one map-side-combined (hour) agg collapses events to
+    the grid; the pair join is an equi hash join whose build side is
+    the grid (broadcast here; co-partitioned by bin at larger grids);
+    100× more events changes only the first agg's input. Single-row
+    medians/counts assemble via 1-row broadcasts (d43 pattern)."""
+    from hadoop_release_spark.operators.rank import global_kth
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {_D44_HOUR_US}").alias("hour_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("hour_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    # hourly feeds the pair join twice + the hour count; persist so
+    # the events scan+agg runs once (released by the registry wrapper).
+    hourly = hourly.persist()
+    nh = hourly.agg(F.count("*").cast("long").alias("n_hours"))
+    # Left side replicated into its own bin and the NEXT bin — every
+    # in-window pair (0 < Δh ≤ W) has its b-row in one of the two.
+    a = hourly.select(
+        F.col("hour_id").alias("ha"),
+        F.col("cents").alias("ca"),
+        F.explode(
+            F.array(
+                F.expr(f"hour_id DIV {_D44_W}"),
+                F.expr(f"hour_id DIV {_D44_W} + 1"),
+            )
+        ).alias("__bin"),
+    )
+    b = hourly.select(
+        F.col("hour_id").alias("hb"),
+        F.col("cents").alias("cb"),
+        F.expr(f"hour_id DIV {_D44_W}").alias("__bin"),
+    )
+    slopes = (
+        a.join(F.broadcast(b), "__bin")
+        .filter(
+            (F.col("hb") > F.col("ha"))
+            & (F.col("hb") - F.col("ha") <= _D44_W)
+        )
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("hb") - F.col("ha")).cast("double")
+            ).alias("slope")
+        )
+    )
+    # n_pairs rides out of the selection's counts phase for free
+    # (out_total_col) — no separate count pass over the slopes.
+    smed = global_kth(
+        slopes, ["slope"], lambda t: (t + 1) // 2, out_total_col="n_pairs"
+    ).agg(
+        F.min("slope").alias("slope_med"),
+        # empty slope set (degenerate one-hour grid): the oracle's
+        # count(*) reports 0, so coalesce the empty-selection NULL.
+        F.coalesce(F.min("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+    )
+    return nh.crossJoin(F.broadcast(smed)).select(
+        "n_hours",
+        "n_pairs",
+        F.round(F.col("slope_med"), 6).alias("slope_cents_per_hour"),
+    )

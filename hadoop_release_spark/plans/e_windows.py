@@ -2726,3 +2726,94 @@ def e41_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
         ).alias("is_anomaly"),
     )
+
+
+def _o_e42() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), fr AS (
+      SELECT event_type, day_id, cents,
+             list_sort(list(cents) OVER (PARTITION BY event_type
+                       ORDER BY day_id
+                       ROWS BETWEEN {_E41_TRAIL} PRECEDING
+                       AND 1 PRECEDING)) AS arr
+      FROM daily
+    )
+    SELECT event_type, day_id, cents,
+           CAST(coalesce(len(arr), 0) AS BIGINT) AS n_trail,
+           CASE WHEN len(arr) >= 1
+                THEN arr[(len(arr) + 1) // 2] END AS med_trail,
+           CASE WHEN len(arr) >= 1
+                THEN list_sort(list_transform(arr,
+                       v -> abs(v - arr[(len(arr) + 1) // 2])))
+                     [(len(arr) + 1) // 2] END AS mad_trail,
+           CASE WHEN len(arr) >= {_E41_TRAIL}
+                THEN CAST(abs(cents - arr[(len(arr) + 1) // 2])
+                          > {_E41_K} * list_sort(list_transform(arr,
+                              v -> abs(v - arr[(len(arr) + 1) // 2])))
+                            [(len(arr) + 1) // 2] AS INT)
+           END AS is_anomaly
+    FROM fr
+    """
+
+
+@register("e42_entity_robust_anomaly_days", oracle=_o_e42(), priority="P2")
+def e42_entity_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity robust anomaly flags — e41's rolling-MAD rule run
+    independently per event_type (the per-entity variant e41's
+    docstring promises): each entity gets its own trailing
+    {TRAIL}-day median/MAD baseline, so a revenue-heavy entity's
+    scale cannot mask a small entity's spike (the cross-entity
+    masking that a single global baseline suffers). Identical
+    integer-cents discipline and lower-median convention.
+
+    Scale shape: one map-side-combined (entity, day) agg collapses
+    events to the entity×day grid, then ONE window partitioned by
+    the entity key — the grid is |entities|·|days| rows and the
+    window parallelizes across entities (no unpartitioned window at
+    all here, unlike e41's single-series grid). Adding entities adds
+    parallelism, not skew: each partition is calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(-_E41_TRAIL, -1)
+    )
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    base = daily.select("event_type", "day_id", "cents", arr.alias("__arr"))
+    n = F.size("__arr")
+    mid = F.expr("CAST((size(__arr) + 1) DIV 2 AS INT)")
+    med = F.element_at("__arr", mid)
+    dev = F.sort_array(
+        F.transform(F.col("__arr"), lambda v: F.abs(v - med))
+    )
+    mad = F.element_at(dev, mid)
+    return base.select(
+        "event_type",
+        "day_id",
+        "cents",
+        n.cast("long").alias("n_trail"),
+        F.when(n >= 1, med).alias("med_trail"),
+        F.when(n >= 1, mad).alias("mad_trail"),
+        F.when(
+            n >= _E41_TRAIL,
+            (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
+        ).alias("is_anomaly"),
+    )

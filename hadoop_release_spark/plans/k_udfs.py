@@ -426,3 +426,147 @@ def k11_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: k12 token bucket: capacity 10 tokens, refill 2 tokens/second,
+#: per-event cost 1..5 tokens derived from the event's cents value.
+#: All state in MICRO-tokens (1e6 per token) so every quantity —
+#: refill = RATE_UT_PER_US · Δt_us, cap, costs — is an exact bigint
+#: and the admission decision never touches a float.
+K12_CAP_U = 10 * 1_000_000
+K12_RATE_UT_PER_US = 2  # 2 micro-tokens/µs == 2 tokens/s
+
+
+def token_bucket_admission(
+    tus: np.ndarray, cost_u: np.ndarray, cap_u: int, rate: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential token-bucket admission over ONE key's events
+    (arrays sorted by time): bucket starts full; before each event it
+    refills by rate·Δt (capped), the event is admitted iff the
+    available tokens cover its cost, and only admitted events drain
+    the bucket. The rejected-events-don't-consume feedback makes the
+    recurrence non-linear — the genuinely non-declarative core this
+    operator exists for (a rejection changes every later balance, so
+    no prefix-sum/running-min closed form applies). Pure integers
+    throughout. Returns (admitted int64 0/1, tokens_after int64)."""
+    n = len(tus)
+    admitted = np.zeros(n, dtype=np.int64)
+    after = np.zeros(n, dtype=np.int64)
+    tokens = cap_u
+    prev_t = None
+    for i in range(n):
+        t = int(tus[i])
+        if prev_t is not None:
+            tokens = min(cap_u, tokens + rate * (t - prev_t))
+        c = int(cost_u[i])
+        if tokens >= c:
+            admitted[i] = 1
+            tokens -= c
+        after[i] = tokens
+        prev_t = t
+    return admitted, after
+
+
+def _o_k12() -> str:
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tus,
+             (1 + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 5))
+               * 1000000 AS cost_u,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), sim AS (
+      SELECT user_id, event_id, rn, tus, cost_u,
+             CASE WHEN {K12_CAP_U} >= cost_u THEN 1 ELSE 0 END
+               AS admitted,
+             CASE WHEN {K12_CAP_U} >= cost_u
+                  THEN {K12_CAP_U} - cost_u ELSE {K12_CAP_U} END
+               AS after_u
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, e.tus, e.cost_u,
+             CASE WHEN least({K12_CAP_U},
+                             s.after_u + {K12_RATE_UT_PER_US}
+                               * (e.tus - s.tus)) >= e.cost_u
+                  THEN 1 ELSE 0 END,
+             CASE WHEN least({K12_CAP_U},
+                             s.after_u + {K12_RATE_UT_PER_US}
+                               * (e.tus - s.tus)) >= e.cost_u
+                  THEN least({K12_CAP_U},
+                             s.after_u + {K12_RATE_UT_PER_US}
+                               * (e.tus - s.tus)) - e.cost_u
+                  ELSE least({K12_CAP_U},
+                             s.after_u + {K12_RATE_UT_PER_US}
+                               * (e.tus - s.tus)) END
+      FROM sim s JOIN ev e
+        ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(admitted AS BIGINT) AS admitted,
+           CAST(after_u AS BIGINT) AS tokens_after_u
+    FROM sim
+    """
+
+
+@register("k12_token_bucket", oracle=_o_k12(), priority="P2")
+def k12_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket admission simulation — the rate-limit
+    replay every abuse/quota audit runs over its event log ("which
+    requests WOULD have been throttled under capacity C, refill R?").
+    Bucket starts full (cap 10 tokens), refills at 2 tokens/s,
+    events cost 1–5 tokens (derived from the event's cents value);
+    an event is admitted iff the bucket covers its cost, and ONLY
+    admitted events drain it — that feedback (rejections don't
+    consume) makes the per-user recurrence non-linear, so unlike
+    e18's EWMA or e22's running-max islands there is no window/
+    prefix-scan closed form: this is the legitimate applyInPandas
+    use-case (per-key sequential state, Arrow whole-group batches),
+    the batch twin of j06's applyInPandasWithState. The DuckDB
+    oracle replays the identical recurrence as a RECURSIVE CTE
+    (one step per event rank), viable because fixture users have
+    ~10²-10³ events — the Spark side is the scale path.
+
+    All state lives in integer MICRO-tokens (refill = 2·Δt_µs is
+    exact), so admitted/tokens_after hash bit-for-bit.
+
+    Scale shape: ONE user_id hash exchange (identical to any
+    grouped agg); each Python worker sees one user's events as an
+    Arrow batch and runs an O(events-per-user) loop — total work
+    linear in events, parallel across users; no state ever crosses
+    keys. Cites k11 (cogrouped transport) and j06 (the streaming
+    form whose state store replaces re-replay in production)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("tus"),
+        F.expr(
+            "(1 + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 5))"
+            " * 1000000"
+        ).alias("cost_u"),
+    )
+
+    def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"], kind="mergesort")
+        admitted, after = token_bucket_admission(
+            pdf["tus"].to_numpy(np.int64),
+            pdf["cost_u"].to_numpy(np.int64),
+            K12_CAP_U,
+            K12_RATE_UT_PER_US,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "admitted": admitted,
+                "tokens_after_u": after,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        simulate,
+        schema=(
+            "user_id long, event_id long, admitted long, tokens_after_u long"
+        ),
+    )

@@ -1852,3 +1852,119 @@ def l63_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("decile"),
         )
     )
+
+
+def _o_l64() -> str:
+    return f"""
+    WITH cur AS (
+      SELECT doc_id, source, md5(text) AS h_cur,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % {DIFF_MOD} = {DIFF_CHANGED_REM}
+                      THEN text || ' [stale]' ELSE text END) AS h_prev
+      FROM documents WHERE doc_id % {DIFF_MOD} != {DIFF_ADDED_REM}
+      UNION ALL
+      SELECT doc_id + {_DIFF_PHANTOM_BASE} AS doc_id,
+             md5('removed-' || CAST(doc_id AS VARCHAR)) AS h_prev
+      FROM documents WHERE doc_id % {DIFF_MOD} = {DIFF_REMOVED_REM}
+    ), diff AS (
+      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+             CASE WHEN p.h_prev IS NULL THEN 'added'
+                  WHEN c.h_cur IS NULL THEN 'removed'
+                  WHEN c.h_cur != p.h_prev THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             c.source AS cur_source, c.toks AS cur_toks
+      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    ), attributed AS (
+      SELECT COALESCE(d.cur_source, o.source) AS source, d.status,
+             COALESCE(d.cur_toks, o.toks) AS toks
+      FROM diff d
+      LEFT JOIN cur o ON d.status = 'removed'
+                     AND o.doc_id = d.doc_id - {_DIFF_PHANTOM_BASE}
+    )
+    SELECT source, status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens
+    FROM attributed GROUP BY source, status
+    """
+
+
+@register("l64_corpus_diff_drilldown", oracle=_o_l64(), priority="P2")
+def l64_corpus_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source changelog rollup — joins l32's snapshot diff with
+    l45's card dimension (source) to answer the release-review
+    question "which sources churned in this release, and how many
+    tokens moved?": per (source, status) doc and token counts.
+    Removed docs have no current row, so their source/token mass is
+    attributed to the ORIGINATING doc (the one the phantom snapshot
+    row was derived from) — in production, to the previous
+    snapshot's own source column. Counts are exact bigints.
+
+    Scale shape: l32's hash-keyed full outer join on slim
+    (id, md5) rows, plus one doc_id equi-join to re-attach
+    (source, toks) for the removed stratum only (LEFT JOIN keyed
+    null for every other status — Catalyst prunes the probe to the
+    removed rows), then ONE (source, status) map-side-combined agg
+    whose domain is |sources|×4 forever. Text bytes never shuffle;
+    the drilldown costs one more slim join than l32 itself.
+    Cites l32 (diff statuses) and l45 (per-source card)."""
+    d = table(spark, sf_dir, "documents")
+    cur = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h_cur"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    m = F.col("doc_id") % DIFF_MOD
+    prev_text = F.when(
+        m == DIFF_CHANGED_REM, F.concat(F.col("text"), F.lit(" [stale]"))
+    ).otherwise(F.col("text"))
+    prev = (
+        d.filter(m != DIFF_ADDED_REM)
+        .select("doc_id", F.md5(prev_text).alias("h_prev"))
+        .unionAll(
+            d.filter(m == DIFF_REMOVED_REM).select(
+                (F.col("doc_id") + _DIFF_PHANTOM_BASE).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("removed-"), F.col("doc_id").cast("string"))
+                ).alias("h_prev"),
+            )
+        )
+    )
+    diff = (
+        cur.join(prev, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h_prev").isNull(), F.lit("added"))
+            .when(F.col("h_cur").isNull(), F.lit("removed"))
+            .when(F.col("h_cur") != F.col("h_prev"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            F.col("source").alias("cur_source"),
+            F.col("toks").alias("cur_toks"),
+        )
+    )
+    origin = cur.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.col("toks").alias("o_toks"),
+    )
+    attributed = (
+        diff.join(
+            origin,
+            (F.col("status") == "removed")
+            & (F.col("o_id") == F.col("doc_id") - _DIFF_PHANTOM_BASE),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("cur_source"), F.col("o_source")).alias("source"),
+            "status",
+            F.coalesce(F.col("cur_toks"), F.col("o_toks")).alias("toks"),
+        )
+    )
+    return attributed.groupBy("source", "status").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )

@@ -193,7 +193,12 @@ def grading_order(names: list[str]) -> list[str]:
 #: all 295 pre-round-8 rows already green, these never-graded ids
 #: still sort FIRST overall — the window grades them immediately,
 #: then fills the remaining slots with the stalest re-grades.)
-_ROUND8_PLUS_ADDITIONS: frozenset[str] = frozenset()
+_ROUND8_PLUS_ADDITIONS: frozenset[str] = frozenset({
+    "d44_theil_sen_hourly",
+    "e42_entity_robust_anomaly_days",
+    "k12_token_bucket",
+    "l64_corpus_diff_drilldown",
+})
 
 
 #: Queries REGISTERED in round 7 or later: tier 4, BEHIND the 47

@@ -1,0 +1,125 @@
+"""Scale rehearsal: bench the heavy tail at gen_sf sf0.1 AND sf1.0.
+
+Round-7 verdict item 2: convert "designed for 100×" docstring claims
+into MEASURED scaling. Both inputs come from scripts/gen_sf.py (same
+generator, so the ratio is a pure data-volume effect — never mix the
+driver's fixtures into a ratio). 10× rows with a ~linear plan should
+give a wall ratio ≤ ~10 plus amortized fixed costs (session, codegen,
+shuffle setup make it sublinear in practice); a ratio well above 10×
+flags a superlinear plan (e.g. a candidate-pair join whose buckets
+grow quadratically) that needs a plan fix or an explicit `weak` mark.
+
+Timing recipe mirrors bench.py: one shared session, interleaved
+rounds, two back-to-back reps per round (first-touch page-fault
+shield), median reported, min kept as the floor.
+
+Usage: python scripts/bench_scale.py [--quick]
+       writes SCALE_REHEARSAL.json at the repo root; bench.py embeds
+       that file into its one-line JSON so the driver's BENCH_r{N}
+       records both scales.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from hadoop_release_spark.plans.registry import all_queries  # noqa: E402
+from hadoop_release_spark.session import get_session  # noqa: E402
+
+#: The measured heavy tail (BENCH_r07 slowest) + the d02 anchor.
+HEAVY_TAIL = [
+    "d02_agg_groupby",
+    "d37_poisson_bootstrap",
+    "l58_knn_self_join",
+    "d43_theil_sen",
+    "i10_mr_pagerank",
+    "l28_decontaminate",
+    "d26_weighted_median",
+    "f06_skyline",
+    "l14_dedup_embedding",
+    "l56_semdedup",
+]
+
+SFS = [0.1, 1.0]
+
+
+def _ensure_fixtures() -> dict[float, str]:
+    dirs = {}
+    for sf in SFS:
+        d = REPO / ".localdata" / f"sf{sf:g}"
+        if not (d / "lineitem.parquet").exists():
+            print(f"generating gen_sf fixtures at sf={sf:g} …", file=sys.stderr)
+            subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "gen_sf.py"), str(sf)],
+                check=True,
+            )
+        dirs[sf] = str(d)
+    return dirs
+
+
+def main() -> None:
+    rounds = 1 if "--quick" in sys.argv else 2
+    dirs = _ensure_fixtures()
+    spark = get_session("hadoop-release-spark-bench-scale")
+    available = all_queries()
+    names = [n for n in HEAVY_TAIL if n in available]
+
+    # Warmup both scales' parquet footers + codegen once.
+    for sf in SFS:
+        available["d02_agg_groupby"](spark, dirs[sf]).toPandas()
+
+    samples: dict[float, dict[str, list[float]]] = {
+        sf: {n: [] for n in names} for sf in SFS
+    }
+    for _ in range(rounds):
+        for name in names:
+            for sf in SFS:
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    available[name](spark, dirs[sf]).toPandas()
+                    samples[sf][name].append(time.perf_counter() - t0)
+                print(
+                    f"  {name} sf{sf:g}: "
+                    f"{min(samples[sf][name]):.2f}s", file=sys.stderr,
+                )
+
+    report: dict = {
+        "metric": "heavy_tail_scale_rehearsal",
+        "generator": "scripts/gen_sf.py seed=42",
+        "sfs": SFS,
+        "row_ratio": 10.0,
+        "queries": {},
+    }
+    for name in names:
+        med = {
+            sf: round(statistics.median(samples[sf][name]), 3) for sf in SFS
+        }
+        mn = {sf: round(min(samples[sf][name]), 3) for sf in SFS}
+        ratio = round(med[1.0] / med[0.1], 2) if med[0.1] > 0 else None
+        ratio_min = round(mn[1.0] / mn[0.1], 2) if mn[0.1] > 0 else None
+        report["queries"][name] = {
+            "sf0.1_median_sec": med[0.1],
+            "sf1_median_sec": med[1.0],
+            "ratio_median": ratio,
+            "sf0.1_min_sec": mn[0.1],
+            "sf1_min_sec": mn[1.0],
+            "ratio_min": ratio_min,
+        }
+        print(f"{name}: {med[0.1]}s -> {med[1.0]}s  ({ratio}x)", file=sys.stderr)
+
+    out = REPO / "SCALE_REHEARSAL.json"
+    out.write_text(json.dumps(report, indent=1) + "\n")
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -279,6 +279,11 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "bin-bucketed c11/c20 interval shape",
     ),
     "l62_kn_perplexity": _stats_row("N_types scalar (l54 shape)"),
+    "d44_theil_sen_hourly": _stats_row(
+        "1-row hour-count and median+pair-count broadcasts (d43 "
+        "assembly pattern; the pair join itself is the bin-bucketed "
+        "EQUI join — never granted BNLJ)"
+    ),
 }
 
 

@@ -3000,3 +3000,326 @@ def test_connected_components_match_union_find(spark, edges):
         ).collect()
     }
     assert got == want, (sorted(edges), got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),           # entity
+            st.integers(min_value=0, max_value=40),       # day offset
+            st.integers(min_value=100, max_value=500000), # cents
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_entity_robust_anomaly_isolated_per_entity(spark, days):
+    """e42 vs a pure-Python per-entity rolling lower-median/MAD walk:
+    each entity's baseline must see ONLY its own days (cross-entity
+    contamination of the trailing frame is the bug class this
+    partitioned variant exists to avoid). All-integer, no
+    tolerance."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e42_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(days)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for _, d, _ in days],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(days), pa.int64()),
+                "event_type": pa.array([e for e, _, _ in days]),
+                "value": pa.array(
+                    [c / 100.0 for _, _, c in days], pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(days)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            (r["event_type"], r["day_id"]): (
+                r["n_trail"], r["med_trail"], r["mad_trail"], r["is_anomaly"]
+            )
+            for r in specs()["e42_entity_robust_anomaly_days"]
+            .fn(spark, tmp)
+            .collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        lomed = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]  # noqa: E731
+        want = {}
+        for ent in {e for e, _, _ in days}:
+            seq = sorted(
+                (base_day + d, c) for e, d, c in days if e == ent
+            )
+            for i, (d, c) in enumerate(seq):
+                frame = [c2 for _, c2 in seq[max(0, i - 28) : i]]
+                n = len(frame)
+                med = lomed(frame) if n else None
+                mad = lomed([abs(v - med) for v in frame]) if n else None
+                flag = (
+                    (1 if abs(c - med) > 3 * mad else 0) if n >= 28 else None
+                )
+                want[(ent, d)] = (n, med, mad, flag)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    hours=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),      # hour offset
+            st.integers(min_value=100, max_value=500000), # cents
+        ),
+        min_size=2,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_theil_sen_hourly_matches_windowed_reference(spark, hours):
+    """d44 vs a pure-Python windowed Theil-Sen: lower-median of the
+    slopes over EXACTLY the pairs 0 < Δh <= 168 — hour offsets up to
+    400 span three bins, so the bin-replication join's exactly-once
+    rule (own + next bin, then the Δ filter) is what's under test:
+    a pair double-counted or dropped at a bin boundary shifts
+    n_pairs and can shift the median."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_d44_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(hours)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(hours=h) for h, _ in hours],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(hours), pa.int64()),
+                "event_type": pa.array(["view"] * len(hours)),
+                "value": pa.array(
+                    [c / 100.0 for _, c in hours], pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(hours)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = specs()["d44_theil_sen_hourly"].fn(spark, tmp).collect()[0]
+
+        base_h = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (3600 * 1_000_000)
+        grid = sorted((base_h + h, c) for h, c in hours)
+        slopes = sorted(
+            (cb - ca) / (hb - ha)
+            for i, (ha, ca) in enumerate(grid)
+            for hb, cb in grid[i + 1 :]
+            if 0 < hb - ha <= 168
+        )
+        assert got["n_hours"] == len(grid)
+        assert got["n_pairs"] == len(slopes)
+        if slopes:
+            sm = slopes[(len(slopes) + 1) // 2 - 1]
+            assert abs(got["slope_cents_per_hour"] - sm) <= 5.1e-7, (got, sm)
+        else:
+            assert got["slope_cents_per_hour"] is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8_000_000),  # gap µs
+            st.integers(min_value=1, max_value=5),          # cost tokens
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_token_bucket_matches_fraction_reference(seq):
+    """k12's integer micro-token core vs an independent reference
+    simulated in exact Fraction TOKEN units (cap 10, refill
+    2·Δt_s) — zero gaps, saturating refills, and always-too-costly
+    runs included. Purely CPU (no Spark session): the hypothesis
+    budget all goes to edge coverage."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from hadoop_release_spark.plans.k_udfs import (
+        K12_CAP_U,
+        K12_RATE_UT_PER_US,
+        token_bucket_admission,
+    )
+
+    tus = np.cumsum([g for g, _ in seq]).astype(np.int64)
+    cost_u = np.array([c * 1_000_000 for _, c in seq], dtype=np.int64)
+    admitted, after = token_bucket_admission(
+        tus, cost_u, K12_CAP_U, K12_RATE_UT_PER_US
+    )
+
+    cap = Fraction(10)
+    tokens = cap
+    prev = None
+    for i, (g, c) in enumerate(seq):
+        t = int(tus[i])
+        if prev is not None:
+            tokens = min(cap, tokens + Fraction(2 * (t - prev), 1_000_000))
+        ok = tokens >= c
+        if ok:
+            tokens -= c
+        assert bool(admitted[i]) == ok, (i, seq)
+        assert Fraction(int(after[i]), 1_000_000) == tokens, (i, seq)
+        assert 0 <= after[i] <= K12_CAP_U
+        prev = t
+
+
+def test_token_bucket_spark_plumbing_matches_core(spark):
+    """k12 end-to-end: the applyInPandas grouping/ordering must feed
+    each user's events to the core in (ts, event_id) order with the
+    exact cost rule — pinned against the pure core on a two-user
+    fixture with duplicate timestamps (the event_id tiebreak) and an
+    interleaved arrival order."""
+    import numpy as np
+
+    from hadoop_release_spark.plans.k_udfs import (
+        K12_CAP_U,
+        K12_RATE_UT_PER_US,
+        token_bucket_admission,
+    )
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_k12_")
+    try:
+        # (event_id, user, seconds-offset, value) — user 7's events
+        # arrive out of ts order in the file; two share ts=4.
+        rows = [
+            (0, 7, 4, 3.00),
+            (1, 9, 0, 1.02),
+            (2, 7, 0, 4.99),
+            (3, 7, 4, 2.01),
+            (4, 9, 1, 0.50),
+            (5, 7, 30, 1.00),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(seconds=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            r["event_id"]: (r["admitted"], r["tokens_after_u"])
+            for r in specs()["k12_token_bucket"].fn(spark, tmp).collect()
+        }
+        want = {}
+        for user in {r[1] for r in rows}:
+            evs = sorted(
+                (r for r in rows if r[1] == user),
+                key=lambda r: (r[2], r[0]),
+            )
+            tus = np.array(
+                [
+                    int(
+                        (T0 + datetime.timedelta(seconds=r[2]))
+                        .replace(tzinfo=datetime.timezone.utc)
+                        .timestamp()
+                        * 1_000_000
+                    )
+                    for r in evs
+                ],
+                dtype=np.int64,
+            )
+            cost = np.array(
+                [(1 + round(r[3] * 100) % 5) * 1_000_000 for r in evs],
+                dtype=np.int64,
+            )
+            adm, aft = token_bucket_admission(
+                tus, cost, K12_CAP_U, K12_RATE_UT_PER_US
+            )
+            for r, a, f in zip(evs, adm, aft):
+                want[r[0]] = (int(a), int(f))
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.integers(min_value=1, max_value=8),  # token count
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_corpus_diff_drilldown_attribution(spark, docs):
+    """l64 vs a pure-Python replay of the DIFF_* snapshot rules:
+    statuses depend only on doc_id mod 20 (changed=5, added=3,
+    removed phantoms from 9), token mass of removed rows must be
+    attributed to the ORIGINATING doc's source, and per-(source,
+    status) doc/token totals must conserve the corpus."""
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_l64_")
+    try:
+        texts = [
+            " ".join(f"w{i}x{j}" for j in range(ntok))
+            for i, (_, ntok) in enumerate(docs)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array([s for s, _ in docs]),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        got = {
+            (r["source"], r["status"]): (r["n_docs"], r["n_tokens"])
+            for r in specs()["l64_corpus_diff_drilldown"]
+            .fn(spark, tmp)
+            .collect()
+        }
+        want: dict = {}
+
+        def add(src, status, toks):
+            k = (src, status)
+            n, t = want.get(k, (0, 0))
+            want[k] = (n + 1, t + toks)
+
+        for i, (src, ntok) in enumerate(docs):
+            m = i % 20
+            status = (
+                "added" if m == 3 else "changed" if m == 5 else "unchanged"
+            )
+            add(src, status, ntok)
+            if m == 9:
+                add(src, "removed", ntok)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

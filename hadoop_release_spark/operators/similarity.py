@@ -346,3 +346,113 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rank_clusters_arrow(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank the ``nprobe`` nearest centroids per vector in ONE Arrow
+    pass — the centroid-assignment kernel for corpus-scale IVF
+    (l56/l58). Returns (id, vec, __nrm, cluster, __rn ≤ nprobe),
+    bit-identical to the declarative form (crossJoin + cosine fold +
+    rank window) it replaces.
+
+    Why Python here, when the house rule is "stay JVM-side": the
+    N×K similarity stage has no codegen path — Spark evaluates
+    higher-order array folds INTERPRETED (~7 µs per 64-d cosine;
+    59 s for the sf1 assignment, measured), and the two JVM
+    alternatives both measured WORSE (literal-centroid argmin
+    2-7× slower, round-6 BENCH note; a 64-term unrolled GetArrayItem
+    expression 2.8× slower — the generated method blows the JIT
+    size limit, round-8 BENCH note). An Arrow batch × SIMD numpy
+    accumulation runs the same flops ~50× faster, and only N rows
+    ever cross the Python boundary (the N×K similarity matrix lives
+    inside one batch kernel, never materialized as rows).
+
+    Bit-parity argument (this is why the DuckDB oracles need no
+    change): sims accumulate with an explicit loop over DIMENSIONS —
+    ``S += V[:,i] · C[:,i]`` — so each (vector, centroid) cell sees
+    the identical left-to-right IEEE addition order as the
+    ``aggregate`` fold; float32→float64 widening is exact; the
+    division by the norm product happens once per cell in the same
+    shape; ranking sorts stably on -sim with centroids pre-sorted by
+    id, reproducing ORDER BY sim DESC, centroid_id ASC.
+    tests/test_similarity.py pins kernel == declarative on fixture
+    data, row for row.
+
+    The centroid table is collected to the driver — the SAME
+    K-bounded table the declarative form broadcasts (an explicit
+    broadcast, just landing in a numpy closure instead of a JVM
+    hash relation). At 100 TB K is the IVF list count (√N-ish by
+    the SemDeDup/FAISS sizing rule), far under driver memory; the
+    exit condition for K beyond driver/executor memory is the same
+    as for the broadcast form: hierarchical (IMI-style) coarse
+    quantization, or the bucketed-by-cluster ingest that removes
+    assignment from the query path entirely."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )
+    K = len(cids)
+    cn = np.zeros(K)
+    for i in range(dim):
+        ci = C[:, i]
+        cn += ci * ci
+    cn = np.sqrt(cn)
+    npb = min(nprobe, K)
+
+    schema = (
+        f"{id_col} long, {vec_col} array<float>, __nrm double,"
+        " cluster long, __rn int"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float32)
+                    for v in pdf[vec_col]
+                ]
+            ).astype(np.float64)
+            S = np.zeros((n, K))
+            vn = np.zeros(n)
+            for i in range(dim):
+                vi = V[:, i]
+                vn += vi * vi
+                S += vi[:, None] * C[:, i][None, :]
+            vn = np.sqrt(vn)
+            S /= vn[:, None] * cn[None, :]
+            # stable sort on -sim; C is cid-ascending, so ties break
+            # to the LOWER centroid id — the window's tie rule.
+            sel = np.argsort(-S, axis=1, kind="stable")[:, :npb]
+            idx = np.repeat(np.arange(n), npb)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    vec_col: pdf[vec_col].to_numpy()[idx],
+                    "__nrm": vn[idx],
+                    "cluster": cids[sel.reshape(-1)],
+                    "__rn": np.tile(
+                        np.arange(1, npb + 1, dtype=np.int32), n
+                    ),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=schema
+    )

@@ -1694,21 +1694,23 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the l21 k-means trainer exactly as in l19. No transitive
     closure pass (l22 covers that); the min-id rule is one
     group-agg over threshold pairs."""
-    from hadoop_release_spark.operators.similarity import assign_clusters
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
 
     e = table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    assigned = assign_clusters(e, centroids).select(
-        "vec_id",
-        "embedding",
-        # Norm once per vector — pair scoring below then costs one
-        # dot fold instead of three (the l58 rule; identical IEEE
-        # values since the same ops run on the same inputs).
-        norm2(F.col("embedding")).alias("__nrm"),
-        "cluster",
+    # Assignment (argmin = rank 1) via the Arrow kernel —
+    # bit-identical to assign_clusters' crossJoin + fold + window
+    # (same IEEE order and tie rule; kernel parity pinned in
+    # tests/test_similarity.py) and carries the per-vector norm out
+    # of the same pass, so pair scoring below costs one dot fold
+    # (the l58 rule). The 10×-scale rehearsal measured the
+    # interpreted-fold assignment as l56's whole 59 s / 36× wall
+    # growth; the kernel runs it in ~5 s (BENCH round-8 notes).
+    assigned = rank_clusters_arrow(e, centroids, 1, _DIM).select(
+        "vec_id", "embedding", "__nrm", "cluster"
     )
     # assigned feeds both pair sides and the output spine; persist so
     # the broadcast-argmin assignment runs once (released by the
@@ -1726,8 +1728,12 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         F.col("__nrm").alias("__nb"),
     )
+    # Both pair sides are the corpus — force the cluster-keyed
+    # SHUFFLE join (without the hint the planner broadcasts the
+    # stat-less kernel output; fine at test SF, fatal at corpus
+    # scale — the l58 rule, pinned in test_plans.py).
     pairs = (
-        a.join(b, "cluster")
+        a.join(b.hint("shuffle_hash"), "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",
@@ -1830,35 +1836,22 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the assigned table is written bucketed by cluster so this
     join co-locates without a shuffle (c15 pattern); self-recall vs
     brute force is pinned in tests/test_similarity.py."""
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+
     e = table(spark, sf_dir, "embeddings")
-    en = e.select(
-        "vec_id", "embedding", norm2(F.col("embedding")).alias("__nrm")
-    )
-    centroids = en.filter(F.col("vec_id") % 50 == 0).select(
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
-        F.col("__nrm").alias("__cnrm"),
     )
-    wq = Window.partitionBy("vec_id").orderBy(
-        F.col("__csim").desc(), F.col("centroid_id")
-    )
-    ranked = (
-        en.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "__csim",
-            dot(F.col("embedding"), F.col("centroid"))
-            / (F.col("__nrm") * F.col("__cnrm")),
-        )
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= _L58_NPROBE)
-        .select(
-            "vec_id",
-            "embedding",
-            "__nrm",
-            F.col("centroid_id").alias("cluster"),
-            "__rn",
-        )
-    )
+    # Centroid ranking via the Arrow kernel — bit-identical to the
+    # crossJoin + cosine-fold + rank-window form it replaces (same
+    # IEEE addition order, same tie rule; pinned in
+    # tests/test_similarity.py) but the N×K similarity matrix stays
+    # inside one SIMD batch kernel instead of N×K interpreted-fold
+    # rows: the 10×-scale rehearsal measured the declarative
+    # assignment at 59 s / 20× superlinear wall growth, the kernel
+    # at ~5 s (BENCH round-8 notes).
+    ranked = rank_clusters_arrow(e, centroids, _L58_NPROBE, _DIM)
     assigned = ranked.filter(F.col("__rn") == 1).select(
         "vec_id", "embedding", "__nrm", "cluster"
     )
@@ -1871,8 +1864,12 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
+    # Both join sides are corpus-scale (the kernel's output has no
+    # size statistics, and without the hint AQE broadcast the probe
+    # side — the l09 anti-shape this query exists to avoid; pinned
+    # in test_plans.py): force the cluster-keyed SHUFFLE hash join.
     return (
-        assigned.join(probes, "cluster")
+        assigned.join(probes.hint("shuffle_hash"), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -250,21 +250,9 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
     ),
     "a16_validate_constraints": _stats_row("1-row orphan count (O(1·1))"),
     "l54_kneser_ney": _stats_row("N_types scalar → bigram table"),
-    "l56_semdedup": _BnljGrant(
-        "corpus × broadcast CENTROID set (l19 argmin assignment)",
-        "K stops fitting a broadcast → hierarchical assignment "
-        "(same exit as l19)",
-    ),
     "l57_mlm_masking": _stats_row("vocab-size scalar"),
     "d38_kaplan_meier": _stats_row("data horizon + total (two rows)"),
     "d39_psi_drift": _stats_row("9 decile bounds row"),
-    "l58_knn_self_join": _BnljGrant(
-        "corpus × broadcast CENTROID set twice (assign + probe rank); "
-        "the corpus-scale candidate join is a cluster-keyed hash "
-        "join, pinned separately",
-        "centroid set stops fitting a broadcast → PQ-coded probe "
-        "(l47 shape)",
-    ),
     "e39_autocorrelation": _BnljGrant(
         "day-grid × 2-row LAG list broadcast (O(days·2))",
         "lag list stops being a constant few rows → unpivot + "
@@ -586,15 +574,21 @@ def test_l54_statistics_reaggregate_the_bigram_table(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 4, plan
 
 
-def test_l56_assignment_broadcasts_centroids(spark, sf_dir):
-    """l56's SemDeDup contract, pinned: cluster assignment is a
-    broadcast nested-loop over the tiny centroid set (per-row
-    argmin; the corpus never shuffles to be assigned), and the pair
-    stage is a cluster-keyed SortMergeJoin/ShuffledHashJoin — never
-    a corpus-level cartesian."""
+def test_l56_assignment_is_arrow_kernel(spark, sf_dir):
+    """l56's SemDeDup contract, pinned (round-8 form): cluster
+    assignment runs inside the ONE MapInPandas Arrow kernel
+    (rank_clusters_arrow — the corpus never fans out to N×K rows and
+    never shuffles to be assigned; the old BNLJ-over-broadcast-
+    centroids form measured 36× superlinear wall growth at the 10×
+    rehearsal), and the pair stage is a cluster-keyed join — never a
+    corpus-level cartesian or nested loop."""
     plan = _plan(spark, sf_dir, "l56_semdedup")
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the corpus×corpus pair stage must be a SHUFFLE join on the
+    # cluster key — broadcasting either side dies at corpus scale.
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
 def test_m09_band_exchange_is_slim(spark, sf_dir):
@@ -616,3 +610,7 @@ def test_l58_candidate_join_is_hash_not_broadcast_corpus(spark, sf_dir):
     shape and dies at scale."""
     plan = _plan(spark, sf_dir, "l58_knn_self_join")
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # round-8: centroid ranking moved into the Arrow kernel — the
+    # N×K fan-out (and its BNLJ) must stay gone.
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -338,3 +338,60 @@ def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir):
         assert len(got) <= _L58_K
         recalls.append(len(truth & got) / min(_L58_K, len(truth)))
     assert sum(recalls) / len(recalls) >= 0.2, sum(recalls) / len(recalls)
+
+
+def test_rank_clusters_arrow_bitwise_equals_declarative(spark, sf_dir):
+    """The Arrow assignment kernel (rank_clusters_arrow) must be
+    BIT-identical to the declarative crossJoin + cosine-fold +
+    rank-window form it replaced in l56/l58 — same IEEE addition
+    order over dimensions, same float32→double widening, same
+    (sim DESC, centroid_id ASC) tie rule, same norms. This is the
+    pin that lets the DuckDB oracles stay unchanged: if numpy or a
+    refactor ever reorders the accumulation (e.g. np.dot's pairwise
+    summation), clusters or norms drift and this fails."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.functions.vectors import dot, norm2
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    en = e.select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("__nrm")
+    )
+    cn = cent.withColumn("__cnrm", norm2(F.col("centroid")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    ref = (
+        en.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "__csim",
+            dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("__nrm") * F.col("__cnrm")),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("vec_id", "__nrm", F.col("centroid_id").alias("cluster"), "__rn")
+        .toPandas()
+        .sort_values(["vec_id", "__rn"])
+        .reset_index(drop=True)
+    )
+    got = (
+        rank_clusters_arrow(e, cent, 3, 64)
+        .select("vec_id", "__nrm", "cluster", "__rn")
+        .toPandas()
+        .sort_values(["vec_id", "__rn"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) == len(got)
+    assert (ref["vec_id"].to_numpy() == got["vec_id"].to_numpy()).all()
+    assert (ref["cluster"].to_numpy() == got["cluster"].to_numpy()).all()
+    assert (
+        ref["__nrm"].to_numpy().tobytes() == got["__nrm"].to_numpy().tobytes()
+    ), "norms must be IEEE bit-identical"

@@ -85,6 +85,11 @@ HEADLINE = [
     "l58_knn_self_join",      # corpus-wide IVF self-kNN (norm-precomputed)
     "d43_theil_sen",          # pairwise-slope robust trend, two-phase selection
     "e41_robust_anomaly_days",  # rolling-MAD day-grid anomaly rule
+    # round-8 flagships
+    "d44_theil_sen_hourly",   # bin-bucketed windowed Theil-Sen
+    "k12_token_bucket",       # per-user stateful admission replay
+    "e42_entity_robust_anomaly_days",  # per-entity rolling-MAD flags
+    "l64_corpus_diff_drilldown",       # per-source changelog rollup
 ]
 
 
@@ -162,20 +167,32 @@ def main() -> None:
 
     total_min = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_median",
-                "value": total_median,
-                "unit": "sec",
-                "value_min_total": total_min,
-                "queries": timings,
-                "queries_median": medians,
-                "sf": float(sf),
-                "n_queries": len(timings),
-            }
+    out = {
+        "metric": "headline_queries_total_wall_median",
+        "value": total_median,
+        "unit": "sec",
+        "value_min_total": total_min,
+        "queries": timings,
+        "queries_median": medians,
+        "sf": float(sf),
+        "n_queries": len(timings),
+    }
+    # Two-scale rehearsal (round-7 verdict item 2): embed the latest
+    # committed SCALE_REHEARSAL.json (produced by
+    # scripts/bench_scale.py over gen_sf fixtures at sf0.1 AND
+    # sf1.0) so the per-round BENCH record carries both scales. Not
+    # recomputed here — the rehearsal takes minutes at sf1 and its
+    # fixtures are generated, not driver-shipped.
+    try:
+        rehearsal = json.loads(
+            (Path(__file__).resolve().parent / "SCALE_REHEARSAL.json")
+            .read_text()
         )
-    )
+    except (OSError, ValueError):
+        rehearsal = None
+    if rehearsal is not None:
+        out["scale_rehearsal"] = rehearsal
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -685,13 +685,21 @@ def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     'training' is a deterministic systematic sample (vec_id % 50 ==
     0) standing in for k-means — the search dataflow is identical
     either way."""
-    from hadoop_release_spark.operators.similarity import assign_clusters, ivf_topk
+    from hadoop_release_spark.operators.similarity import (
+        ivf_topk,
+        rank_clusters_arrow,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
-    assigned = assign_clusters(e, centroids)
+    # Corpus assignment via the Arrow kernel — bit-identical to
+    # assign_clusters (parity pinned in tests/test_similarity.py),
+    # ~12x faster on the N x K stage (round-8 BENCH notes).
+    assigned = rank_clusters_arrow(e, centroids, 1, _DIM).select(
+        "vec_id", "embedding", "cluster"
+    )
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

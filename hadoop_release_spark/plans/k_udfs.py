@@ -428,13 +428,20 @@ def k11_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: k12 token bucket: capacity 10 tokens, refill 2 tokens/second,
+#: k12 token bucket: capacity 10 tokens, refill 1 token per 4 HOURS,
 #: per-event cost 1..5 tokens derived from the event's cents value.
-#: All state in MICRO-tokens (1e6 per token) so every quantity —
-#: refill = RATE_UT_PER_US · Δt_us, cap, costs — is an exact bigint
-#: and the admission decision never touches a float.
-K12_CAP_U = 10 * 1_000_000
-K12_RATE_UT_PER_US = 2  # 2 micro-tokens/µs == 2 tokens/s
+#: State lives in µs-OF-CREDIT units — 1 token ≡ 4 h of refill, so
+#: one unit accrues per elapsed microsecond: refill = Δt_µs EXACTLY,
+#: no scaling, no division, every quantity an exact bigint and the
+#: admission decision never touches a float. The 4 h rate is sized
+#: to the fixture's arrival density (mean inter-event gap ≈ 10.7 h ≈
+#: 2.7 tokens of refill vs mean cost 3): the bucket genuinely
+#: drains, so the steady state mixes admits and REJECTS — a
+#: faster-refill first cut admitted 10 000/10 000 events at sf0.01,
+#: a vacuous replay (caught round 8, re-parameterized).
+K12_TOKEN_US = 4 * 3600 * 1_000_000  # 1 token = 4 h of credit, in µs
+K12_CAP_U = 10 * K12_TOKEN_US
+K12_RATE_UT_PER_US = 1  # 1 credit-unit per elapsed µs, by construction
 
 
 def token_bucket_admission(
@@ -473,7 +480,7 @@ def _o_k12() -> str:
       SELECT user_id, event_id,
              CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tus,
              (1 + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 5))
-               * 1000000 AS cost_u,
+               * {K12_TOKEN_US} AS cost_u,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
       FROM events
@@ -515,7 +522,7 @@ def k12_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user token-bucket admission simulation — the rate-limit
     replay every abuse/quota audit runs over its event log ("which
     requests WOULD have been throttled under capacity C, refill R?").
-    Bucket starts full (cap 10 tokens), refills at 2 tokens/s,
+    Bucket starts full (cap 10 tokens), refills 1 token per 4 h,
     events cost 1–5 tokens (derived from the event's cents value);
     an event is admitted iff the bucket covers its cost, and ONLY
     admitted events drain it — that feedback (rejections don't
@@ -528,8 +535,10 @@ def k12_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one step per event rank), viable because fixture users have
     ~10²-10³ events — the Spark side is the scale path.
 
-    All state lives in integer MICRO-tokens (refill = 2·Δt_µs is
-    exact), so admitted/tokens_after hash bit-for-bit.
+    All state lives in integer µs-of-credit units (1 token ≡ 4 h,
+    so refill = Δt_µs exactly — no scaling step at all), so
+    admitted/tokens_after hash bit-for-bit; the refill rate is sized
+    so the fixture's bucket genuinely drains (see K12_TOKEN_US).
 
     Scale shape: ONE user_id hash exchange (identical to any
     grouped agg); each Python worker sees one user's events as an
@@ -543,7 +552,7 @@ def k12_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("tus"),
         F.expr(
             "(1 + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 5))"
-            " * 1000000"
+            f" * {K12_TOKEN_US}"
         ).alias("cost_u"),
     )
 

@@ -3140,19 +3140,20 @@ def test_theil_sen_hourly_matches_windowed_reference(spark, hours):
 @given(
     seq=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=8_000_000),  # gap µs
-            st.integers(min_value=1, max_value=5),          # cost tokens
+            # gaps up to ~4 tokens of refill (1 token = 4 h of µs)
+            st.integers(min_value=0, max_value=60 * 10**9),
+            st.integers(min_value=1, max_value=5),  # cost tokens
         ),
         min_size=1,
         max_size=80,
     )
 )
 def test_token_bucket_matches_fraction_reference(seq):
-    """k12's integer micro-token core vs an independent reference
-    simulated in exact Fraction TOKEN units (cap 10, refill
-    2·Δt_s) — zero gaps, saturating refills, and always-too-costly
-    runs included. Purely CPU (no Spark session): the hypothesis
-    budget all goes to edge coverage."""
+    """k12's integer µs-credit core vs an independent reference
+    simulated in exact Fraction TOKEN units (cap 10, refill 1 token
+    per 4 h) — zero gaps, saturating refills, and always-too-costly
+    draining runs included. Purely CPU (no Spark session): the
+    hypothesis budget all goes to edge coverage."""
     from fractions import Fraction
 
     import numpy as np
@@ -3160,11 +3161,12 @@ def test_token_bucket_matches_fraction_reference(seq):
     from hadoop_release_spark.plans.k_udfs import (
         K12_CAP_U,
         K12_RATE_UT_PER_US,
+        K12_TOKEN_US,
         token_bucket_admission,
     )
 
     tus = np.cumsum([g for g, _ in seq]).astype(np.int64)
-    cost_u = np.array([c * 1_000_000 for _, c in seq], dtype=np.int64)
+    cost_u = np.array([c * K12_TOKEN_US for _, c in seq], dtype=np.int64)
     admitted, after = token_bucket_admission(
         tus, cost_u, K12_CAP_U, K12_RATE_UT_PER_US
     )
@@ -3175,14 +3177,23 @@ def test_token_bucket_matches_fraction_reference(seq):
     for i, (g, c) in enumerate(seq):
         t = int(tus[i])
         if prev is not None:
-            tokens = min(cap, tokens + Fraction(2 * (t - prev), 1_000_000))
+            tokens = min(cap, tokens + Fraction(t - prev, K12_TOKEN_US))
         ok = tokens >= c
         if ok:
             tokens -= c
         assert bool(admitted[i]) == ok, (i, seq)
-        assert Fraction(int(after[i]), 1_000_000) == tokens, (i, seq)
+        assert Fraction(int(after[i]), K12_TOKEN_US) == tokens, (i, seq)
         assert 0 <= after[i] <= K12_CAP_U
         prev = t
+    # non-vacuity: a draining sequence must actually reject — three
+    # back-to-back max-cost events always exceed the full bucket.
+    adm2, _ = token_bucket_admission(
+        np.zeros(3, dtype=np.int64),
+        np.full(3, 5 * K12_TOKEN_US, dtype=np.int64),
+        K12_CAP_U,
+        K12_RATE_UT_PER_US,
+    )
+    assert list(adm2) == [1, 1, 0]
 
 
 def test_token_bucket_spark_plumbing_matches_core(spark):
@@ -3196,6 +3207,7 @@ def test_token_bucket_spark_plumbing_matches_core(spark):
     from hadoop_release_spark.plans.k_udfs import (
         K12_CAP_U,
         K12_RATE_UT_PER_US,
+        K12_TOKEN_US,
         token_bucket_admission,
     )
     from hadoop_release_spark.plans.registry import specs
@@ -3249,7 +3261,7 @@ def test_token_bucket_spark_plumbing_matches_core(spark):
                 dtype=np.int64,
             )
             cost = np.array(
-                [(1 + round(r[3] * 100) % 5) * 1_000_000 for r in evs],
+                [(1 + round(r[3] * 100) % 5) * K12_TOKEN_US for r in evs],
                 dtype=np.int64,
             )
             adm, aft = token_bucket_admission(

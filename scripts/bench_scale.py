@@ -34,7 +34,11 @@ sys.path.insert(0, str(REPO))
 from hadoop_release_spark.plans.registry import all_queries  # noqa: E402
 from hadoop_release_spark.session import get_session  # noqa: E402
 
-#: The measured heavy tail (BENCH_r07 slowest) + the d02 anchor.
+#: The measured heavy tail (BENCH_r07 slowest) + the d02 anchor,
+#: widened in round 8 with the next cost tier (LSH/gram dedup
+#: chains, iterative kmeans, PQ search, window chains, two-phase
+#: sorts) and the round-8 additions — scaling surprises hide in
+#: queries nobody benchmarks.
 HEAVY_TAIL = [
     "d02_agg_groupby",
     "d37_poisson_bootstrap",
@@ -46,6 +50,22 @@ HEAVY_TAIL = [
     "f06_skyline",
     "l14_dedup_embedding",
     "l56_semdedup",
+    # round-8 widening
+    "l02_dedup_near",
+    "l22_dedup_survivors",
+    "l21_kmeans",
+    "l47_pq_ann",
+    "l48_semantic_decontaminate",
+    "e11_sessionize",
+    "d23_hist_equidepth",
+    "f04_total_order_sort",
+    "c13_join_star",
+    "e12_funnel",
+    # round-8 additions
+    "d44_theil_sen_hourly",
+    "k12_token_bucket",
+    "e42_entity_robust_anomaly_days",
+    "l64_corpus_diff_drilldown",
 ]
 
 SFS = [0.1, 1.0]

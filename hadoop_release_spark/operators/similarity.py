@@ -86,30 +86,53 @@ def sign_lsh_bands(
     return out
 
 
+#: Corpus size above which the sign-LSH layout switches from
+#: 8 bands × 8 bits to 4 bands × 16 bits (same 64 sign bits).
+#: Clustered embeddings share sign patterns, so same-cluster
+#: collision probability per band is p^R with p ≈ 0.85-0.9 — at
+#: R=8 a quarter of every cluster's pairs collide somewhere and
+#: candidates grow ~N²/|clusters| (measured: l14 was the one
+#: >-linear query of the 24-query 10× rehearsal, 11.1×); R=16
+#: cuts the same-cluster collision rate ~7× while an exact copy
+#: still collides in EVERY band (recall-1 for true dups). All
+#: driver fixtures are below the threshold, so their results are
+#: unchanged; the rule is mirrored in the oracle via count(*).
+LSH_ADAPT_N = 5000
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-    bands: int = 8,
-    rows_per_band: int = 8,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate pairs WITHOUT the
     all-pairs join: sign-LSH banding generates candidates, exact
     cosine verifies them.
 
+    Band layout is ADAPTIVE unless pinned by the caller: 8 bands ×
+    8 sign bits below ``LSH_ADAPT_N`` corpus rows, 4 × 16 above
+    (see LSH_ADAPT_N — the round-8 rehearsal fix for clustered-
+    corpus bucket skew). The decision needs one count() — parquet
+    metadata-cheap — and is replayed identically by the SQL oracle.
+
     Scale shape (the part that must survive 100×): only slim
     ``(id, band_j)`` rows go through the ``bands`` candidate
     self-joins; full vectors are re-attached ONLY for the candidate
     pairs in the verify stage — exactly the l02 MinHash-LSH layout.
-    The pruning factor is 2^rows_per_band buckets per band — the
-    default 8×8 uses all 64 sign bits (256 buckets/band; measured at
-    sf0.1 it cuts candidates ~13× vs R=4, which pruned almost
-    nothing); raise further (R≈16 → 65k buckets) as corpus size
-    grows. Recall for truly near-identical vectors stays ≈1 — an
-    exact copy collides in EVERY band — pinned by the planted-pair
-    test in tests/test_similarity.py.
+    The pruning factor is 2^rows_per_band buckets per band — 8×8
+    uses all 64 sign bits (256 buckets/band; measured at sf0.1 it
+    cuts candidates ~13× vs R=4, which pruned almost nothing);
+    16-bit bands (65k buckets) take over as the corpus grows.
+    Recall for truly near-identical vectors stays ≈1 — an exact
+    copy collides in EVERY band — pinned by the planted-pair test
+    in tests/test_similarity.py.
     """
+    if bands is None or rows_per_band is None:
+        n = embeddings.count()
+        bands, rows_per_band = (4, 16) if n > LSH_ADAPT_N else (8, 8)
     band_cols = sign_lsh_bands(F.col(vec_col), bands, rows_per_band)
     # posexplode the per-band bucket ids into slim (id, band, bucket)
     # rows and self-join ONCE on (band, bucket) — the same single
@@ -151,33 +174,49 @@ def embedding_near_dup_pairs(
     )
 
 
-def o_embedding_near_dup_pairs(
-    dim: int,
-    threshold: float = 0.3,
-    bands: int = 8,
-    rows_per_band: int = 8,
-) -> str:
-    """DuckDB mirror of :func:`embedding_near_dup_pairs` over the
-    ``embeddings`` view (vec_id, embedding)."""
-    from hadoop_release_spark.functions.vectors import o_cosine
-
-    band_cols = []
-    for j in range(bands):
-        bits = " + ".join(
+def _o_band_cols(bands: int, rows_per_band: int) -> str:
+    return ", ".join(
+        "("
+        + " + ".join(
             f"(CASE WHEN embedding[{j * rows_per_band + i + 1}] > 0 "
             f"THEN {2**i} ELSE 0 END)"
             for i in range(rows_per_band)
         )
-        band_cols.append(f"({bits}) AS band{j}")
-    cand_union = "\n      UNION\n".join(
-        f"      SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
-        f"JOIN b b2 ON a.band{j} = b2.band{j} AND a.vec_id < b2.vec_id"
+        + f") AS band{j}"
         for j in range(bands)
     )
+
+
+def o_embedding_near_dup_pairs(dim: int, threshold: float = 0.3) -> str:
+    """DuckDB mirror of :func:`embedding_near_dup_pairs` over the
+    ``embeddings`` view (vec_id, embedding), including the ADAPTIVE
+    band layout: each candidate branch is gated on the same
+    ``count(*) > LSH_ADAPT_N`` rule the Spark side applies, so the
+    8×8 branches are active exactly when the 4×16 ones are not."""
+    from hadoop_release_spark.functions.vectors import o_cosine
+
+    small = f"(SELECT c FROM nn) <= {LSH_ADAPT_N}"
+    big = f"(SELECT c FROM nn) > {LSH_ADAPT_N}"
+    branches = [
+        f"      SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b8 a "
+        f"JOIN b8 b2 ON a.band{j} = b2.band{j} AND a.vec_id < b2.vec_id "
+        f"WHERE {small}"
+        for j in range(8)
+    ] + [
+        f"      SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b16 a "
+        f"JOIN b16 b2 ON a.band{j} = b2.band{j} AND a.vec_id < b2.vec_id "
+        f"WHERE {big}"
+        for j in range(4)
+    ]
+    cand_union = "\n      UNION\n".join(branches)
     cos = o_cosine("ea.embedding", "eb.embedding", dim)
     return f"""
-    WITH b AS (
-      SELECT vec_id, {", ".join(band_cols)} FROM embeddings
+    WITH nn AS (
+      SELECT count(*) AS c FROM embeddings
+    ), b8 AS (
+      SELECT vec_id, {_o_band_cols(8, 8)} FROM embeddings
+    ), b16 AS (
+      SELECT vec_id, {_o_band_cols(4, 16)} FROM embeddings
     ), cand AS (
 {cand_union}
     )

@@ -191,21 +191,25 @@ def l13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _o_l14() -> str:
     from hadoop_release_spark.operators.similarity import o_embedding_near_dup_pairs
 
-    return o_embedding_near_dup_pairs(_DIM, threshold=0.3, bands=8, rows_per_band=8)
+    return o_embedding_near_dup_pairs(_DIM, threshold=0.3)
 
 
 @register("l14_dedup_embedding", oracle=_o_l14(), priority="P2")
 def l14_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup) over
     the FULL embeddings table — no all-pairs join: sign-bit LSH
-    banding (8 bands × 8 sign bits = all 64 dims, deterministic,
-    hence oracle-mirrored) generates candidates; exact cosine
-    verifies within buckets. R=8 gives 256 buckets per band: measured
-    at sf0.1 it cuts candidates ~13× (806k → 62k of the 2M possible
-    pairs) versus R=4, which pruned almost nothing — the pruning
-    factor IS the operator at 100 TB. Recall stays ≥94% for true
-    near-dups (cos ≥ 0.9, Charikar bound; an exact copy collides in
-    every band — pinned by the planted-pair test in
+    banding over all 64 dims (deterministic, hence oracle-mirrored)
+    generates candidates; exact cosine verifies within buckets. The
+    band layout ADAPTS to corpus size (8×8 below LSH_ADAPT_N rows,
+    4×16 above — both engines key the choice on count(*)): R=8
+    gives 256 buckets/band (measured at sf0.1: cuts candidates ~13×
+    vs R=4, which pruned almost nothing), but on CLUSTERED
+    embeddings same-cluster sign patterns correlate and R=8
+    candidates grow ~N²/|clusters| — the round-8 10× rehearsal
+    measured 11.1× wall growth; R=16 (65k buckets/band) cuts the
+    same-cluster collision rate ~7× and restores ~linear scaling.
+    An exact copy still collides in EVERY band at either layout
+    (recall 1 for true dups — pinned by the planted-pair test in
     tests/test_similarity.py); moderate-cosine pairs (≈0.3, only
     noise in the random fixture) are deliberately down-sampled.
     Only slim (id, band) rows shuffle; vectors re-attach per
@@ -213,7 +217,7 @@ def l14_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_release_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.3, bands=8, rows_per_band=8
+        table(spark, sf_dir, "embeddings"), threshold=0.3
     )
 
 

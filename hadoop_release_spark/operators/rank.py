@@ -191,15 +191,11 @@ def global_prefix_max(
 
 
 def global_kth(
-    df: DataFrame, order_cols: list, target_of_total,
-    out_total_col: str | None = None,
+    df: DataFrame, order_cols: list, target_of_total
 ) -> DataFrame:
     """Return the single row at global rank k (1-based) in the total
     order of ``order_cols`` — distributed SELECTION without numbering
-    every row. When ``out_total_col`` is set, the global row count —
-    already collected for free by the counts phase — is attached as a
-    literal column, saving callers that also need |df| (d44's
-    n_pairs) a separate full aggregation pass.
+    every row.
 
     ``target_of_total(total_rows) -> k`` computes the wanted rank
     from the global count (e.g. the lower median
@@ -236,10 +232,7 @@ def global_kth(
     counts = parted.groupBy(_PID).count().orderBy(_PID).collect()
     total = sum(r["count"] for r in counts)
     if total == 0:
-        out = parted.drop(_PID).limit(0)
-        if out_total_col is not None:
-            out = out.withColumn(out_total_col, F.lit(0).cast("long"))
-        return out
+        return parted.drop(_PID).limit(0)
     k = int(target_of_total(total))
     if not 1 <= k <= total:
         raise ValueError(f"global_kth: rank {k} outside [1, {total}]")
@@ -252,7 +245,7 @@ def global_kth(
 
     expected = next(r["count"] for r in counts if r[_PID] == pid)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
-    out = (
+    return (
         parted.filter(F.col(_PID) == pid)
         .withColumn("__local_rn", F.row_number().over(w))
         .withColumn("__pcount", F.count("*").over(Window.partitionBy(_PID)))
@@ -262,6 +255,3 @@ def global_kth(
         )
         .drop(_PID, "__local_rn", "__pcount")
     )
-    if out_total_col is not None:
-        out = out.withColumn(out_total_col, F.lit(total).cast("long"))
-    return out

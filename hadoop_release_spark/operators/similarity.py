@@ -130,7 +130,14 @@ def embedding_near_dup_pairs(
     copy collides in EVERY band — pinned by the planted-pair test
     in tests/test_similarity.py.
     """
-    if bands is None or rows_per_band is None:
+    if (bands is None) != (rows_per_band is None):
+        # Half-pinned layouts silently losing the caller's value was
+        # a review finding — the pair is one decision, pass both.
+        raise ValueError(
+            "embedding_near_dup_pairs: pass BOTH bands and rows_per_band "
+            "to pin the layout, or neither for the adaptive rule"
+        )
+    if bands is None:
         n = embeddings.count()
         bands, rows_per_band = (4, 16) if n > LSH_ADAPT_N else (8, 8)
     band_cols = sign_lsh_bands(F.col(vec_col), bands, rows_per_band)
@@ -440,6 +447,17 @@ def rank_clusters_arrow(
         centroids.select("centroid_id", "centroid").collect(),
         key=lambda r: r["centroid_id"],
     )
+    if not rows:
+        # Empty centroid table: the declarative crossJoin+window form
+        # (and the SQL oracle) yield an empty result, not a crash —
+        # mirror that (review finding: np.stack([]) raised at
+        # plan-build time).
+        return embeddings.select(id_col, vec_col).limit(0).select(
+            "*",
+            F.lit(None).cast("double").alias("__nrm"),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("int").alias("__rn"),
+        )
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     C = np.stack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in rows]

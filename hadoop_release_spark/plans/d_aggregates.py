@@ -3043,18 +3043,25 @@ def d44_theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
-    # n_pairs rides out of the selection's counts phase for free
-    # (out_total_col) — no separate count pass over the slopes.
-    smed = global_kth(
-        slopes, ["slope"], lambda t: (t + 1) // 2, out_total_col="n_pairs"
-    ).agg(
-        F.min("slope").alias("slope_med"),
-        # empty slope set (degenerate one-hour grid): the oracle's
-        # count(*) reports 0, so coalesce the empty-selection NULL.
-        F.coalesce(F.min("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+    # n_pairs is a REAL count over the persisted slopes, kept
+    # separate from the median selection on purpose: if global_kth's
+    # stale-cache guard ever fires, the selection comes back empty
+    # and this query then reports n_pairs > 0 with a NULL median —
+    # an obvious hash mismatch — instead of a plausible degenerate
+    # answer (review finding: a coalesce here masked the fail-loud
+    # signal). The genuinely pair-free grid reports 0 + NULL, which
+    # the oracle matches.
+    slopes = slopes.persist()
+    np_ = slopes.agg(F.count("*").cast("long").alias("n_pairs"))
+    smed = global_kth(slopes, ["slope"], lambda t: (t + 1) // 2).agg(
+        F.min("slope").alias("slope_med")
     )
-    return nh.crossJoin(F.broadcast(smed)).select(
-        "n_hours",
-        "n_pairs",
-        F.round(F.col("slope_med"), 6).alias("slope_cents_per_hour"),
+    return (
+        nh.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(smed))
+        .select(
+            "n_hours",
+            "n_pairs",
+            F.round(F.col("slope_med"), 6).alias("slope_cents_per_hour"),
+        )
     )

@@ -2639,22 +2639,35 @@ _E41_TRAIL = 28
 _E41_K = 3
 
 
-def _o_e41() -> str:
+def _o_rolling_mad(entity_cols: list[str]) -> str:
+    """Shared e41/e42 DuckDB oracle: trailing-28-observed-day rolling
+    lower-median/MAD anomaly flags over daily cents, optionally
+    partitioned by entity columns (e42). ONE definition — the
+    convention (lower medians, NULL-until-history, integer cents)
+    cannot diverge between the global and per-entity variants
+    (review finding: the two oracles were verbatim copies)."""
+    sel = "".join(f"{c}, " for c in entity_cols)
+    grp = ", ".join(str(i + 1) for i in range(len(entity_cols) + 1))
+    part = (
+        "PARTITION BY " + ", ".join(entity_cols) + " "
+        if entity_cols
+        else ""
+    )
     return f"""
     WITH daily AS (
-      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+      SELECT {sel}CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
                // {DAY_US} AS day_id,
              CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
                            AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1
+      FROM events GROUP BY {grp}
     ), fr AS (
-      SELECT day_id, cents,
-             list_sort(list(cents) OVER (ORDER BY day_id
+      SELECT {sel}day_id, cents,
+             list_sort(list(cents) OVER ({part}ORDER BY day_id
                        ROWS BETWEEN {_E41_TRAIL} PRECEDING
                        AND 1 PRECEDING)) AS arr
       FROM daily
     )
-    SELECT day_id, cents,
+    SELECT {sel}day_id, cents,
            -- an empty frame aggregates to NULL (not []) in DuckDB
            CAST(coalesce(len(arr), 0) AS BIGINT) AS n_trail,
            CASE WHEN len(arr) >= 1
@@ -2673,7 +2686,54 @@ def _o_e41() -> str:
     """
 
 
-@register("e41_robust_anomaly_days", oracle=_o_e41(), priority="P2")
+def _rolling_mad_flags(
+    spark: SparkSession, sf_dir: str, entity_cols: list[str]
+) -> DataFrame:
+    """Shared e41/e42 Spark plan: one map-side-combined (entity×)day
+    agg, then the rolling lower-median/MAD window — unpartitioned
+    over the calendar-bounded day GRID for e41, partitioned by the
+    entity key for e42. ONE expression pyramid serves both (review
+    finding: e42 was a verbatim copy of e41)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            *entity_cols,
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy(*entity_cols, "day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    base_w = (
+        Window.partitionBy(*entity_cols) if entity_cols else Window
+    )
+    w = base_w.orderBy("day_id").rowsBetween(-_E41_TRAIL, -1)
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    base = daily.select(*entity_cols, "day_id", "cents", arr.alias("__arr"))
+    n = F.size("__arr")
+    mid = F.expr("CAST((size(__arr) + 1) DIV 2 AS INT)")
+    med = F.element_at("__arr", mid)
+    dev = F.sort_array(
+        F.transform(F.col("__arr"), lambda v: F.abs(v - med))
+    )
+    mad = F.element_at(dev, mid)
+    return base.select(
+        *entity_cols,
+        "day_id",
+        "cents",
+        n.cast("long").alias("n_trail"),
+        F.when(n >= 1, med).alias("med_trail"),
+        F.when(n >= 1, mad).alias("mad_trail"),
+        F.when(
+            n >= _E41_TRAIL,
+            (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
+        ).alias("is_anomaly"),
+    )
+
+
+@register("e41_robust_anomaly_days", oracle=_o_rolling_mad([]), priority="P2")
 def e41_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-revenue anomaly flags — e19's spike detector with
     the MAD rule instead of a mean multiple: day d is anomalous when
@@ -2694,76 +2754,10 @@ def e41_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entity key. The in-frame median/MAD evaluate on a ≤{TRAIL}-
     element array — loop-invariant re-evaluation inside the
     transform is capped by the frame length, not the data."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
-            F.expr(
-                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
-            ).alias("c"),
-        )
-        .groupBy("day_id")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    w = Window.orderBy("day_id").rowsBetween(-_E41_TRAIL, -1)
-    arr = F.sort_array(F.collect_list("cents").over(w))
-    base = daily.select("day_id", "cents", arr.alias("__arr"))
-    n = F.size("__arr")
-    mid = F.expr("CAST((size(__arr) + 1) DIV 2 AS INT)")
-    med = F.element_at("__arr", mid)
-    dev = F.sort_array(
-        F.transform(F.col("__arr"), lambda v: F.abs(v - med))
-    )
-    mad = F.element_at(dev, mid)
-    return base.select(
-        "day_id",
-        "cents",
-        n.cast("long").alias("n_trail"),
-        F.when(n >= 1, med).alias("med_trail"),
-        F.when(n >= 1, mad).alias("mad_trail"),
-        F.when(
-            n >= _E41_TRAIL,
-            (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
-        ).alias("is_anomaly"),
-    )
+    return _rolling_mad_flags(spark, sf_dir, [])
 
 
-def _o_e42() -> str:
-    return f"""
-    WITH daily AS (
-      SELECT event_type,
-             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
-               // {DAY_US} AS day_id,
-             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
-                           AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ), fr AS (
-      SELECT event_type, day_id, cents,
-             list_sort(list(cents) OVER (PARTITION BY event_type
-                       ORDER BY day_id
-                       ROWS BETWEEN {_E41_TRAIL} PRECEDING
-                       AND 1 PRECEDING)) AS arr
-      FROM daily
-    )
-    SELECT event_type, day_id, cents,
-           CAST(coalesce(len(arr), 0) AS BIGINT) AS n_trail,
-           CASE WHEN len(arr) >= 1
-                THEN arr[(len(arr) + 1) // 2] END AS med_trail,
-           CASE WHEN len(arr) >= 1
-                THEN list_sort(list_transform(arr,
-                       v -> abs(v - arr[(len(arr) + 1) // 2])))
-                     [(len(arr) + 1) // 2] END AS mad_trail,
-           CASE WHEN len(arr) >= {_E41_TRAIL}
-                THEN CAST(abs(cents - arr[(len(arr) + 1) // 2])
-                          > {_E41_K} * list_sort(list_transform(arr,
-                              v -> abs(v - arr[(len(arr) + 1) // 2])))
-                            [(len(arr) + 1) // 2] AS INT)
-           END AS is_anomaly
-    FROM fr
-    """
-
-
-@register("e42_entity_robust_anomaly_days", oracle=_o_e42(), priority="P2")
+@register("e42_entity_robust_anomaly_days", oracle=_o_rolling_mad(["event_type"]), priority="P2")
 def e42_entity_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity robust anomaly flags — e41's rolling-MAD rule run
     independently per event_type (the per-entity variant e41's
@@ -2779,41 +2773,4 @@ def e42_entity_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFram
     window parallelizes across entities (no unpartitioned window at
     all here, unlike e41's single-series grid). Adding entities adds
     parallelism, not skew: each partition is calendar-bounded."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
-            F.expr(
-                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
-            ).alias("c"),
-        )
-        .groupBy("event_type", "day_id")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_id")
-        .rowsBetween(-_E41_TRAIL, -1)
-    )
-    arr = F.sort_array(F.collect_list("cents").over(w))
-    base = daily.select("event_type", "day_id", "cents", arr.alias("__arr"))
-    n = F.size("__arr")
-    mid = F.expr("CAST((size(__arr) + 1) DIV 2 AS INT)")
-    med = F.element_at("__arr", mid)
-    dev = F.sort_array(
-        F.transform(F.col("__arr"), lambda v: F.abs(v - med))
-    )
-    mad = F.element_at(dev, mid)
-    return base.select(
-        "event_type",
-        "day_id",
-        "cents",
-        n.cast("long").alias("n_trail"),
-        F.when(n >= 1, med).alias("med_trail"),
-        F.when(n >= 1, mad).alias("mad_trail"),
-        F.when(
-            n >= _E41_TRAIL,
-            (F.abs(F.col("cents") - med) > _E41_K * mad).cast("int"),
-        ).alias("is_anomaly"),
-    )
+    return _rolling_mad_flags(spark, sf_dir, ["event_type"])

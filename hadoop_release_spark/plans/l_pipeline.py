@@ -475,11 +475,15 @@ DIFF_REMOVED_REM = 9
 _DIFF_PHANTOM_BASE = 1_000_000
 
 
-@register(
-    "l32_corpus_diff",
-    oracle=f"""
-    WITH cur AS (
-      SELECT doc_id, md5(text) AS h_cur FROM documents
+def _o_diff_sql(cur_extra: str = "", diff_extra: str = "") -> str:
+    """Shared l32/l64 snapshot-diff SQL: the cur/prev CTEs and the
+    status-classifying full outer join, parameterized with extra
+    cur-side select columns. ONE definition of the DIFF_* snapshot
+    simulation — the derivation rules cannot silently diverge
+    between the changelog (l32) and its drilldown (l64) (review
+    finding: the CTEs were copy-pasted)."""
+    return f"""cur AS (
+      SELECT doc_id, md5(text) AS h_cur{cur_extra} FROM documents
     ), prev AS (
       SELECT doc_id,
              md5(CASE WHEN doc_id % {DIFF_MOD} = {DIFF_CHANGED_REM}
@@ -489,13 +493,59 @@ _DIFF_PHANTOM_BASE = 1_000_000
       SELECT doc_id + {_DIFF_PHANTOM_BASE} AS doc_id,
              md5('removed-' || CAST(doc_id AS VARCHAR)) AS h_prev
       FROM documents WHERE doc_id % {DIFF_MOD} = {DIFF_REMOVED_REM}
+    ), diff AS (
+      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+             CASE WHEN p.h_prev IS NULL THEN 'added'
+                  WHEN c.h_cur IS NULL THEN 'removed'
+                  WHEN c.h_cur != p.h_prev THEN 'changed'
+                  ELSE 'unchanged' END AS status{diff_extra}
+      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    )"""
+
+
+def _snapshot_diff(d: DataFrame, extra: dict | None = None) -> DataFrame:
+    """Shared l32/l64 Spark diff: classify every doc id against the
+    deterministically derived previous snapshot. ``extra`` maps
+    output names to cur-side Columns carried through the join (NULL
+    on removed phantom rows). Mirrors :func:`_o_diff_sql` exactly."""
+    extra = extra or {}
+    cur = d.select(
+        "doc_id",
+        F.md5("text").alias("h_cur"),
+        *[c.alias(n) for n, c in extra.items()],
     )
-    SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
-           CASE WHEN p.h_prev IS NULL THEN 'added'
-                WHEN c.h_cur IS NULL THEN 'removed'
-                WHEN c.h_cur != p.h_prev THEN 'changed'
-                ELSE 'unchanged' END AS status
-    FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    m = F.col("doc_id") % DIFF_MOD
+    prev_text = F.when(
+        m == DIFF_CHANGED_REM, F.concat(F.col("text"), F.lit(" [stale]"))
+    ).otherwise(F.col("text"))
+    prev = (
+        d.filter(m != DIFF_ADDED_REM)
+        .select("doc_id", F.md5(prev_text).alias("h_prev"))
+        .unionAll(
+            d.filter(m == DIFF_REMOVED_REM).select(
+                (F.col("doc_id") + _DIFF_PHANTOM_BASE).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("removed-"), F.col("doc_id").cast("string"))
+                ).alias("h_prev"),
+            )
+        )
+    )
+    return cur.join(prev, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        .when(F.col("h_cur") != F.col("h_prev"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        *extra.keys(),
+    )
+
+
+@register(
+    "l32_corpus_diff",
+    oracle=f"""
+    WITH {_o_diff_sql()}
+    SELECT doc_id, status FROM diff
     """,
     priority="P2",
 )
@@ -512,33 +562,7 @@ def l32_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     full outer join — content bytes never move, only 16-byte hashes;
     at 100 TB both snapshots are parquet tables and the diff runs at
     metadata-ish cost. md5 is the portable hash (rule 6)."""
-    d = table(spark, sf_dir, "documents")
-    m = F.col("doc_id") % DIFF_MOD
-    cur = d.select("doc_id", F.md5("text").alias("h_cur"))
-    prev_text = F.when(
-        m == DIFF_CHANGED_REM, F.concat(F.col("text"), F.lit(" [stale]"))
-    ).otherwise(F.col("text"))
-    prev = (
-        d.filter(m != DIFF_ADDED_REM)
-        .select("doc_id", F.md5(prev_text).alias("h_prev"))
-        .unionAll(
-            d.filter(m == DIFF_REMOVED_REM).select(
-                (F.col("doc_id") + _DIFF_PHANTOM_BASE).alias("doc_id"),
-                F.md5(
-                    F.concat(F.lit("removed-"), F.col("doc_id").cast("string"))
-                ).alias("h_prev"),
-            )
-        )
-    )
-    j = cur.join(prev, "doc_id", "full_outer")
-    return j.select(
-        "doc_id",
-        F.when(F.col("h_prev").isNull(), F.lit("added"))
-        .when(F.col("h_cur").isNull(), F.lit("removed"))
-        .when(F.col("h_cur") != F.col("h_prev"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias("status"),
-    )
+    return _snapshot_diff(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1855,29 +1879,10 @@ def l63_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_l64() -> str:
+    cur_extra = ", source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks"
+    diff_extra = ", c.source AS cur_source, c.toks AS cur_toks"
     return f"""
-    WITH cur AS (
-      SELECT doc_id, source, md5(text) AS h_cur,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-      FROM documents
-    ), prev AS (
-      SELECT doc_id,
-             md5(CASE WHEN doc_id % {DIFF_MOD} = {DIFF_CHANGED_REM}
-                      THEN text || ' [stale]' ELSE text END) AS h_prev
-      FROM documents WHERE doc_id % {DIFF_MOD} != {DIFF_ADDED_REM}
-      UNION ALL
-      SELECT doc_id + {_DIFF_PHANTOM_BASE} AS doc_id,
-             md5('removed-' || CAST(doc_id AS VARCHAR)) AS h_prev
-      FROM documents WHERE doc_id % {DIFF_MOD} = {DIFF_REMOVED_REM}
-    ), diff AS (
-      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
-             CASE WHEN p.h_prev IS NULL THEN 'added'
-                  WHEN c.h_cur IS NULL THEN 'removed'
-                  WHEN c.h_cur != p.h_prev THEN 'changed'
-                  ELSE 'unchanged' END AS status,
-             c.source AS cur_source, c.toks AS cur_toks
-      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
-    ), attributed AS (
+    WITH {_o_diff_sql(cur_extra, diff_extra)}, attributed AS (
       SELECT COALESCE(d.cur_source, o.source) AS source, d.status,
              COALESCE(d.cur_toks, o.toks) AS toks
       FROM diff d
@@ -1911,45 +1916,14 @@ def l64_corpus_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drilldown costs one more slim join than l32 itself.
     Cites l32 (diff statuses) and l45 (per-source card)."""
     d = table(spark, sf_dir, "documents")
-    cur = d.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h_cur"),
-        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    toks = F.size(F.split("text", " ")).cast("long")
+    diff = _snapshot_diff(
+        d, {"cur_source": F.col("source"), "cur_toks": toks}
     )
-    m = F.col("doc_id") % DIFF_MOD
-    prev_text = F.when(
-        m == DIFF_CHANGED_REM, F.concat(F.col("text"), F.lit(" [stale]"))
-    ).otherwise(F.col("text"))
-    prev = (
-        d.filter(m != DIFF_ADDED_REM)
-        .select("doc_id", F.md5(prev_text).alias("h_prev"))
-        .unionAll(
-            d.filter(m == DIFF_REMOVED_REM).select(
-                (F.col("doc_id") + _DIFF_PHANTOM_BASE).alias("doc_id"),
-                F.md5(
-                    F.concat(F.lit("removed-"), F.col("doc_id").cast("string"))
-                ).alias("h_prev"),
-            )
-        )
-    )
-    diff = (
-        cur.join(prev, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.when(F.col("h_prev").isNull(), F.lit("added"))
-            .when(F.col("h_cur").isNull(), F.lit("removed"))
-            .when(F.col("h_cur") != F.col("h_prev"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-            F.col("source").alias("cur_source"),
-            F.col("toks").alias("cur_toks"),
-        )
-    )
-    origin = cur.select(
+    origin = d.select(
         F.col("doc_id").alias("o_id"),
         F.col("source").alias("o_source"),
-        F.col("toks").alias("o_toks"),
+        toks.alias("o_toks"),
     )
     attributed = (
         diff.join(

@@ -75,7 +75,10 @@ def _ensure_fixtures() -> dict[float, str]:
     dirs = {}
     for sf in SFS:
         d = REPO / ".localdata" / f"sf{sf:g}"
-        if not (d / "lineitem.parquet").exists():
+        # embeddings is the LAST table gen_sf writes — its presence
+        # means the whole directory completed (review finding: a
+        # generation interrupted after lineitem looked complete).
+        if not (d / "embeddings.parquet").exists():
             print(f"generating gen_sf fixtures at sf={sf:g} …", file=sys.stderr)
             subprocess.run(
                 [sys.executable, str(REPO / "scripts" / "gen_sf.py"), str(sf)],

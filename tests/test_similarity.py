@@ -395,3 +395,95 @@ def test_rank_clusters_arrow_bitwise_equals_declarative(spark, sf_dir):
     assert (
         ref["__nrm"].to_numpy().tobytes() == got["__nrm"].to_numpy().tobytes()
     ), "norms must be IEEE bit-identical"
+
+
+def test_adaptive_band_layout_big_branch(spark, tmp_path_factory):
+    """Coverage for the 4×16 sign-LSH branch (review finding: every
+    fixture sits below LSH_ADAPT_N, so only the 8×8 path ran). A
+    5 100-vector corpus exercises: (a) the adaptive layout actually
+    selects (4,16) — output equals the explicitly pinned (4,16)
+    run and the planted exact duplicates are found; (b) the SQL
+    oracle's count(*) gate agrees — DuckDB's adaptive SQL on the
+    same parquet returns the identical pair set."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_release_spark.operators.similarity import (
+        LSH_ADAPT_N,
+        embedding_near_dup_pairs,
+        o_embedding_near_dup_pairs,
+    )
+
+    n = LSH_ADAPT_N + 100
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0.0, 1.0, (n, 64)).astype(np.float32)
+    # planted exact duplicates: pairs (0,1) and (2,3)
+    vecs[1] = vecs[0]
+    vecs[3] = vecs[2]
+    tmp = tmp_path_factory.mktemp("adaptive_lsh")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    e = spark.read.parquet(f"{tmp}/embeddings.parquet")
+
+    adaptive = embedding_near_dup_pairs(e, threshold=0.9).toPandas()
+    pinned = embedding_near_dup_pairs(
+        e, threshold=0.9, bands=4, rows_per_band=16
+    ).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["id_a", "id_b", "cos_sim"]].itertuples(index=False, name=None))
+    )
+    assert key(adaptive) == key(pinned), "adaptive must pick (4,16) above the threshold"
+    got_pairs = {(r[0], r[1]) for r in key(adaptive)}
+    assert {(0, 1), (2, 3)} <= got_pairs, got_pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    oracle = con.execute(o_embedding_near_dup_pairs(64, threshold=0.9)).df()
+    assert key(adaptive) == key(oracle), "oracle count(*) gate must agree"
+
+
+def test_embedding_near_dup_pairs_rejects_half_pinned_layout(spark, sf_dir):
+    """Passing only one of bands/rows_per_band must raise, never
+    silently substitute the adaptive layout (review finding)."""
+    import pytest as _pytest
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="BOTH bands and rows_per_band"):
+        embedding_near_dup_pairs(e, bands=16)
+
+
+def test_rank_clusters_arrow_empty_centroids_yields_empty(spark, sf_dir):
+    """An empty centroid table must produce an EMPTY ranking frame —
+    the graceful behavior of the declarative form it replaced — not
+    a plan-build crash (review finding: np.stack([]) raised)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+
+    e = table(spark, sf_dir, "embeddings")
+    none = e.filter(F.lit(False)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = rank_clusters_arrow(e, none, 3, 64)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "embedding", "__nrm", "cluster", "__rn"]

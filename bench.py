@@ -90,6 +90,11 @@ HEADLINE = [
     "k12_token_bucket",       # per-user stateful admission replay
     "e42_entity_robust_anomaly_days",  # per-entity rolling-MAD flags
     "l64_corpus_diff_drilldown",       # per-source changelog rollup
+    # round-9 flagships
+    "a19_dynamic_partition_overwrite",  # lakehouse backfill by partition presence
+    "d45_anova",              # k-group one-way ANOVA, exact sufficient stats
+    "e43_seasonal_adjust",    # weekly-median STL-lite decomposition
+    "l65_temperature_mix",    # mT5-style temperature apportionment
 ]
 
 

@@ -738,3 +738,89 @@ def a18_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_index").cast("long").alias("min_row_index"),
         F.max("row_index").cast("long").alias("max_row_index"),
     )
+
+
+@register(
+    "a19_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {_Z_DAY_US} AS day,
+             event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), touched AS (
+      -- dynamic overwrite replaces ONLY partitions present in the
+      -- batch: a day =1 mod 3 with zero purchase events is absent
+      -- from the batch and its old rows SURVIVE.
+      SELECT DISTINCT day FROM ev
+      WHERE day % 3 = 1 AND event_type = 'purchase'
+    )
+    SELECT event_id, day, event_type, cents FROM ev
+    WHERE day NOT IN (SELECT day FROM touched)
+    UNION ALL
+    SELECT event_id, day, event_type, cents FROM ev
+    WHERE day IN (SELECT day FROM touched) AND event_type = 'purchase'
+    """,
+    priority="P2",
+)
+def a19_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill
+    primitive (Hive's ``INSERT OVERWRITE ... PARTITION`` with
+    dynamic resolution; Spark's
+    ``partitionOverwriteMode=dynamic``): a corrected batch REPLACES
+    exactly the day-partitions it contains and leaves every other
+    partition's files untouched — unlike static overwrite (a06's
+    mode truncates the whole table) and unlike append/merge (a07
+    rewrites rows, not partitions). The fixture rewrites days
+    ≡1 mod 3 with only their purchase events — the read-back
+    proving REPLACEMENT (the non-purchase rows of those days are
+    gone), not append — then returns the final table state. The
+    oracle encodes the mode's one sharp edge: a partition ABSENT
+    from the batch (a day ≡1 mod 3 with zero purchases) is not
+    touched, so its old rows survive — overwrite-by-presence, not
+    overwrite-by-predicate.
+
+    The mode is set as a WRITER option, not session conf, so the
+    op is correct on any (driver-unconfigured) session. Scale
+    shape: day-partitioned events are the standard 100 TB layout;
+    the backfill writes only the batch's partitions (one shuffle-
+    free pass over batch rows) and the swap is a metadata move per
+    touched directory — cost ∝ batch, never ∝ table. Partition
+    directory values read back as int32; the output casts to the
+    contract's bigint."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(f"unix_micros(ts) DIV {_Z_DAY_US}").alias("day"),
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    path = fixed_scratch_dir("a19dyn", sf_dir)
+    # Full static overwrite lays down the "production" table — and
+    # resets the fixed scratch dir, so re-runs never see stale state.
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    batch = ev.filter(
+        (F.col("day") % 3 == 1) & (F.col("event_type") == "purchase")
+    )
+    (
+        batch.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    out = spark.read.parquet(path)
+    return out.select(
+        "event_id",
+        F.col("day").cast("long").alias("day"),
+        "event_type",
+        "cents",
+    )

@@ -3065,3 +3065,108 @@ def d44_theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("slope_med"), 6).alias("slope_cents_per_hour"),
         )
     )
+
+
+@register(
+    "d45_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM events GROUP BY event_type
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(sx) AS BIGINT) AS sx_all,
+             CAST(sum(sxx) AS BIGINT) AS sxx_all,
+             sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS t
+      FROM g
+    )
+    SELECT k, n_total,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_total - k AS BIGINT) AS df_within,
+           round(((t - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)
+                       / CAST(n_total AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                 / ((CAST(sxx_all AS DOUBLE) - t)
+                    / CAST(n_total - k AS DOUBLE)), 6) + 0.0 AS f_stat,
+           round((t - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+                 / (CAST(sxx_all AS DOUBLE)
+                    - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)
+                      / CAST(n_total AS DOUBLE)), 6) + 0.0 AS eta_sq
+    FROM s
+    """,
+    priority="P2",
+)
+def d45_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL event types — d22's two-arm t-test
+    generalized to k groups: does mean `value` differ anywhere in the
+    type mix? Reports the F statistic (between-group vs within-group
+    mean square) and eta-squared (SSB / SST, the variance-explained
+    effect size), plus the exact integer dims (k, N, both df).
+
+    Float rule (d22 extended across k groups): per-group sufficient
+    statistics n, Sx, Sxx are exact bigint cents, re-aggregated to
+    exact bigint grand totals; the ONLY order-sensitive float is
+    T = sum_g Sx_g^2 / n_g — a k-term double sum whose accumulation
+    noise is ~1e-16 relative (the d27 argument: k = |event types|
+    terms), driven to irrelevance by rounding the two O(1)-to-O(1e4)
+    outputs (f_stat, eta_sq) to 6dp; SSB = T - S^2/N and SSW = Q - T
+    come out of the same shared IEEE tree token-for-token in both
+    engines. k/N/df are exact integers, never rounded.
+
+    Scale shape: ONE (event_type) partial agg (map-side combine
+    ships a 3-number row per task per group), then a k-row re-agg —
+    the d22 shape with a GROUP BY; the same plan GROUPs BY
+    experiment_id for thousands of concurrent ANOVAs. No window, no
+    raw-row shuffle, no second scan."""
+    from hadoop_release_spark.functions.contracts import r6
+
+    x100 = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    g = (
+        table(spark, sf_dir, "events")
+        .select(F.col("event_type"), x100.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    s = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("sx").cast("bigint").alias("sx_all"),
+        F.sum("sxx").cast("bigint").alias("sxx_all"),
+        F.sum(
+            F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n").cast("double")
+        ).alias("t"),
+    )
+    ssb = F.expr(
+        "t - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)"
+        " / CAST(n_total AS DOUBLE)"
+    )
+    ssw = F.expr("CAST(sxx_all AS DOUBLE) - t")
+    sst = F.expr(
+        "CAST(sxx_all AS DOUBLE) - CAST(sx_all AS DOUBLE)"
+        " * CAST(sx_all AS DOUBLE) / CAST(n_total AS DOUBLE)"
+    )
+    return s.select(
+        "k",
+        "n_total",
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("bigint").alias("df_within"),
+        r6(
+            (ssb / F.expr("CAST(k - 1 AS DOUBLE)"))
+            / (ssw / F.expr("CAST(n_total - k AS DOUBLE)"))
+        ).alias("f_stat"),
+        r6(ssb / sst).alias("eta_sq"),
+    )

@@ -2774,3 +2774,112 @@ def e42_entity_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFram
     all here, unlike e41's single-series grid). Adding entities adds
     parallelism, not skew: each partition is calendar-bounded."""
     return _rolling_mad_flags(spark, sf_dir, ["event_type"])
+
+
+#: e43 — seasonal decomposition grain: centered trend half-width
+#: (7-day window) and the 7-day weekly season keyed on epoch-day
+#: mod 7 (a stable weekday class — epoch day 0 is a Thursday, but
+#: the CLASS is all that matters, not its label).
+_E43_HALF = 3
+
+
+def _o_e43() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), seas AS (
+      SELECT day_id, cents, day_id % 7 AS dow,
+             list_sort(list(cents) OVER (PARTITION BY day_id % 7)) AS sarr
+      FROM daily
+    ), des AS (
+      SELECT day_id, dow, cents,
+             sarr[(len(sarr) + 1) // 2] AS seasonal,
+             cents - sarr[(len(sarr) + 1) // 2] AS deseason
+      FROM seas
+    ), tr AS (
+      SELECT day_id, dow, cents, seasonal, deseason,
+             list_sort(list(deseason) OVER (ORDER BY day_id
+                       ROWS BETWEEN {_E43_HALF} PRECEDING
+                       AND {_E43_HALF} FOLLOWING)) AS tarr
+      FROM des
+    )
+    SELECT day_id, CAST(dow AS BIGINT) AS dow, cents, seasonal, deseason,
+           CASE WHEN len(tarr) = {2 * _E43_HALF + 1}
+                THEN tarr[{_E43_HALF + 1}] END AS trend,
+           CASE WHEN len(tarr) = {2 * _E43_HALF + 1}
+                THEN deseason - tarr[{_E43_HALF + 1}] END AS residual
+    FROM tr
+    """
+
+
+@register("e43_seasonal_adjust", oracle=_o_e43(), priority="P2")
+def e43_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal decomposition of daily revenue (STL-lite):
+    split each day's cents into a weekly SEASONAL component (the
+    lower median of that weekday-class's cents over the whole span
+    — medians, not means, so one Black-Friday spike doesn't poison
+    its weekday's baseline), a TREND (centered 7-day rolling lower
+    median of the deseasonalized series — exactly one observation
+    of each weekday class per frame, so the weekly cycle cannot
+    alias into the trend), and the RESIDUAL (deseason − trend, the
+    series e41-style anomaly rules should actually run on). Trend
+    and residual are NULL at the {_E43_HALF}-day edges where the
+    centered frame is incomplete. Entirely integer cents — both
+    medians are selected elements, never averaged, so no float
+    enters the decomposition.
+
+    Scale shape: the e19/e41 day-GRID exception twice over — one
+    map-side-combined day agg collapses events to |days| rows, then
+    BOTH windows (weekday-partitioned season, ordered rolling trend)
+    run over that calendar-bounded grid, never over raw events; the
+    per-row sorts are |days|/7- and 7-element arrays. Per-entity
+    variants partition both windows by the entity key (e42's move).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .withColumn("dow", (F.col("day_id") % 7).cast("long"))
+    )
+    sw = Window.partitionBy("dow")
+    sarr = F.sort_array(F.collect_list("cents").over(sw))
+    seasonal = F.element_at(
+        "__sarr", F.expr("CAST((size(__sarr) + 1) DIV 2 AS INT)")
+    )
+    des = daily.select(
+        "day_id", "dow", "cents", sarr.alias("__sarr")
+    ).select(
+        "day_id",
+        "dow",
+        "cents",
+        seasonal.alias("seasonal"),
+        (F.col("cents") - seasonal).alias("deseason"),
+    )
+    tw = Window.orderBy("day_id").rowsBetween(-_E43_HALF, _E43_HALF)
+    tarr = F.sort_array(F.collect_list("deseason").over(tw))
+    full = 2 * _E43_HALF + 1
+    base = des.select(
+        "day_id", "dow", "cents", "seasonal", "deseason", tarr.alias("__tarr")
+    )
+    trend = F.when(
+        F.size("__tarr") == full, F.element_at("__tarr", _E43_HALF + 1)
+    )
+    return base.select(
+        "day_id",
+        "dow",
+        "cents",
+        "seasonal",
+        "deseason",
+        trend.alias("trend"),
+        (F.col("deseason") - trend).alias("residual"),
+    )

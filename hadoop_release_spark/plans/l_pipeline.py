@@ -1942,3 +1942,148 @@ def l64_corpus_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("toks").cast("long").alias("n_tokens"),
     )
+
+
+#: l65 — temperature-sampling parameters: alpha = 1/2 (sampling
+#: probability ∝ n^alpha, the mT5/XLM-R low-resource up-weighting
+#: rule, realized here as exact integer sqrt-proportional targets)
+#: and a total budget of half the corpus.
+L65_BUDGET_DEN = 2
+
+
+def _o_l65() -> str:
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(CAST(round(sqrt(CAST(n AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS w_sum
+      FROM c
+    ), q AS (
+      SELECT c.lang, c.n,
+             CAST(t.n_total // {L65_BUDGET_DEN} AS DOUBLE)
+               * CAST(CAST(round(sqrt(CAST(c.n AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) AS DOUBLE)
+               / CAST(t.w_sum AS DOUBLE) AS quota,
+             t.n_total AS n_total
+      FROM c, tot t
+    ), fl AS (
+      SELECT lang, n, n_total, quota,
+             CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM q
+    ), tgt AS (
+      SELECT lang, n,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                          <= n_total // {L65_BUDGET_DEN}
+                             - sum(base) OVER ()
+                    THEN 1 ELSE 0 END AS target
+      FROM fl
+    ), ranked AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (PARTITION BY d.lang
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.lang, CAST(t.target AS BIGINT) AS lang_target
+    FROM ranked r JOIN tgt t ON r.lang = t.lang
+    WHERE r.rn <= t.target
+    """
+
+
+@register("l65_temperature_mix", oracle=_o_l65(), priority="P2")
+def l65_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing — the mT5/XLM-R multilingual
+    sampling rule: keep a per-language share ∝ n_lang^alpha
+    (alpha = 1/2), so low-resource languages are up-weighted relative
+    to their raw counts, realized as EXACT integer targets hitting a
+    fixed total budget (N DIV {L65_BUDGET_DEN}) via largest-remainder
+    (Hamilton) apportionment, then filled deterministically by
+    md5-rank within each language. Distinct from l29 (uniform
+    per-source cap via a rate) and l24 (fixed published quotas):
+    here the apportionment is DATA-DRIVEN and the global budget is
+    hit exactly — what a training-mix builder actually publishes.
+
+    Determinism/float rule: IEEE-754 sqrt is correctly rounded, so
+    both engines compute identical per-language weights; each weight
+    is rounded to an exact 6-dp DECIMAL so the weight SUM is exact
+    decimal arithmetic (order-free — the d27 concern eliminated, not
+    just bounded); quota = B·w/W is then ONE shared IEEE tree over
+    identical inputs, so floor/remainder/rank agree bit-for-bit.
+    Remainder ties break on the language code. Selection is l24's
+    portable md5 rank — reproducible across engines, runs, and
+    cluster sizes.
+
+    Scale shape: one tiny lang-count agg (|langs| rows) does the
+    whole apportionment (unpartitioned windows over the
+    aggregate-sized table — the l29 pattern); targets broadcast back
+    as a map-side join; the per-lang md5-rank window is the l63
+    shape, whose documented 100 TB swap is the two-phase per-key
+    ranker (l27) — or l24's bucket filter when the target need only
+    be hit in expectation."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    w = F.round(F.sqrt(F.col("n").cast("double")), 6).cast("decimal(18,6)")
+    # Totals via unpartitioned windows over the |langs|-row counts
+    # table (the l29 pattern: aggregate-sized input, and it keeps the
+    # plan free of the nested-loop join a 1-row cross join would
+    # introduce).
+    all_w0 = Window.partitionBy()
+    q = c.select("lang", "n", w.alias("w")).select(
+        "lang",
+        "n",
+        F.sum("n").over(all_w0).cast("long").alias("n_total"),
+        F.sum("w").over(all_w0).cast("decimal(38,6)").alias("w_sum"),
+        "w",
+    ).select(
+        "lang",
+        "n",
+        "n_total",
+        (
+            F.expr(f"CAST(n_total DIV {L65_BUDGET_DEN} AS DOUBLE)")
+            * F.col("w").cast("double")
+            / F.col("w_sum").cast("double")
+        ).alias("quota"),
+    )
+    fl = q.select(
+        "lang",
+        "n",
+        "n_total",
+        "quota",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    )
+    # |langs|-row table: unpartitioned windows are the l29 exception.
+    rn_w = Window.orderBy(F.col("rem").desc(), "lang")
+    all_w = Window.partitionBy()
+    tgt = fl.select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(rn_w)
+                <= F.expr(f"n_total DIV {L65_BUDGET_DEN}")
+                - F.sum("base").over(all_w),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("lang_target"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "lang")
+        .filter(F.col("rn") <= F.col("lang_target"))
+        .select("doc_id", "lang", "lang_target")
+    )

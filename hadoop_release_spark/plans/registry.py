@@ -174,6 +174,8 @@ def grading_order(names: list[str]) -> list[str]:
     tier = {name: t for t, tier_names in _GRADING_COST_TIERS for name in tier_names}
 
     def _tier(n: str) -> int:
+        if n in _ROUND9_PLUS_ADDITIONS:
+            return 6
         if n in _ROUND8_PLUS_ADDITIONS:
             return 5
         if n in _ROUND7_PLUS_ADDITIONS:
@@ -193,6 +195,17 @@ def grading_order(names: list[str]) -> list[str]:
 #: all 295 pre-round-8 rows already green, these never-graded ids
 #: still sort FIRST overall — the window grades them immediately,
 #: then fills the remaining slots with the stalest re-grades.)
+#: Queries REGISTERED in round 9 or later: tier 6, behind every
+#: earlier-registered query (same discipline as the round-7/8 sets:
+#: a new op never displaces a pending or staler re-grade row).
+_ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
+    "a19_dynamic_partition_overwrite",
+    "d45_anova",
+    "e43_seasonal_adjust",
+    "l65_temperature_mix",
+})
+
+
 _ROUND8_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d44_theil_sen_hourly",
     "e42_entity_robust_anomaly_days",

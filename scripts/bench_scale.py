@@ -66,6 +66,11 @@ HEAVY_TAIL = [
     "k12_token_bucket",
     "e42_entity_robust_anomaly_days",
     "l64_corpus_diff_drilldown",
+    # round-9 additions
+    "a19_dynamic_partition_overwrite",
+    "d45_anova",
+    "e43_seasonal_adjust",
+    "l65_temperature_mix",
 ]
 
 SFS = [0.1, 1.0]

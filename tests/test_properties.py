@@ -3335,3 +3335,277 @@ def test_corpus_diff_drilldown_attribution(spark, docs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # group (event type)
+            st.integers(min_value=1, max_value=49000),   # cents
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_anova_matches_reference(spark, rows):
+    """d45 vs a pure-Python one-way ANOVA over the same integer
+    sufficient statistics. Integer outputs (k, N, dfs) must be
+    exact; the rounded floats are compared against the UNROUNDED
+    reference with the 6dp half-grid tolerance (accumulation-order
+    noise between engines is ~1e-16 relative — the d27 argument —
+    so the half-grid dominates)."""
+    from collections import defaultdict
+
+    from hypothesis import assume
+
+    from hadoop_release_spark.plans.registry import specs
+
+    groups = defaultdict(list)
+    for t, c in rows:
+        groups[t].append(c)
+    assume(len(groups) >= 2)
+    k, n_total = len(groups), len(rows)
+    assume(n_total > k)
+    t_sum = sum(
+        sum(cs) ** 2 / len(cs) for _, cs in sorted(groups.items())
+    )
+    s_all = sum(c for _, c in rows)
+    q_all = sum(c * c for _, c in rows)
+    ssw = q_all - t_sum
+    ssb = t_sum - s_all * s_all / n_total
+    assume(ssw > 1e-6)  # degenerate zero within-variance -> F = inf
+    f_ref = (ssb / (k - 1)) / (ssw / (n_total - k))
+    eta_ref = ssb / (q_all - s_all * s_all / n_total)
+
+    tmp = tempfile.mkdtemp(prefix="prop_d45_")
+    try:
+        n = len(rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(minutes=i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array([f"type{t}" for t, _ in rows]),
+                "value": pa.array([c / 100.0 for _, c in rows], pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = specs()["d45_anova"].fn(spark, tmp).collect()[0]
+        assert got["k"] == k
+        assert got["n_total"] == n_total
+        assert got["df_between"] == k - 1
+        assert got["df_within"] == n_total - k
+        assert abs(got["f_stat"] - f_ref) <= 6e-7 * max(1.0, abs(f_ref)), (
+            got["f_stat"],
+            f_ref,
+        )
+        assert abs(got["eta_sq"] - eta_ref) <= 6e-7, (got["eta_sq"], eta_ref)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=45),        # day offset
+            st.integers(min_value=100, max_value=500000),  # cents that day
+        ),
+        min_size=1,
+        max_size=45,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_seasonal_adjust_matches_reference(spark, days):
+    """e43 vs a pure-Python weekly-median decomposition over an
+    arbitrary observed-day grid: per-weekday-class lower median,
+    deseasonalized series, centered 7-OBSERVED-day rolling lower
+    median trend (NULL until the frame is complete on both sides),
+    residual. All-integer, no tolerance."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e43_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(days)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for d, _ in days],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(days), pa.int64()),
+                "event_type": pa.array(["view"] * len(days)),
+                "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+                "props": pa.array(["{}"] * len(days)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            r["day_id"]: (
+                r["dow"], r["cents"], r["seasonal"], r["deseason"],
+                r["trend"], r["residual"],
+            )
+            for r in specs()["e43_seasonal_adjust"].fn(spark, tmp).collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        seq = sorted((base_day + d, c) for d, c in days)
+        lomed = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]  # noqa: E731
+        by_dow = defaultdict(list)
+        for d, c in seq:
+            by_dow[d % 7].append(c)
+        seasonal = {dow: lomed(cs) for dow, cs in by_dow.items()}
+        des = [(d, c, c - seasonal[d % 7]) for d, c in seq]
+        want = {}
+        for i, (d, c, dz) in enumerate(des):
+            if 3 <= i < len(des) - 3:
+                tr = lomed([dz2 for _, _, dz2 in des[i - 3 : i + 4]])
+                res = dz - tr
+            else:
+                tr, res = None, None
+            want[d] = (d % 7, c, seasonal[d % 7], dz, tr, res)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=2, max_size=5
+    )
+)
+def test_temperature_mix_matches_reference(spark, counts):
+    """l65 vs a pure-Python largest-remainder apportionment replaying
+    the engines' EXACT float contract: IEEE sqrt, HALF_UP 6dp decimal
+    weights (exact decimal sum), one shared quota tree, floor/
+    remainder rank, then the md5-rank fill. Targets and the selected
+    doc set must match exactly, and the global budget must be hit
+    exactly."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_release_spark.plans.registry import specs
+
+    langs = ["aa", "bb", "cc", "dd", "ee"][: len(counts)]
+    doc_rows = []
+    for li, cnt in enumerate(counts):
+        for _ in range(cnt):
+            doc_rows.append((len(doc_rows), langs[li]))
+    tmp = tempfile.mkdtemp(prefix="prop_l65_")
+    try:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in doc_rows], pa.int64()),
+                "text": pa.array([f"doc {i}" for i, _ in doc_rows]),
+                "lang": pa.array([lg for _, lg in doc_rows]),
+                "source": pa.array(["s0"] * len(doc_rows)),
+                "n_chars": pa.array([5] * len(doc_rows), pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/documents.parquet")
+        out = specs()["l65_temperature_mix"].fn(spark, tmp).collect()
+        got = {(r["doc_id"], r["lang"]) for r in out}
+        got_targets = {r["lang"]: r["lang_target"] for r in out}
+
+        n_total = len(doc_rows)
+        budget = n_total // 2
+        grid = Decimal("0.000001")
+        w = {
+            lg: Decimal(repr(math.sqrt(cnt))).quantize(
+                grid, rounding=ROUND_HALF_UP
+            )
+            for lg, cnt in zip(langs, counts)
+        }
+        w_sum = sum(w.values())
+        quota = {
+            lg: float(budget) * float(w[lg]) / float(w_sum) for lg in langs
+        }
+        base = {lg: math.floor(quota[lg]) for lg in langs}
+        rem = {lg: quota[lg] - math.floor(quota[lg]) for lg in langs}
+        deficit = budget - sum(base.values())
+        order = sorted(langs, key=lambda lg: (-rem[lg], lg))
+        target = {
+            lg: base[lg] + (1 if order.index(lg) < deficit else 0)
+            for lg in langs
+        }
+        assert sum(target.values()) == budget
+        md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+        want = set()
+        for lg in langs:
+            ids = sorted(
+                (i for i, lg2 in doc_rows if lg2 == lg),
+                key=lambda i: (md5(i), i),
+            )
+            want |= {(i, lg) for i in ids[: target[lg]]}
+        # every surviving row must carry its language's exact target
+        assert got == want, (got, want)
+        for lg, t in got_targets.items():
+            assert t == target[lg], (lg, t, target[lg])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dynamic_partition_overwrite_semantics(spark):
+    """a19's three partition classes, planted: an untouched day
+    (mod 3 != 1) keeps every row; a rewritten day (mod 3 == 1 WITH
+    purchases) keeps ONLY its purchase rows; a day ≡1 mod 3 whose
+    batch slice is EMPTY (no purchases) is absent from the batch and
+    keeps every row — overwrite-by-presence, the sharp edge the
+    oracle encodes."""
+    from hadoop_release_spark.plans.registry import specs
+
+    base_day = (
+        int(T0.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    ) // (86_400 * 1_000_000)
+    # pick concrete offsets for each class relative to base_day % 3
+    off_untouched = next(o for o in range(3) if (base_day + o) % 3 != 1)
+    off_rewritten = next(o for o in range(3) if (base_day + o) % 3 == 1)
+    off_absent = off_rewritten + 3
+    rows = [
+        # (event_id, day offset, type)
+        (0, off_untouched, "view"),
+        (1, off_untouched, "purchase"),
+        (2, off_rewritten, "view"),
+        (3, off_rewritten, "purchase"),
+        (4, off_rewritten, "error"),
+        (5, off_absent, "view"),
+        (6, off_absent, "click"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="prop_a19_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            r["event_id"]
+            for r in specs()["a19_dynamic_partition_overwrite"]
+            .fn(spark, tmp)
+            .collect()
+        }
+        # untouched day: 0,1 survive; rewritten day: only 3; absent
+        # day: 5,6 survive untouched.
+        assert got == {0, 1, 3, 5, 6}, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

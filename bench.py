@@ -94,6 +94,7 @@ HEADLINE = [
     "a19_dynamic_partition_overwrite",  # lakehouse backfill by partition presence
     "d45_anova",              # k-group one-way ANOVA, exact sufficient stats
     "e43_seasonal_adjust",    # weekly-median STL-lite decomposition
+    "e44_holt_trend",         # per-entity Holt smoothing + 1-step forecast
     "l65_temperature_mix",    # mT5-style temperature apportionment
 ]
 

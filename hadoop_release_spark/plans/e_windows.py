@@ -2883,3 +2883,132 @@ def e43_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend.alias("trend"),
         (F.col("deseason") - trend).alias("residual"),
     )
+
+
+def holt_smooth(cents) -> tuple[list, list]:
+    """Sequential Holt double-exponential smoothing over ONE entity's
+    day-ordered cents (alpha = beta = 1/2): level_t = 0.5*x_t +
+    0.5*(level + trend); trend_t = 0.5*(level_t - level) +
+    0.5*trend. Initialized level_1 = x_1, trend_1 = 0. With both
+    smoothing constants exactly 1/2, every MULTIPLY is an exact
+    binary halving — the only rounding happens in the additions,
+    which both engines execute in the identical order, so the
+    sequence is IEEE bit-identical between this loop and the
+    oracle's recursive CTE (the k12 cross-engine replay argument,
+    extended from integers to doubles). Returns (levels, trends).
+    """
+    lv = tr = None
+    levels, trends = [], []
+    for c in cents:
+        x = float(c)  # exact: |cents| << 2^53
+        if lv is None:
+            lv, tr = x, 0.0
+        else:
+            new_l = 0.5 * x + 0.5 * (lv + tr)
+            tr = 0.5 * (new_l - lv) + 0.5 * tr
+            lv = new_l
+        levels.append(lv)
+        trends.append(tr)
+    return levels, trends
+
+
+def _o_e44() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), rk AS (
+      SELECT event_type, day_id, cents,
+             CAST(cents AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day_id) AS rn
+      FROM daily
+    ), hw AS (
+      SELECT event_type, day_id, cents, x, rn,
+             x AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM rk WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.day_id, r.cents, r.x, r.rn,
+             0.5 * r.x + 0.5 * (h.level + h.trend) AS level,
+             0.5 * ((0.5 * r.x + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.5 * h.trend AS trend
+      FROM rk r JOIN hw h
+        ON r.event_type = h.event_type AND r.rn = h.rn + 1
+    )
+    SELECT event_type, day_id, cents, level, trend,
+           level + trend AS forecast_next
+    FROM hw
+    """
+
+
+@register("e44_holt_trend", oracle=_o_e44(), priority="P2")
+def e44_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily revenue per event
+    type — the trend-aware successor to e18's simple EWMA (a simple
+    EWMA lags a trending series by a constant offset forever; Holt's
+    explicit trend state closes that gap) and the one-step-ahead
+    forecast (level + trend) every capacity/alerting baseline wants.
+    alpha = beta = 1/2.
+
+    Float rule (the k12 replay argument, extended to doubles): with
+    both smoothing constants exactly 1/2 every multiply is an exact
+    binary halving, so rounding happens only in the additions, which
+    the applyInPandas loop (:func:`holt_smooth`) and the oracle's
+    recursive CTE execute in the identical order — the state
+    sequence is IEEE bit-identical between engines, no rounding
+    needed at output. Cents-as-double is exact (<< 2^53).
+
+    The recurrence is a linear system in (level, trend) whose matrix
+    powers have no rational closed form — like k12 (and unlike e18's
+    fixed-horizon EWMA or e26's running-max CUSUM) there is no
+    window/prefix closed form, so this is the legitimate
+    applyInPandas case: per-entity sequential state over the
+    calendar-bounded day GRID.
+
+    Scale shape: one map-side-combined (entity, day) agg collapses
+    events to the entity×day grid (the e42 move), then ONE
+    event_type hash exchange feeds each Python worker one entity's
+    ≤|calendar| rows as an Arrow batch — O(days) loop per entity,
+    parallel across entities, state never crosses keys. The DuckDB
+    oracle replays the identical recurrence one day-rank per step
+    (viable at fixture grid sizes; Spark is the scale path)."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_id", kind="mergesort")
+        levels, trends = holt_smooth(pdf["cents"].tolist())
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day_id": pdf["day_id"],
+                "cents": pdf["cents"],
+                "level": levels,
+                "trend": trends,
+                "forecast_next": [lv + tr for lv, tr in zip(levels, trends)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        smooth,
+        schema=(
+            "event_type string, day_id long, cents long, "
+            "level double, trend double, forecast_next double"
+        ),
+    )

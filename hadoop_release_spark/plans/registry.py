@@ -202,6 +202,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "a19_dynamic_partition_overwrite",
     "d45_anova",
     "e43_seasonal_adjust",
+    "e44_holt_trend",
     "l65_temperature_mix",
 })
 

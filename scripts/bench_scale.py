@@ -70,6 +70,7 @@ HEAVY_TAIL = [
     "a19_dynamic_partition_overwrite",
     "d45_anova",
     "e43_seasonal_adjust",
+    "e44_holt_trend",
     "l65_temperature_mix",
 ]
 

@@ -3609,3 +3609,90 @@ def test_dynamic_partition_overwrite_semantics(spark):
         assert got == {0, 1, 3, 5, 6}, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),         # entity
+            st.integers(min_value=0, max_value=25),        # day offset
+            st.integers(min_value=100, max_value=500000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_holt_trend_matches_references(spark, series):
+    """e44 twice over: (1) the Spark applyInPandas output must equal
+    a direct holt_smooth float replay BIT-FOR-BIT (plumbing: per-
+    entity isolation, day ordering, exact cents transport); (2) the
+    float loop itself must track the exact-Fraction recurrence to
+    1e-9 relative (validates the halving argument has no gross
+    error). Alpha = beta = 1/2."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from hadoop_release_spark.plans.e_windows import holt_smooth
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e44_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(series)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for _, d, _ in series],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(series), pa.int64()),
+                "event_type": pa.array([f"type{e}" for e, _, _ in series]),
+                "value": pa.array(
+                    [c / 100.0 for _, _, c in series], pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(series)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            (r["event_type"], r["day_id"]): (
+                r["cents"], r["level"], r["trend"], r["forecast_next"]
+            )
+            for r in specs()["e44_holt_trend"].fn(spark, tmp).collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        per = defaultdict(list)
+        for e, d, c in series:
+            per[f"type{e}"].append((base_day + d, c))
+        want = {}
+        for etype, rows in per.items():
+            rows.sort()
+            cents = [c for _, c in rows]
+            levels, trends = holt_smooth(cents)
+            # exact-rational recurrence: the float loop must track it
+            flv = ftr = None
+            for i, c in enumerate(cents):
+                x = Fraction(c)
+                if flv is None:
+                    flv, ftr = x, Fraction(0)
+                else:
+                    new_l = x / 2 + (flv + ftr) / 2
+                    ftr = (new_l - flv) / 2 + ftr / 2
+                    flv = new_l
+                assert abs(levels[i] - float(flv)) <= 1e-9 * max(
+                    1.0, abs(float(flv))
+                )
+                assert abs(trends[i] - float(ftr)) <= 1e-9 * max(
+                    1.0, abs(float(ftr))
+                )
+            for i, (d, c) in enumerate(rows):
+                want[(etype, d)] = (
+                    c, levels[i], trends[i], levels[i] + trends[i]
+                )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

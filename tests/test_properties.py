@@ -3696,3 +3696,30 @@ def test_holt_trend_matches_references(spark, series):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stale_guard_expression_fires_and_passes(spark):
+    """The rank-primitive stale-partitioning tripwire (_stale_guard):
+    on the partition's last row a mismatched (or NULL, via the
+    null-safe compare) expected figure must raise_error; matching
+    rows and non-last rows must pass the wrapped expression through
+    untouched. Genuine drift needs cache eviction + nondeterministic
+    input (unreachable deterministically), so the CASE semantics are
+    pinned directly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.operators.rank import _stale_guard
+
+    guard = _stale_guard("CAST(v * 10 AS BIGINT)", "v", "exp", "unit_test")
+    ok = spark.createDataFrame(
+        [(5, 5, True), (3, 99, False)], "v long, exp long, __is_last boolean"
+    )
+    got = {r["out"] for r in ok.select(F.expr(guard).alias("out")).collect()}
+    assert got == {50, 30}  # non-last row never checks its exp
+    for bad_exp in [99, None]:
+        bad = spark.createDataFrame(
+            [(5, bad_exp, True)], "v long, exp long, __is_last boolean"
+        )
+        with _pytest.raises(Exception, match="unit_test: partition contents"):
+            bad.select(F.expr(guard).alias("out")).collect()

@@ -445,7 +445,12 @@ K12_RATE_UT_PER_US = 1  # 1 credit-unit per elapsed µs, by construction
 
 
 def token_bucket_admission(
-    tus: np.ndarray, cost_u: np.ndarray, cap_u: int, rate: int
+    tus: np.ndarray,
+    cost_u: np.ndarray,
+    cap_u: int,
+    rate: int,
+    tokens0: int | None = None,
+    prev_t0: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sequential token-bucket admission over ONE key's events
     (arrays sorted by time): bucket starts full; before each event it
@@ -455,12 +460,16 @@ def token_bucket_admission(
     recurrence non-linear — the genuinely non-declarative core this
     operator exists for (a rejection changes every later balance, so
     no prefix-sum/running-min closed form applies). Pure integers
-    throughout. Returns (admitted int64 0/1, tokens_after int64)."""
+    throughout. Returns (admitted int64 0/1, tokens_after int64).
+
+    ``tokens0``/``prev_t0`` resume the recurrence from carried state
+    (j13's streaming micro-batch boundary); the defaults are the
+    fresh-bucket start (full at cap, no prior event)."""
     n = len(tus)
     admitted = np.zeros(n, dtype=np.int64)
     after = np.zeros(n, dtype=np.int64)
-    tokens = cap_u
-    prev_t = None
+    tokens = cap_u if tokens0 is None else int(tokens0)
+    prev_t = prev_t0
     for i in range(n):
         t = int(tus[i])
         if prev_t is not None:

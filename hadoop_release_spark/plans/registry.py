@@ -203,6 +203,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d45_anova",
     "e43_seasonal_adjust",
     "e44_holt_trend",
+    "j13_stream_token_bucket",
     "l65_temperature_mix",
 })
 

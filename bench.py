@@ -96,6 +96,11 @@ HEADLINE = [
     "e43_seasonal_adjust",    # weekly-median STL-lite decomposition
     "e44_holt_trend",         # per-entity Holt smoothing + 1-step forecast
     "l65_temperature_mix",    # mT5-style temperature apportionment
+    # round-9b flagships (this session)
+    "d46_spearman",           # rank-map Spearman, exact integer 2r stats
+    "d48_concentration",      # per-year HHI/CR4 supplier concentration
+    "f07_diversified_topk",   # top-20 with a 2-per-customer cap
+    "l66_containment_dedup",  # inverted-index 3-gram containment pairs
 ]
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
-from hadoop_release_spark.functions.contracts import davg, dsum, net_price, oavg, osum, r4
+from hadoop_release_spark.functions.contracts import davg, dsum, net_price, oavg, osum, r4, r6
 from hadoop_release_spark.plans.registry import register
 
 
@@ -2203,10 +2203,12 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: d38: one day in epoch-microseconds (duration grid).
 _D38_DAY_US = 86_400 * 1_000_000
 
-
-@register(
-    "d38_kaplan_meier",
-    oracle=f"""
+#: Shared d38 (Kaplan–Meier) / d47 (Nelson–Aalen) oracle prefix:
+#: per-user first-view → first-purchase durations with right
+#: censoring at the horizon, grouped to the duration-day grid with
+#: at-risk counts. One definition — the two survival estimators
+#: cannot diverge on what "at risk" means.
+_O_SURVIVAL_RISK = f"""
     WITH ev AS (
       SELECT user_id, event_type,
              CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_us
@@ -2243,44 +2245,17 @@ _D38_DAY_US = 86_400 * 1_000_000
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING), 0) AS n
       FROM g CROSS JOIN tot t
-    ), terms AS (
-      SELECT dur_days, d, c, n,
-             CASE WHEN n > d
-                  THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
-                  END AS term
-      FROM risk
-    )
-    SELECT dur_days, CAST(n AS BIGINT) AS n_at_risk,
-           d AS d_events, c AS c_censored,
-           CASE WHEN term IS NOT NULL THEN
-             CAST(round(sum(term) OVER (ORDER BY dur_days
-                        ROWS UNBOUNDED PRECEDING) + 0.0, 6) AS DOUBLE)
-           END AS ln_survival
-    FROM terms
-    """,
-    priority="P2",
-)
-def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival estimate for TIME-TO-CONVERSION — the
-    product-analytics question "how long from first view to first
-    purchase", with users who never convert correctly treated as
-    RIGHT-CENSORED at the data horizon (naive conversion-time
-    averages silently drop them — the bias KM exists to fix). Per
-    distinct duration day: at-risk count n, events d, censored c,
-    and ln S(t) = Σ_{{t'≤t}} ln((n−d)/n). The log-space form avoids
-    a running product; the sum spans ≤|distinct durations| terms so
-    accumulation order adds ~1e-13 ≪ the 5e-7 half-grid, and the
-    final value is r6-rounded with the signed-zero guard (the d27
-    discipline). n = d can only happen at the LAST duration (at-risk
-    minus events = censored-here + everyone later), where
-    ln_survival is NULL (S = 0).
+    )"""
 
-    Scale shape: ONE user_id shuffle builds conversion durations
-    (the t0 window and the per-user agg share partitioning — e11
-    argument); durations compress to |distinct days| rows; the
-    running windows over that duration GRID are day-bounded exactly
-    like e19's day-grid windows (documented bounded-domain
-    exception), with the horizon and total as 1-row broadcasts."""
+
+def _survival_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of :data:`_O_SURVIVAL_RISK` — the survival table
+    shared by d38 (Kaplan–Meier) and d47 (Nelson–Aalen): one row per
+    distinct first-view→first-purchase duration day with events
+    ``d``, censored ``c``, and at-risk ``n``. ONE user_id shuffle
+    (the t0 window and the per-user agg share partitioning), the
+    duration grid is day-bounded, horizon/total are 1-row
+    broadcasts."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
@@ -2319,28 +2294,65 @@ def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("dur_days").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    return g.crossJoin(F.broadcast(tot)).withColumn(
+        "n",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)),
+    )
+
+
+@register(
+    "d38_kaplan_meier",
+    oracle=f"""{_O_SURVIVAL_RISK}, terms AS (
+      SELECT dur_days, d, c, n,
+             CASE WHEN n > d
+                  THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                  END AS term
+      FROM risk
+    )
+    SELECT dur_days, CAST(n AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CASE WHEN term IS NOT NULL THEN
+             CAST(round(sum(term) OVER (ORDER BY dur_days
+                        ROWS UNBOUNDED PRECEDING) + 0.0, 6) AS DOUBLE)
+           END AS ln_survival
+    FROM terms
+    """,
+    priority="P2",
+)
+def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate for TIME-TO-CONVERSION — the
+    product-analytics question "how long from first view to first
+    purchase", with users who never convert correctly treated as
+    RIGHT-CENSORED at the data horizon (naive conversion-time
+    averages silently drop them — the bias KM exists to fix). Per
+    distinct duration day: at-risk count n, events d, censored c,
+    and ln S(t) = Σ_{{t'≤t}} ln((n−d)/n). The log-space form avoids
+    a running product; the sum spans ≤|distinct durations| terms so
+    accumulation order adds ~1e-13 ≪ the 5e-7 half-grid, and the
+    final value is r6-rounded with the signed-zero guard (the d27
+    discipline). n = d can only happen at the LAST duration (at-risk
+    minus events = censored-here + everyone later), where
+    ln_survival is NULL (S = 0).
+
+    Scale shape: ONE user_id shuffle builds conversion durations
+    (the t0 window and the per-user agg share partitioning — e11
+    argument); durations compress to |distinct days| rows; the
+    running windows over that duration GRID are day-bounded exactly
+    like e19's day-grid windows (documented bounded-domain
+    exception), with the horizon and total as 1-row broadcasts."""
     w_run = Window.orderBy("dur_days").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    risk = (
-        g.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "n",
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)
+    risk = _survival_risk(spark, sf_dir).withColumn(
+        "term",
+        F.when(
+            F.col("n") > F.col("d"),
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
             ),
-        )
-        .withColumn(
-            "term",
-            F.when(
-                F.col("n") > F.col("d"),
-                F.log(
-                    (F.col("n") - F.col("d")).cast("double")
-                    / F.col("n").cast("double")
-                ),
-            ),
-        )
+        ),
     )
     return risk.select(
         "dur_days",
@@ -3169,4 +3181,276 @@ def d45_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ssw / F.expr("CAST(n_total - k AS DOUBLE)"))
         ).alias("f_stat"),
         r6(ssb / sst).alias("eta_sq"),
+    )
+
+
+@register(
+    "d46_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                  - 1 AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice)
+                  + count(*) OVER (PARTITION BY l_returnflag,
+                                   l_extendedprice)
+                  - 1 AS BIGINT) AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx AS HUGEINT)) AS sx,
+             sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM r GROUP BY grp
+    )
+    SELECT grp, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6) + 0.0
+           END AS rho
+    FROM s
+    """,
+    priority="P2",
+)
+def d46_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag — the RANK member of the correlation suite (d30
+    is Pearson on raw cents; Spearman is Pearson on average ranks,
+    robust to monotone transforms and outliers). Ties get average
+    ranks (the fractional-ranking convention), carried as the exact
+    INTEGER 2·rank quantity (avg rank = cum − (cnt−1)/2, so twice it
+    is 2·cum − cnt + 1): every sufficient statistic (Σr, Σr², Σrxry)
+    is an exact integer in decimal(38,0)/HUGEINT, and the scale
+    factor 2 cancels in the correlation. The only floats are the six
+    final casts and the rho arithmetic — mirrored op-for-op in both
+    engines (≤1-ulp cast divergence on >15-digit integers, the d27
+    noise argument), then r6 + signed-zero guard. Degenerate groups
+    (zero rank variance on either side) report NULL rho identically
+    via the den > 0 guard.
+
+    Scale shape: NO full-row sort — per-variable rank MAPS are built
+    on the (grp, value) DISTINCT sets (map-side-combined groupBy,
+    then a running-sum window over the distinct values, slim), and
+    rows join the two maps back by value (two slim shuffle-hash
+    joins, hinted — the maps carry no size stats and must never
+    broadcast at corpus scale). Sufficient stats then collapse in
+    ONE partial+final agg. Integer headroom: 2r ≤ 2N, so Σ(2r)² ≤
+    4N³ — exact in decimal(38,0) to N ≈ 10^11 rows per group; past
+    that switch the sums to scaled doubles (documented swap, same
+    shape)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        cnts = li.groupBy("grp", col).agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return cnts.select(
+            "grp",
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    rows = (
+        li.join(rank_map("x", "rx").hint("shuffle_hash"), ["grp", "x"])
+        .join(rank_map("y", "ry").hint("shuffle_hash"), ["grp", "y"])
+        .select(
+            "grp",
+            F.col("rx").cast("decimal(19,0)").alias("dx"),
+            F.col("ry").cast("decimal(19,0)").alias("dy"),
+        )
+    )
+    s = rows.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    return s.select(
+        "grp",
+        "n",
+        F.when(
+            (denx > 0) & (deny > 0), r6(num / F.sqrt(denx * deny))
+        ).alias("rho"),
+    )
+
+
+@register(
+    "d47_nelson_aalen",
+    oracle=f"""{_O_SURVIVAL_RISK}, terms AS (
+      SELECT dur_days, d, c, n,
+             CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS h,
+             CAST(d AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v
+      FROM risk
+    )
+    SELECT dur_days, CAST(n AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CAST(round(sum(h) OVER (ORDER BY dur_days
+                      ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE)
+             AS cum_hazard,
+           CAST(round(sum(v) OVER (ORDER BY dur_days
+                      ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE)
+             AS var_hazard
+    FROM terms
+    """,
+    priority="P2",
+)
+def d47_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate over the SAME
+    time-to-conversion survival table as d38 (shared construction —
+    :func:`_survival_risk` / :data:`_O_SURVIVAL_RISK` — so the two
+    estimators cannot disagree on censoring or at-risk counts):
+    H(t) = Σ_{{t'≤t}} d/n and its variance estimate Σ d/n². KM
+    (d38) estimates survival by product; NA estimates hazard by sum
+    — preferred for small risk sets and the standard input to
+    hazard-ratio eyeballing. Unlike ln S, H is defined at n = d too
+    (the last-day edge), so the output has no NULL tail.
+
+    Float rule: both running sums accumulate in duration-day order
+    in BOTH engines (identical IEEE add sequence → bit-identical
+    pre-round doubles, the d38 argument); terms are single
+    divisions of exact bigints; r6 on ≥0 sums needs no signed-zero
+    guard. Scale shape: identical to d38 — one user_id shuffle,
+    then day-grid windows over the bounded duration domain."""
+    w_run = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nd = F.col("n").cast("double")
+    risk = (
+        _survival_risk(spark, sf_dir)
+        .withColumn("h", F.col("d").cast("double") / nd)
+        .withColumn("v", F.col("d").cast("double") / (nd * nd))
+    )
+    return risk.select(
+        "dur_days",
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(F.sum("h").over(w_run), 6).cast("double").alias("cum_hazard"),
+        F.round(F.sum("v").over(w_run), 6).cast("double").alias("var_hazard"),
+    )
+
+
+@register(
+    "d48_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_suppkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)
+                      * CAST(100 - CAST(l_discount AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_u
+      FROM lineitem GROUP BY yr, l_suppkey
+    ), ranked AS (
+      SELECT yr, l_suppkey, rev_u,
+             CAST(sum(rev_u) OVER (PARTITION BY yr) AS BIGINT) AS total_u,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY rev_u DESC, l_suppkey) AS rn
+      FROM rev
+    )
+    SELECT yr, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((CAST(rev_u AS DOUBLE) / CAST(total_u AS DOUBLE))
+                     * (CAST(rev_u AS DOUBLE) / CAST(total_u AS DOUBLE))),
+                 6) AS hhi,
+           round(CAST(sum(CASE WHEN rn <= 4 THEN rev_u ELSE 0 END)
+                      AS DOUBLE) / CAST(max(total_u) AS DOUBLE), 6) AS cr4,
+           CAST(max(CASE WHEN rn = 1 THEN l_suppkey END) AS BIGINT)
+             AS top_suppkey,
+           round(CAST(max(CASE WHEN rn = 1 THEN rev_u END) AS DOUBLE)
+                 / CAST(max(total_u) AS DOUBLE), 6) AS top_share
+    FROM ranked GROUP BY yr
+    """,
+    priority="P2",
+)
+def d48_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics of supplier revenue per ship
+    year: Herfindahl–Hirschman index (Σ share², the antitrust
+    screen), CR4 (top-4 suppliers' combined share), and the #1
+    supplier with its share. Revenue is exact integer 10⁻⁴-dollar
+    units (cents × the integer discount complement — both factors
+    recovered via DECIMAL(12,2) first, the d12 product rule), so
+    shares are single IEEE divisions of identical bigints in both
+    engines; HHI's |suppliers|-term float sum carries the d45/d27
+    accumulation-noise argument under r6; CR4/top use exact-integer
+    numerators. Ties rank deterministically by (rev DESC, suppkey).
+
+    Scale shape: ONE (yr, suppkey) map-side-combined partial agg
+    collapses the fact table to |years|×|suppliers| slim rows; the
+    total/rank windows and the final per-year agg all run over that
+    aggregate (a year's partition is |suppliers| rows — bounded).
+    Integer headroom: 10⁻⁴-dollar units overflow bigint around
+    10¹⁴ rows per (yr, supp) cell; past that lift the partial sums
+    to decimal(38,0) (same plan, documented swap)."""
+    rev_u = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        " * CAST(100 - CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    )
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            "l_suppkey",
+            rev_u.alias("u"),
+        )
+        .groupBy("yr", "l_suppkey")
+        .agg(F.sum("u").cast("bigint").alias("rev_u"))
+    )
+    w_yr = Window.partitionBy("yr")
+    w_rank = Window.partitionBy("yr").orderBy(
+        F.col("rev_u").desc(), "l_suppkey"
+    )
+    ranked = rev.select(
+        "yr",
+        "l_suppkey",
+        "rev_u",
+        F.sum("rev_u").over(w_yr).cast("bigint").alias("total_u"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    share = F.col("rev_u").cast("double") / F.col("total_u").cast("double")
+    return ranked.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        r6(F.sum(share * share)).alias("hhi"),
+        r6(
+            F.sum(F.when(F.col("rn") <= 4, F.col("rev_u")).otherwise(0))
+            .cast("double")
+            / F.max("total_u").cast("double")
+        ).alias("cr4"),
+        F.max(F.when(F.col("rn") == 1, F.col("l_suppkey")))
+        .cast("bigint")
+        .alias("top_suppkey"),
+        r6(
+            F.max(F.when(F.col("rn") == 1, F.col("rev_u"))).cast("double")
+            / F.max("total_u").cast("double")
+        ).alias("top_share"),
     )

@@ -10,7 +10,7 @@ driver merge, no full sort, which is the scalable plan at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -210,4 +210,69 @@ def f06_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("d_days") == F.col("dmax"))
         )
         .select("o_orderkey", "cents", "d_days")
+    )
+
+
+@register(
+    "f07_diversified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey)
+                  AS BIGINT) AS per_cust_rank
+      FROM orders
+      QUALIFY per_cust_rank <= 2
+    ), top AS (
+      SELECT * FROM ranked
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    )
+    SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS pos,
+           o_orderkey, o_custkey, o_totalprice, per_cust_rank
+    FROM top
+    """,
+    priority="P2",
+)
+def f07_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified global top-k: the 20 highest-value orders subject
+    to AT MOST 2 PER CUSTOMER — the result-diversity constraint of
+    search/reco serving (a plain top-k can be one whale customer;
+    this one can't). Two-stage plan: a per-customer row_number
+    window (hash-partitioned by customer — fully parallel, no
+    global sort) keeps each customer's best 2, then a global top-20
+    over the survivors compiles to TakeOrderedAndProject (per-
+    partition heaps + driver k-way merge, O(k) memory — the f02
+    shape). Spark's WindowGroupLimit pushes the rn ≤ 2 filter into
+    the window sort, so no customer's full order list materializes.
+    All ties break by order key (contract rule 4); the global
+    position is emitted over the final 20 rows (single tiny
+    partition — post-limit, not a scale concern).
+
+    At 100 TB the survivor set is ≤ 2·|customers| slim rows — the
+    diversity filter is also the shuffle reducer."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w_cust = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    survivors = (
+        o.withColumn(
+            "per_cust_rank", F.row_number().over(w_cust).cast("long")
+        )
+        .filter(F.col("per_cust_rank") <= 2)
+    )
+    top = survivors.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(20)
+    w_pos = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.select(
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "per_cust_rank",
     )

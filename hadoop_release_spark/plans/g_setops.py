@@ -210,3 +210,63 @@ def g08_coalesce_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "price_cents", "src")
     )
+
+
+@register(
+    "g09_symmetric_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN b.o_custkey IS NULL THEN 'only_1996'
+                ELSE 'only_1997' END AS side,
+           coalesce(a.n, b.n) AS n_orders
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+    """,
+    priority="P2",
+)
+def g09_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed symmetric difference with PROVENANCE: customers who
+    ordered in exactly one of 1996/1997, labeled by side, with that
+    year's order count — the churn/acquisition split (EXCEPT gives
+    one direction and drops the why; this gives both directions and
+    a measure in one pass). Both year filters push into the scan;
+    each side is a map-side-combined per-customer partial agg, and
+    the FULL OUTER join consumes the two aggs ALREADY hash-
+    partitioned by customer — Spark reuses the groupBy exchanges,
+    so the join itself adds no shuffle. XOR rows are exactly the
+    null-sided join rows; the both-years majority never leaves the
+    join. At 100 TB: two slim aggregate shuffles of ≤|customers|
+    rows each, no sort, no broadcast needed (and none wanted —
+    both sides are customer-scale)."""
+    o = table(spark, sf_dir, "orders")
+
+    def year_side(yr: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy("o_custkey")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    a = year_side(1996).select(
+        F.col("o_custkey").alias("ck_a"), F.col("n").alias("n_a")
+    )
+    b = year_side(1997).select(
+        F.col("o_custkey").alias("ck_b"), F.col("n").alias("n_b")
+    )
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer").filter(
+        F.col("ck_a").isNull() | F.col("ck_b").isNull()
+    )
+    return j.select(
+        F.coalesce("ck_a", "ck_b").alias("o_custkey"),
+        F.when(F.col("ck_b").isNull(), F.lit("only_1996"))
+        .otherwise(F.lit("only_1997"))
+        .alias("side"),
+        F.coalesce("n_a", "n_b").alias("n_orders"),
+    )

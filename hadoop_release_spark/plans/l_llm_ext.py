@@ -14,7 +14,7 @@ DuckDB — so even hash-based sketches are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -134,15 +134,38 @@ def l12_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles3() -> Column:
+    """Distinct word-3-gram shingle array of ``text`` — the shared
+    shingling rule of l13 (Jaccard verify) and l66 (containment):
+    one definition, so the two similarity measures see the same
+    universe."""
+    toks = F.split(F.col("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+#: DuckDB mirror of :func:`_shingles3` (shared by l13/l66 oracles).
+_O_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),"
+    " i -> string_split(text,' ')[i] || ' ' ||"
+    " string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
+)
+
+
 @register(
     "l13_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-                           i -> string_split(text,' ')[i] || ' ' ||
-                                string_split(text,' ')[i+1] || ' ' ||
-                                string_split(text,' ')[i+2])) AS shingles
+      SELECT doc_id, {_O_SHINGLES3} AS shingles
       FROM documents WHERE doc_id < 50
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -162,16 +185,7 @@ def l13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from LSH/SimHash blocking (l02/l12), never from
     the all-pairs join used here on the bounded demo set."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
-    sh = d.select("doc_id", shingles.alias("shingles"))
+    sh = d.select("doc_id", _shingles3().alias("shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
@@ -2015,4 +2029,122 @@ def l62_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("avg_nll"),
+    )
+
+
+#: l66: shingles seen in more docs than this are boilerplate — they
+#: leave the containment universe (skew guard AND semantics: shared
+#: boilerplate must not make one doc "contain" another, the l28
+#: boilerplate-gram precedent). Bounds any shingle's pair fan-out to
+#: ≤ C(50,2).
+_L66_MAX_DF = 50
+
+#: l66: emit a pair when the smaller shingle set is at least this
+#: contained in the larger (1.0 = exact subset on the rare-shingle
+#: universe).
+_L66_MIN_CONTAINMENT = 0.5
+
+
+@register(
+    "l66_containment_dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_O_SHINGLES3}) AS s
+      FROM documents
+    ), rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= {_L66_MAX_DF}
+    ), shr AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+      FROM shr GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY ia, ib
+    )
+    SELECT ia AS id_a, ib AS id_b, inter AS n_shared,
+           sa.nsh AS n_a, sb.nsh AS n_b,
+           round(CAST(inter AS DOUBLE) / least(sa.nsh, sb.nsh), 3)
+             AS containment,
+           CASE WHEN sa.nsh < sb.nsh THEN ia
+                WHEN sb.nsh < sa.nsh THEN ib
+                ELSE least(ia, ib) END AS contained_id
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = ia
+    JOIN sz sb ON sb.doc_id = ib
+    WHERE CAST(inter AS DOUBLE) / least(sa.nsh, sb.nsh)
+          >= {_L66_MIN_CONTAINMENT}
+    """,
+    priority="P2",
+)
+def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by 3-gram CONTAINMENT —
+    |S_a ∩ S_b| / min(|S_a|, |S_b|) — over the full documents table.
+    Jaccard (l13) misses subset duplication: a doc quoted whole
+    inside a much larger one scores low Jaccard but containment ≈ 1.
+    This is the quote/subset screen of corpus dedup (Broder's
+    containment measure), reporting each qualifying pair with exact
+    shared/size counts, the r3 containment score, and which doc is
+    the contained one (smaller shingle set; ties → smaller id).
+
+    Candidate generation is an INVERTED-INDEX join, never all-pairs:
+    shingles explode to slim (shingle, doc_id) rows, a df ≤ 50
+    frequency guard drops boilerplate shingles (skew
+    bound: any surviving shingle fans out to ≤ C(50,2)
+    pairs — the l28 boilerplate-gram precedent, and ALSO the right
+    semantics: shared boilerplate is not containment, so sizes and
+    intersections both live on the rare-shingle universe), then one
+    shingle-keyed self-join + pair agg counts intersections. Sizes
+    re-attach by doc_id as slim shuffle-hash joins (hinted — at
+    corpus scale nothing here is broadcastable). Text never
+    shuffles: only (shingle, id) and (id, count) rows move. The
+    shared :func:`_shingles3` / ``_O_SHINGLES3`` definition keeps
+    l13 and l66 on one shingling rule."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles3()).alias("s")
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") <= _L66_MAX_DF)
+        .select("s")
+    )
+    # The rare-shingle posting list feeds THREE consumers (sizes and
+    # both join sides); persist it so the explode + df-guard join run
+    # once, not three times (the l02 sketch-table precedent — the
+    # registry wrapper releases the cache at the next query).
+    shr = sh.join(rare.hint("shuffle_hash"), "s").persist()
+    sz = shr.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nsh"))
+    a = shr.select(F.col("doc_id").alias("ia"), "s")
+    b = shr.select(F.col("doc_id").alias("ib"), "s")
+    pairs = (
+        a.join(b.hint("shuffle_hash"), ["s"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("ia"), F.col("nsh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("ib"), F.col("nsh").alias("n_b"))
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b").cast(
+        "double"
+    )
+    return (
+        pairs.join(sa.hint("shuffle_hash"), "ia")
+        .join(sb.hint("shuffle_hash"), "ib")
+        .filter(cont >= _L66_MIN_CONTAINMENT)
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.col("inter").alias("n_shared"),
+            "n_a",
+            "n_b",
+            F.round(cont, 3).alias("containment"),
+            F.when(F.col("n_a") < F.col("n_b"), F.col("ia"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("ib"))
+            .otherwise(F.least("ia", "ib"))
+            .alias("contained_id"),
+        )
     )

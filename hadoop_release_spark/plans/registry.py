@@ -201,10 +201,16 @@ def grading_order(names: list[str]) -> list[str]:
 _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "a19_dynamic_partition_overwrite",
     "d45_anova",
+    "d46_spearman",
+    "d47_nelson_aalen",
+    "d48_concentration",
     "e43_seasonal_adjust",
     "e44_holt_trend",
+    "f07_diversified_topk",
+    "g09_symmetric_diff",
     "j13_stream_token_bucket",
     "l65_temperature_mix",
+    "l66_containment_dedup",
 })
 
 

@@ -72,6 +72,13 @@ HEAVY_TAIL = [
     "e43_seasonal_adjust",
     "e44_holt_trend",
     "l65_temperature_mix",
+    # round-9b additions
+    "d46_spearman",
+    "d47_nelson_aalen",
+    "d48_concentration",
+    "f07_diversified_topk",
+    "g09_symmetric_diff",
+    "l66_containment_dedup",
 ]
 
 SFS = [0.1, 1.0]

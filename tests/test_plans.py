@@ -252,6 +252,9 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
     "l54_kneser_ney": _stats_row("N_types scalar → bigram table"),
     "l57_mlm_masking": _stats_row("vocab-size scalar"),
     "d38_kaplan_meier": _stats_row("data horizon + total (two rows)"),
+    "d47_nelson_aalen": _stats_row(
+        "data horizon + total (two rows; d38's shared _survival_risk)"
+    ),
     "d39_psi_drift": _stats_row("9 decile bounds row"),
     "e39_autocorrelation": _BnljGrant(
         "day-grid × 2-row LAG list broadcast (O(days·2))",

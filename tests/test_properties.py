@@ -3723,3 +3723,376 @@ def test_stale_guard_expression_fires_and_passes(spark):
         )
         with _pytest.raises(Exception, match="unit_test: partition contents"):
             bad.select(F.expr(guard).alias("out")).collect()
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N"]),
+            st.integers(min_value=0, max_value=500),   # price cents (ties!)
+            st.integers(min_value=1, max_value=5),     # qty (heavy ties)
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_spearman_matches_midrank_reference(spark, rows, tmp_path_factory):
+    """d46 vs a pure-Python Spearman: average (mid) ranks per group
+    for both variables, Pearson on the ranks. Integer n exact; rho
+    within the 6dp half-grid of the unrounded reference; degenerate
+    groups (zero rank variance on either side) must report NULL.
+    Also pins the fractional-ranking invariant Σ(2r) = n(n+1)."""
+    import math
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.d_aggregates import d46_spearman
+
+    tmp = tmp_path_factory.mktemp("d46prop")
+    _write_lineitem(str(tmp), rows)
+
+    groups = defaultdict(list)
+    for flag, cents, qty in rows:
+        groups[flag].append((qty, cents))
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    got = {r.grp: r for r in d46_spearman(spark, str(tmp)).collect()}
+    assert set(got) == set(groups)
+    for flag, pairs in groups.items():
+        n = len(pairs)
+        rx = midranks([q for q, _ in pairs])
+        ry = midranks([c for _, c in pairs])
+        assert sum(2 * r for r in rx) == n * (n + 1)
+        r = got[flag]
+        assert r.n == n
+        mx, my = sum(rx) / n, sum(ry) / n
+        denx = sum((a - mx) ** 2 for a in rx)
+        deny = sum((b - my) ** 2 for b in ry)
+        if denx <= 0 or deny <= 0:
+            assert r.rho is None
+        else:
+            ref = sum(
+                (a - mx) * (b - my) for a, b in zip(rx, ry)
+            ) / math.sqrt(denx * deny)
+            assert r.rho is not None
+            assert abs(r.rho - ref) <= 6e-7, (r.rho, ref)
+
+
+@settings(**_SETTINGS)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),   # first view day
+            st.integers(min_value=-1, max_value=12),  # purchase day; <0 = never
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_nelson_aalen_matches_reference(spark, users, tmp_path_factory):
+    """d47 vs a pure-Python Nelson–Aalen estimator over the d38
+    duration rule (shared construction — same planted layouts as
+    the KM property, incl. purchase-before-view censoring): risk
+    sets and event/censor counts exact, H(t) = Σ d/n and
+    Var = Σ d/n² within the r6 grid, and NO NULL tail (H is
+    defined at n == d, unlike ln S)."""
+    from hadoop_release_spark.plans.d_aggregates import d47_nelson_aalen
+
+    day = 86_400
+    rows = []
+    eid = 0
+    for uid, (v, p) in enumerate(users):
+        rows.append((eid, uid, "view", v * day))
+        eid += 1
+        if p >= 0:
+            rows.append((eid, uid, "purchase", p * day))
+            eid += 1
+    tmp = tmp_path_factory.mktemp("d47prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(seconds=r[3]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    got = {r.dur_days: r for r in d47_nelson_aalen(spark, str(tmp)).collect()}
+
+    h = max(r[3] for r in rows) // day
+    durs = []
+    for uid, (v, p) in enumerate(users):
+        if p >= v:
+            durs.append((p - v, 1))
+        else:
+            durs.append((h - v, 0))
+    grid = sorted({d for d, _ in durs})
+    assert set(got) == set(grid)
+    n = len(durs)
+    cum_h = 0.0
+    cum_v = 0.0
+    for t in grid:
+        d_t = sum(1 for d, e in durs if d == t and e)
+        c_t = sum(1 for d, e in durs if d == t and not e)
+        r = got[t]
+        assert (r.n_at_risk, r.d_events, r.c_censored) == (n, d_t, c_t)
+        cum_h += d_t / n
+        cum_v += d_t / (n * n)
+        assert r.cum_hazard is not None and r.var_hazard is not None
+        assert abs(r.cum_hazard - cum_h) <= 6e-7, (r.cum_hazard, cum_h)
+        assert abs(r.var_hazard - cum_v) <= 6e-7, (r.var_hazard, cum_v)
+        n -= d_t + c_t
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),      # suppkey (collisions)
+            st.sampled_from([1996, 1997]),              # ship year
+            st.integers(min_value=100, max_value=99999),  # price cents
+            st.integers(min_value=0, max_value=10),     # discount pct
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_concentration_matches_reference(spark, rows, tmp_path_factory):
+    """d48 vs a pure-Python HHI/CR4 on exact integer revenue units:
+    supplier counts and top_suppkey exact (rev DESC, suppkey tie
+    rule), hhi/cr4/top_share within the 6dp half-grid."""
+    from hadoop_release_spark.plans.d_aggregates import d48_concentration
+
+    tmp = tmp_path_factory.mktemp("d48prop")
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_shipdate": pa.array(
+                [datetime.datetime(r[1], 7, 1) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "l_extendedprice": pa.array(
+                [r[2] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/lineitem.parquet")
+
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for supp, yr, cents, disc in rows:
+        rev[(yr, supp)] += cents * (100 - disc)
+    years = sorted({yr for yr, _ in rev})
+    got = {r.yr: r for r in d48_concentration(spark, str(tmp)).collect()}
+    assert set(got) == set(years)
+    for yr in years:
+        supps = sorted(
+            ((s, u) for (y, s), u in rev.items() if y == yr),
+            key=lambda t: (-t[1], t[0]),
+        )
+        total = sum(u for _, u in supps)
+        r = got[yr]
+        assert r.n_suppliers == len(supps)
+        assert r.top_suppkey == supps[0][0]
+        hhi = sum((u / total) ** 2 for _, u in supps)
+        cr4 = sum(u for _, u in supps[:4]) / total
+        assert abs(r.hhi - hhi) <= 6e-7, (r.hhi, hhi)
+        assert abs(r.cr4 - cr4) <= 6e-7, (r.cr4, cr4)
+        assert abs(r.top_share - supps[0][1] / total) <= 6e-7
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),        # custkey
+            st.integers(min_value=0, max_value=2000),     # price cents (ties)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_diversified_topk_semantics(spark, rows, tmp_path_factory):
+    """f07 vs the literal rule: sort all orders by (price DESC, key),
+    keep each customer's best 2, take the first 20 — EXACT match on
+    every output column including positions and per-customer
+    ranks."""
+    from hadoop_release_spark.plans.f_sorts import f07_diversified_topk
+
+    tmp = tmp_path_factory.mktemp("f07prop")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_totalprice": pa.array(
+                [r[1] / 100.0 for r in rows], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+
+    by_price = sorted(
+        ((cents, ok, ck) for ok, (ck, cents) in enumerate(rows)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    seen: dict[int, int] = {}
+    expected = []
+    for cents, ok, ck in by_price:
+        seen[ck] = seen.get(ck, 0) + 1
+        if seen[ck] <= 2:
+            expected.append((ok, ck, cents, seen[ck]))
+        if len(expected) == 20:
+            break
+    got = sorted(
+        f07_diversified_topk(spark, str(tmp)).collect(),
+        key=lambda r: r.pos,
+    )
+    assert len(got) == len(expected)
+    for pos, (r, (ok, ck, cents, rn)) in enumerate(zip(got, expected), 1):
+        assert r.pos == pos
+        assert (r.o_orderkey, r.o_custkey, r.per_cust_rank) == (ok, ck, rn)
+        assert round(r.o_totalprice * 100) == cents
+
+
+@settings(**_SETTINGS)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),  # custkey
+            st.sampled_from([1996, 1997]),           # year
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_symmetric_diff_is_exact_xor(spark, orders, tmp_path_factory):
+    """g09 vs the set rule: exactly the customers active in one year
+    but not the other, labeled with the right side and that year's
+    exact order count; both-year and no-year customers absent."""
+    from hadoop_release_spark.plans.g_setops import g09_symmetric_diff
+
+    tmp = tmp_path_factory.mktemp("g09prop")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in orders], pa.int64()),
+            "o_orderdate": pa.array(
+                [datetime.date(y, 3, 15) for _, y in orders]
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+
+    from collections import Counter
+
+    n96 = Counter(c for c, y in orders if y == 1996)
+    n97 = Counter(c for c, y in orders if y == 1997)
+    expected = {
+        c: ("only_1996", n96[c]) for c in n96 if c not in n97
+    } | {c: ("only_1997", n97[c]) for c in n97 if c not in n96}
+    got = {
+        r.o_custkey: (r.side, r.n_orders)
+        for r in g09_symmetric_diff(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_matches_set_reference(spark, docs, tmp_path_factory):
+    """l66 vs a pure-Python set reference: per-doc distinct 3-gram
+    shingles, the df ≤ 50 universe (never binding at ≤12 docs),
+    containment = |∩| / min sizes with the ≥ 0.5 emit rule — exact
+    counts, half-away r3 scores, and the contained-id tie rule."""
+    from hadoop_release_spark.functions.contracts import py_round_half_away
+    from hadoop_release_spark.plans.l_llm_ext import l66_containment_dedup
+
+    tmp = tmp_path_factory.mktemp("l66prop")
+    texts = [" ".join(words) for words in docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["gen"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    shingle_sets = [
+        {
+            " ".join(words[i : i + 3])
+            for i in range(len(words) - 2)
+        }
+        for words in docs
+    ]
+    expected = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            cont = inter / min(len(sa), len(sb))
+            if cont < 0.5:
+                continue
+            if len(sa) < len(sb):
+                cid = a
+            elif len(sb) < len(sa):
+                cid = b
+            else:
+                cid = a
+            expected[(a, b)] = (
+                inter,
+                len(sa),
+                len(sb),
+                float(py_round_half_away(cont, 3)),
+                cid,
+            )
+    got = {
+        (r.id_a, r.id_b): (
+            r.n_shared,
+            r.n_a,
+            r.n_b,
+            r.containment,
+            r.contained_id,
+        )
+        for r in l66_containment_dedup(spark, str(tmp)).collect()
+    }
+    assert got == expected

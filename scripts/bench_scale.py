@@ -103,10 +103,17 @@ def _ensure_fixtures() -> dict[float, str]:
 
 def main() -> None:
     rounds = 1 if "--quick" in sys.argv else 2
+    # Optional name-prefix filter: measure only the matching heavy-
+    # tail queries and MERGE their rows into the existing
+    # SCALE_REHEARSAL.json (so adding a round's new ops doesn't
+    # force a full re-measurement of the carried record).
+    prefixes = tuple(a for a in sys.argv[1:] if not a.startswith("--"))
     dirs = _ensure_fixtures()
     spark = get_session("hadoop-release-spark-bench-scale")
     available = all_queries()
     names = [n for n in HEAVY_TAIL if n in available]
+    if prefixes:
+        names = [n for n in names if n.startswith(prefixes)]
 
     # Warmup both scales' parquet footers + codegen once.
     for sf in SFS:
@@ -134,6 +141,11 @@ def main() -> None:
         "row_ratio": 10.0,
         "queries": {},
     }
+    out = REPO / "SCALE_REHEARSAL.json"
+    if prefixes and out.exists():
+        # Filtered run: keep the carried record's rows for everything
+        # not re-measured here.
+        report["queries"] = json.loads(out.read_text()).get("queries", {})
     for name in names:
         med = {
             sf: round(statistics.median(samples[sf][name]), 3) for sf in SFS
@@ -151,7 +163,6 @@ def main() -> None:
         }
         print(f"{name}: {med[0.1]}s -> {med[1.0]}s  ({ratio}x)", file=sys.stderr)
 
-    out = REPO / "SCALE_REHEARSAL.json"
     out.write_text(json.dumps(report, indent=1) + "\n")
     print(json.dumps(report))
     spark.stop()

@@ -101,6 +101,11 @@ HEADLINE = [
     "d48_concentration",      # per-year HHI/CR4 supplier concentration
     "f07_diversified_topk",   # top-20 with a 2-per-customer cap
     "l66_containment_dedup",  # inverted-index 3-gram containment pairs
+    # round-9c flagships (this session)
+    "d49_jensen_shannon",     # pairwise source-drift JSD matrix
+    "d50_mann_kendall",       # tie-corrected monotonic-trend test
+    "e45_changepoint",        # CUSUM argmax level-shift split
+    "l67_dsir_weights",       # DSIR hashed-ngram importance weights
 ]
 
 

@@ -3454,3 +3454,316 @@ def d48_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("total_u").cast("double")
         ).alias("top_share"),
     )
+
+
+def _o_d49() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN n_chars > b{k} THEN 1 ELSE 0 END" for k in range(1, 10)
+    )
+    # the JS term, token-for-token the Spark expression tree
+    term = (
+        "0.5 * a.pr * ln(2 * a.pr / (a.pr + b.pr)) "
+        "+ 0.5 * b.pr * ln(2 * b.pr / (a.pr + b.pr))"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), pp AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS w
+      FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cumw,
+             sum(w) OVER () AS total
+      FROM pp
+    ), bounds AS (
+      SELECT
+        {", ".join(
+            f"min(CASE WHEN cumw * {_D39_BUCKETS} >= total * {k} "
+            f"THEN v END) AS b{k}" for k in range(1, 10)
+        )}
+      FROM cum
+    ), bucketed AS (
+      SELECT d.source, {bucket} AS bucket
+      FROM documents d CROSS JOIN bounds
+    ), grid AS (
+      SELECT c.source, g.g AS bucket
+      FROM counts c, unnest(range(0, {_D39_BUCKETS})) AS g(g)
+    ), per AS (
+      SELECT g.source, g.bucket,
+             CAST(count(b.bucket) AS BIGINT) AS nb
+      FROM grid g LEFT JOIN bucketed b
+        ON g.source = b.source AND g.bucket = b.bucket
+      GROUP BY g.source, g.bucket
+    ), probs AS (
+      SELECT p.source, p.bucket,
+             CAST(p.nb + 1 AS DOUBLE)
+             / CAST(c.n + {_D39_BUCKETS} AS DOUBLE) AS pr
+      FROM per p JOIN counts c ON p.source = c.source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(round(sum({term}) + 0.0, 6) AS DOUBLE) AS jsd
+    FROM probs a
+    JOIN probs b ON a.bucket = b.bucket AND a.source < b.source
+    JOIN counts ca ON a.source = ca.source
+    JOIN counts cb ON b.source = cb.source
+    GROUP BY a.source, b.source, ca.n, cb.n
+    """
+
+
+@register("d49_jensen_shannon", oracle=_o_d49(), priority="P2")
+def d49_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence matrix of document-length
+    distributions between ALL source pairs — the SYMMETRIC, bounded
+    member of the drift suite (d39's PSI is anchored to one
+    reference source and unbounded; JSD is symmetric in (P,Q) and
+    capped at ln 2, so pair scores are comparable across the whole
+    matrix — the corpus-similarity heatmap a mixing decision reads).
+    Distributions share ONE global length-decile grid (the d23/d26
+    lower-quantile rule over ALL documents — a common support, so a
+    pair's JSD never depends on which of the two is "reference"),
+    Laplace-+1 smoothed exactly like d39.
+
+    Float rule: p and q are single divisions of exact bigints; the
+    JS term 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q)) is one shared
+    IEEE tree token-for-token in both engines; the sum spans exactly
+    10 buckets (d27 order-noise argument) and is ≥ 0 up to that
+    noise — r6 with the +0.0 signed-zero guard (identical-
+    distribution pairs land exactly on 0.0).
+
+    Scale shape: the decile window runs over |distinct lengths|
+    (value-grid bounded, the e19 exception); bucket assignment is a
+    per-row CASE chain fused onto the scan via the 1-row bounds
+    broadcast (granted, d39's row); per-(source, bucket) counts
+    map-side combine; the pair join runs on the |sources|×10
+    PROBABILITY table — |sources|²·10 rows forever (source is a
+    bounded domain), never on documents. One fact scan total."""
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    pp = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("w"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pp.select(
+        F.col("n_chars").alias("v"),
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cumw") * _D39_BUCKETS >= F.col("total") * k,
+                    F.col("v"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bucket_expr = None
+    for k in range(1, 10):
+        t = F.when(F.col("n_chars") > F.col(f"b{k}"), 1).otherwise(0)
+        bucket_expr = t if bucket_expr is None else bucket_expr + t
+    bucketed = d.crossJoin(F.broadcast(bounds)).select(
+        "source", bucket_expr.alias("bucket")
+    )
+    grid = counts.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(_D39_BUCKETS - 1))).alias(
+            "bucket"
+        ),
+    )
+    per = grid.join(
+        bucketed.groupBy("source", "bucket").agg(
+            F.count("*").cast("long").alias("nb0")
+        ),
+        ["source", "bucket"],
+        "left",
+    ).select(
+        "source",
+        "bucket",
+        F.coalesce("nb0", F.lit(0)).cast("long").alias("nb"),
+    )
+    probs = per.join(counts, "source").select(
+        "source",
+        "bucket",
+        (
+            (F.col("nb") + 1).cast("double")
+            / (F.col("n") + _D39_BUCKETS).cast("double")
+        ).alias("pr"),
+    )
+    a = probs.select(
+        F.col("source").alias("src_a"),
+        "bucket",
+        F.col("pr").alias("pa"),
+    )
+    b = probs.select(
+        F.col("source").alias("src_b"),
+        "bucket",
+        F.col("pr").alias("pb"),
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    term = F.lit(0.5) * pa * F.log(F.lit(2.0) * pa / (pa + pb)) + F.lit(
+        0.5
+    ) * pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    ca = counts.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(ca, "src_a")
+        .join(cb, "src_b")
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            (F.round(F.sum(term) + F.lit(0.0), 6))
+            .cast("double")
+            .alias("jsd")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "jsd",
+        )
+    )
+
+
+_O_D50 = f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {86400 * 1_000_000} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), s_agg AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.cents > a.cents THEN 1
+                                    WHEN b.cents < a.cents THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.day_id < b.day_id
+    ), n_agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+    ), tie_agg AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+            GROUP BY cents)
+    ), stats AS (
+      SELECT n, s, n * (n - 1) * (2 * n + 5) - tie_term AS var18
+      FROM s_agg CROSS JOIN n_agg CROSS JOIN tie_agg
+    )
+    SELECT n AS n_days, s AS s_stat, var18,
+           CASE WHEN var18 > 0 THEN
+             CAST(round(CASE
+               WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               ELSE 0.0 END + 0.0, 6) AS DOUBLE)
+           END AS z,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stats
+    """
+
+
+@register("d50_mann_kendall", oracle=_O_D50, priority="P2")
+def d50_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily total revenue —
+    the significance twin of d43's Theil–Sen estimator (d43 answers
+    "how steep?"; MK answers "is there a trend at all?", the pairing
+    every environmental/ops trend report ships): S = Σ_{i<j}
+    sign(x_j − x_i), Var(S) with the tie correction
+    [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected Z = (S∓1)/√Var.
+
+    Determinism: S, n, and the variance NUMERATOR var18 are exact
+    bigints (the calendar bounds n forever, so n³ never threatens
+    bigint); Z is one shared IEEE tree — a single division of
+    (S∓1) by the correctly-rounded sqrt of var18/18.0 — r6 with the
+    +0.0 signed-zero guard; Z is NULL (not ±inf) when every day
+    ties (var18 = 0). The trend label derives from exact S only.
+
+    Scale shape: one map-side-combined day agg collapses events to
+    the calendar-bounded GRID; the |days|² sign pair join is d43's
+    granted bounded-domain exception (the day grid, never raw
+    rows); ties and n are grid re-aggs; the three 1-row stats
+    frames cross-join at O(1). Sub-day grains exit to d44's
+    bin-bucketed pair shape (same documented condition as d43)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    a = daily.select(
+        F.col("day_id").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("day_id").alias("db"), F.col("cents").alias("cb")
+    )
+    sign = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    s_agg = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(F.coalesce(F.sum(sign), F.lit(0)).cast("long").alias("s"))
+    )
+    n_agg = daily.agg(F.count("*").cast("long").alias("n"))
+    t = F.col("t")
+    tie_agg = (
+        daily.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    stats = (
+        s_agg.crossJoin(F.broadcast(n_agg))
+        .crossJoin(F.broadcast(tie_agg))
+        .select(
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    denom = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z_raw = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / denom)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return stats.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.round(z_raw + F.lit(0.0), 6).cast("double"),
+        ).alias("z"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

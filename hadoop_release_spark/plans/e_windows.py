@@ -3012,3 +3012,119 @@ def e44_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "level double, trend double, forecast_next double"
         ),
     )
+
+
+#: e45 — CUSUM change-point scale: the deviation products N·S_k and
+#: k·S_N are formed in decimal(38,0)/HUGEINT (bigint overflows once
+#: |days| × total-cents passes ~9·10^18 — already plausible at
+#: cluster scale), compared exactly, and never emitted.
+_O_E45 = f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT day_id,
+             CAST(row_number() OVER (ORDER BY day_id) AS BIGINT) AS k,
+             CAST(sum(cents) OVER (ORDER BY day_id) AS BIGINT) AS s_k,
+             CAST(count(*) OVER () AS BIGINT) AS n_days,
+             CAST(sum(cents) OVER () AS BIGINT) AS s_n
+      FROM daily
+    ), cand AS (
+      SELECT day_id, k, s_k, n_days, s_n,
+             abs(CAST(n_days AS HUGEINT) * s_k
+                 - CAST(k AS HUGEINT) * s_n) AS dev
+      FROM cum WHERE k < n_days
+    ), best AS (
+      SELECT *, row_number() OVER (ORDER BY dev DESC, day_id) AS rn
+      FROM cand
+    )
+    SELECT day_id AS split_day_id, n_days,
+           k AS n_before, n_days - k AS n_after,
+           CAST(round(CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                AS DOUBLE) AS mean_before_cents,
+           CAST(round(CAST(s_n - s_k AS DOUBLE)
+                      / CAST(n_days - k AS DOUBLE), 6)
+                AS DOUBLE) AS mean_after_cents,
+           CAST(round(CAST(s_n - s_k AS DOUBLE)
+                      / CAST(n_days - k AS DOUBLE)
+                      - CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) + 0.0, 6)
+                AS DOUBLE) AS shift_cents
+    FROM best WHERE rn = 1
+    """
+
+
+@register("e45_changepoint", oracle=_O_E45, priority="P2")
+def e45_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point in daily total revenue — the CUSUM
+    estimator (Page's statistic / Pettitt's location form): the
+    split day k maximizing |Σ_{i≤k}(x_i − x̄)|, i.e. where the
+    cumulative deviation from the global mean peaks — the first cut
+    of binary segmentation and the "when did the level shift?"
+    primitive behind deploy/incident forensics (e26's CUSUM drifts
+    chart the statistic; this op COMMITS to the argmax split and
+    reports both regimes). Emits one row: the split day (last day
+    of the left regime), segment sizes, and both regime means.
+
+    Determinism: the deviation is kept UNNORMALIZED and integer —
+    N·S_k − k·S_N in exact decimal(38,0)/HUGEINT (multiplying by N
+    clears the x̄ = S_N/N fraction, so the argmax never touches a
+    float), ties broken on the earlier day; only the three reported
+    means/shift are single IEEE divisions of exact bigints, r6
+    (shift with the +0.0 signed-zero guard).
+
+    Scale shape: one map-side-combined day agg collapses events to
+    the calendar-bounded GRID; the running-sum and total windows and
+    the argmax rank all run over that grid (the e19 exception —
+    window input is |days| rows forever); per-entity variants
+    partition every window by the entity key. No second fact scan,
+    no join at all."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w_ord = Window.orderBy("day_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    DEC = "decimal(38,0)"
+    cum = daily.select(
+        "day_id",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("cents").over(w_cum).cast("long").alias("s_k"),
+        F.count("*").over(w_all).cast("long").alias("n_days"),
+        F.sum("cents").over(w_all).cast("long").alias("s_n"),
+    )
+    dev = F.abs(
+        F.col("n_days").cast(DEC) * F.col("s_k")
+        - F.col("k").cast(DEC) * F.col("s_n")
+    )
+    cand = cum.filter(F.col("k") < F.col("n_days")).withColumn("dev", dev)
+    best = cand.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("dev"), "day_id"))
+    ).filter(F.col("rn") == 1)
+    kd = F.col("k").cast("double")
+    rd = (F.col("n_days") - F.col("k")).cast("double")
+    mean_b = F.col("s_k").cast("double") / kd
+    mean_a = (F.col("s_n") - F.col("s_k")).cast("double") / rd
+    return best.select(
+        F.col("day_id").alias("split_day_id"),
+        "n_days",
+        F.col("k").alias("n_before"),
+        (F.col("n_days") - F.col("k")).alias("n_after"),
+        F.round(mean_b, 6).cast("double").alias("mean_before_cents"),
+        F.round(mean_a, 6).cast("double").alias("mean_after_cents"),
+        F.round(mean_a - mean_b + F.lit(0.0), 6)
+        .cast("double")
+        .alias("shift_cents"),
+    )

@@ -2148,3 +2148,192 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_id"),
         )
     )
+
+
+#: l67 — DSIR hashed-feature space: 128 buckets is the contract
+#: constant (the paper uses 10⁴ hashed n-gram buckets; the BUCKET
+#: COUNT is a quality knob, not a scale knob — the dataflow is
+#: identical at any B, and 128 keeps the grid readable in tests).
+_L67_B = 128
+
+
+def _o_l67() -> str:
+    return f"""
+    WITH lc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), tgt AS (
+      SELECT lang AS target_lang FROM lc ORDER BY n DESC, lang LIMIT 1
+    ), toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ), btoks AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT AS BIGINT)
+               % {_L67_B} AS bucket
+      FROM toks
+    ), raw AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS nb FROM btoks
+      GROUP BY bucket
+    ), tgtb AS (
+      SELECT b.bucket, CAST(count(*) AS BIGINT) AS nb
+      FROM btoks b CROSS JOIN tgt t WHERE b.lang = t.target_lang
+      GROUP BY b.bucket
+    ), grid AS (
+      SELECT g.g AS bucket FROM unnest(range(0, {_L67_B})) AS g(g)
+    ), lr AS (
+      SELECT g.bucket,
+             ln((CAST(coalesce(t.nb, 0) + 1 AS DOUBLE)
+                 / CAST(tn.n + {_L67_B} AS DOUBLE))
+                / (CAST(coalesce(r.nb, 0) + 1 AS DOUBLE)
+                   / CAST(rn.n + {_L67_B} AS DOUBLE))) AS lr
+      FROM grid g
+      LEFT JOIN tgtb t ON g.bucket = t.bucket
+      LEFT JOIN raw r ON g.bucket = r.bucket
+      CROSS JOIN (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n
+                  FROM tgtb) tn
+      CROSS JOIN (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n
+                  FROM raw) rn
+    ), perdoc AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(l.lr) AS s
+      FROM btoks b JOIN lr l ON b.bucket = l.bucket
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(round(coalesce(p.s, 0.0) + 0.0, 6) AS DOUBLE) AS logw,
+           CAST(CASE WHEN d.lang = t.target_lang THEN 1 ELSE 0 END
+                AS INT) AS in_target
+    FROM documents d
+    LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    CROSS JOIN tgt t
+    """
+
+
+@register("l67_dsir_weights", oracle=_o_l67(), priority="P2")
+def l67_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed unigram profile is —
+    log w(d) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] —
+    the published recipe for selecting pretraining data that matches
+    a target distribution without training a model. Target = the
+    largest language group (ties by code — d39's reference-selection
+    rule); features = lowercased letter runs hashed md5→{_L67_B}
+    buckets (the portable hash, l11's rule); both distributions
+    Laplace-+1 smoothed over the bucket grid so empty buckets stay
+    finite. The FULL scored table is emitted (l48 discipline) so the
+    selection threshold / resampling step is a free downstream
+    filter.
+
+    Float rule: bucket log-ratios are one shared IEEE tree over
+    exact bigint counts; the per-doc sum spans that doc's tokens
+    (order noise ~1e-13 ≪ the 5e-7 half-grid — the d27 argument),
+    r6 with the +0.0 signed-zero guard; token counts exact.
+
+    Scale shape: ONE token explode feeds three map-side-combined
+    aggs — per-bucket raw counts ({_L67_B} rows), per-bucket target
+    counts (a broadcast equi-join on the 1-row target lang first),
+    and the per-doc (doc_id) sum after a {_L67_B}-row broadcast
+    log-ratio lookup — so the only corpus-sized shuffle is the
+    per-doc agg of slim (doc_id, lr) rows; text never shuffles.
+    Totals fold in as unpartitioned windows over the {_L67_B}-row
+    grid (the l29 aggregate-table pattern). At 100 TB the bucket
+    grid is a constant and every stage stays one pass."""
+    d = table(spark, sf_dir, "documents")
+    lc = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tgt = (
+        lc.orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("target_lang"))
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    btoks = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _L67_B
+        ).alias("bucket"),
+    )
+    raw = btoks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("nb_r")
+    )
+    tgtb = (
+        btoks.join(
+            F.broadcast(tgt), btoks.lang == F.col("target_lang")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("nb_t"))
+    )
+    grid = spark.range(_L67_B).select(F.col("id").cast("long").alias("bucket"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = (
+        grid.join(tgtb, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("nb_t", F.lit(0)).cast("long").alias("nb_t"),
+            F.coalesce("nb_r", F.lit(0)).cast("long").alias("nb_r"),
+        )
+        .withColumn(
+            "n_t", F.sum("nb_t").over(w_all).cast("long")
+        )
+        .withColumn(
+            "n_r", F.sum("nb_r").over(w_all).cast("long")
+        )
+    )
+    lr = joined.select(
+        "bucket",
+        F.log(
+            (
+                (F.col("nb_t") + 1).cast("double")
+                / (F.col("n_t") + _L67_B).cast("double")
+            )
+            / (
+                (F.col("nb_r") + 1).cast("double")
+                / (F.col("n_r") + _L67_B).cast("double")
+            )
+        ).alias("lr"),
+    )
+    perdoc = (
+        btoks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr").alias("s"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(perdoc, "doc_id", "left")
+        .join(
+            F.broadcast(tgt),
+            F.col("lang") == F.col("target_lang"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("s", F.lit(0.0)) + F.lit(0.0), 6)
+            .cast("double")
+            .alias("logw"),
+            F.when(F.col("target_lang").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_target"),
+        )
+    )

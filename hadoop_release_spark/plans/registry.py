@@ -204,13 +204,17 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d46_spearman",
     "d47_nelson_aalen",
     "d48_concentration",
+    "d49_jensen_shannon",
+    "d50_mann_kendall",
     "e43_seasonal_adjust",
     "e44_holt_trend",
+    "e45_changepoint",
     "f07_diversified_topk",
     "g09_symmetric_diff",
     "j13_stream_token_bucket",
     "l65_temperature_mix",
     "l66_containment_dedup",
+    "l67_dsir_weights",
 })
 
 

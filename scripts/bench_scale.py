@@ -79,6 +79,11 @@ HEAVY_TAIL = [
     "f07_diversified_topk",
     "g09_symmetric_diff",
     "l66_containment_dedup",
+    # round-9c additions
+    "d49_jensen_shannon",
+    "d50_mann_kendall",
+    "e45_changepoint",
+    "l67_dsir_weights",
 ]
 
 SFS = [0.1, 1.0]

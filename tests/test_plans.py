@@ -256,6 +256,18 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "data horizon + total (two rows; d38's shared _survival_risk)"
     ),
     "d39_psi_drift": _stats_row("9 decile bounds row"),
+    "d50_mann_kendall": _BnljGrant(
+        "day-grid × day-grid sign pair join over the DAILY aggregate "
+        "(calendar-bounded |days|² — d43's granted bounded-domain "
+        "exception) + three 1-row stats frames cross-joined at O(1)",
+        "the grid stops being calendar-bounded (sub-day grain) → "
+        "d44's bin-bucketed pair shape",
+    ),
+    "d49_jensen_shannon": _stats_row(
+        "9 GLOBAL decile bounds row (d39's grant; the pair join "
+        "itself is an equi-join on the bucket over the "
+        "|sources|×10 probability aggregate)"
+    ),
     "e39_autocorrelation": _BnljGrant(
         "day-grid × 2-row LAG list broadcast (O(days·2))",
         "lag list stops being a constant few rows → unpivot + "

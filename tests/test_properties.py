@@ -4096,3 +4096,302 @@ def test_containment_matches_set_reference(spark, docs, tmp_path_factory):
         for r in l66_containment_dedup(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),         # source
+            st.integers(min_value=1, max_value=400),     # n_chars
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_jensen_shannon_matches_reference(spark, rows, tmp_path_factory):
+    """d49 vs a pure-Python JSD over the same global lower-decile
+    grid: pair keys and doc counts exact, jsd within the 6dp
+    half-grid, symmetric by construction (upper triangle only), and
+    0 ≤ jsd ≤ ln 2 + grid noise."""
+    import math
+
+    from hadoop_release_spark.plans.d_aggregates import d49_jensen_shannon
+
+    tmp = tmp_path_factory.mktemp("d49prop")
+    tbl = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows]),
+            "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    # global lower-decile bounds: b_k = min{v : cum(v)*10 >= N*k}
+    from collections import Counter, defaultdict
+
+    vals = sorted(Counter(r[1] for r in rows).items())
+    total = len(rows)
+    bounds = []
+    for k in range(1, 10):
+        cum = 0
+        bk = None
+        for v, w in vals:
+            cum += w
+            if cum * 10 >= total * k:
+                bk = v
+                break
+        bounds.append(bk)
+
+    def bucket(v: int) -> int:
+        return sum(1 for b in bounds if v > b)
+
+    nb = defaultdict(int)
+    n_src = Counter(r[0] for r in rows)
+    for s, v in rows:
+        nb[(s, bucket(v))] += 1
+
+    def p(s: str, b: int) -> float:
+        return (nb[(s, b)] + 1) / (n_src[s] + 10)
+
+    sources = sorted(n_src)
+    expected = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            jsd = sum(
+                0.5 * p(sa, b) * math.log(2 * p(sa, b) / (p(sa, b) + p(sb, b)))
+                + 0.5 * p(sb, b) * math.log(2 * p(sb, b) / (p(sa, b) + p(sb, b)))
+                for b in range(10)
+            )
+            expected[(sa, sb)] = jsd
+
+    got = {
+        (r.src_a, r.src_b): r
+        for r in d49_jensen_shannon(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expected)
+    for (sa, sb), r in got.items():
+        assert (r.n_a, r.n_b) == (n_src[sa], n_src[sb])
+        assert abs(r.jsd - expected[(sa, sb)]) <= 6e-7, (
+            r.jsd,
+            expected[(sa, sb)],
+        )
+        assert -6e-7 <= r.jsd <= math.log(2) + 6e-7
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),      # day offset
+            st.integers(min_value=-5000, max_value=5000),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda rs: len({d for d, _ in rs}) >= 2)
+)
+def test_changepoint_matches_reference(spark, days, tmp_path_factory):
+    """e45 vs the literal CUSUM rule: daily sums, argmax of
+    |N·S_k − k·S_N| with the earlier-day tie-break, split day and
+    both segment sizes EXACT, means within the 6dp half-grid."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.e_windows import e45_changepoint
+
+    tmp = tmp_path_factory.mktemp("e45prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(days=d, hours=3) for d, _ in days],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(["purchase"] * len(days)),
+            "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+            "props": pa.array(["{}"] * len(days)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    daily = defaultdict(int)
+    for d, c in days:
+        daily[d] += c
+    grid = sorted(daily)
+    n = len(grid)
+    s_n = sum(daily.values())
+    best = None  # (dev, day, k, s_k) with max dev, earliest day
+    s_k = 0
+    for k, day in enumerate(grid, start=1):
+        s_k += daily[day]
+        if k >= n:
+            break
+        dev = abs(n * s_k - k * s_n)
+        if best is None or dev > best[0]:
+            best = (dev, day, k, s_k)
+
+    [r] = e45_changepoint(spark, str(tmp)).collect()
+    _, day, k, sk = best
+    assert (r.n_days, r.n_before, r.n_after) == (n, k, n - k)
+    # the op reports absolute epoch days; fixture days are offsets
+    # from T0
+    epoch0 = int(
+        (T0 - datetime.datetime(1970, 1, 1)).total_seconds() // 86400
+    )
+    assert r.split_day_id == epoch0 + day
+    assert abs(r.mean_before_cents - sk / k) <= 6e-7
+    assert abs(r.mean_after_cents - (s_n - sk) / (n - k)) <= 6e-7
+    assert abs(r.shift_cents - ((s_n - sk) / (n - k) - sk / k)) <= 2e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),  # lang
+            st.lists(
+                st.sampled_from(
+                    ["alpha", "beta", "Gamma", "delta42", "x", "zz-top"]
+                ),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dsir_weights_match_reference(spark, docs, tmp_path_factory):
+    """l67 vs a pure-Python DSIR replay: the md5 bucket hash, the
+    largest-lang target rule, Laplace-smoothed bucket log-ratios and
+    per-doc sums — n_tokens/in_target exact, logw within the 6dp
+    half-grid."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L67_B,
+        l67_dsir_weights,
+    )
+
+    tmp = tmp_path_factory.mktemp("l67prop")
+    texts = [" ".join(words) for _, words in docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([lang for lang, _ in docs]),
+            "source": pa.array(["s0"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    def buckets(text: str) -> list[int]:
+        return [
+            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _L67_B
+            for tok in re.findall(r"[a-z]+", text.lower())
+        ]
+
+    langs = Counter(lang for lang, _ in docs)
+    target = sorted(langs.items(), key=lambda t: (-t[1], t[0]))[0][0]
+    raw = defaultdict(int)
+    tgt = defaultdict(int)
+    per_doc = []
+    for (lang, _), text in zip(docs, texts):
+        bs = buckets(text)
+        per_doc.append(bs)
+        for b in bs:
+            raw[b] += 1
+            if lang == target:
+                tgt[b] += 1
+    n_r = sum(raw.values())
+    n_t = sum(tgt.values())
+    lr = {
+        b: math.log(
+            ((tgt[b] + 1) / (n_t + _L67_B)) / ((raw[b] + 1) / (n_r + _L67_B))
+        )
+        for b in range(_L67_B)
+    }
+
+    got = {r.doc_id: r for r in l67_dsir_weights(spark, str(tmp)).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, (lang, _) in enumerate(docs):
+        r = got[i]
+        assert r.lang == lang
+        assert r.n_tokens == len(per_doc[i])
+        assert r.in_target == int(lang == target)
+        expected = sum(lr[b] for b in per_doc[i])
+        assert abs(r.logw - expected) <= 6e-7, (r.logw, expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),      # day offset
+            st.integers(min_value=-300, max_value=300),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_mann_kendall_matches_reference(spark, days, tmp_path_factory):
+    """d50 vs the literal pure-Python MK rule: S, n, var18 and the
+    trend label exact; Z within the 6dp half-grid (or NULL when all
+    days tie)."""
+    import math
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.d_aggregates import d50_mann_kendall
+
+    tmp = tmp_path_factory.mktemp("d50prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(days=d, hours=5) for d, _ in days],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(["view"] * len(days)),
+            "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+            "props": pa.array(["{}"] * len(days)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    daily = defaultdict(int)
+    for d, c in days:
+        daily[d] += c
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = defaultdict(int)
+    for x in xs:
+        ties[x] += 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+
+    [r] = d50_mann_kendall(spark, str(tmp)).collect()
+    assert (r.n_days, r.s_stat, r.var18) == (n, s, var18)
+    assert r.trend == (
+        "increasing" if s > 0 else "decreasing" if s < 0 else "no_trend"
+    )
+    if var18 <= 0:
+        assert r.z is None
+    else:
+        zref = (
+            (s - 1) / math.sqrt(var18 / 18.0)
+            if s > 0
+            else (s + 1) / math.sqrt(var18 / 18.0)
+            if s < 0
+            else 0.0
+        )
+        assert abs(r.z - zref) <= 6e-7, (r.z, zref)

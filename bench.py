@@ -105,7 +105,9 @@ HEADLINE = [
     "d49_jensen_shannon",     # pairwise source-drift JSD matrix
     "d50_mann_kendall",       # tie-corrected monotonic-trend test
     "e45_changepoint",        # CUSUM argmax level-shift split
+    "e46_seasonal_strength",  # Hyndman strength-of-seasonality/trend
     "l67_dsir_weights",       # DSIR hashed-ngram importance weights
+    "l68_minhash_calibration",  # MinHash estimate vs exact Jaccard
 ]
 
 

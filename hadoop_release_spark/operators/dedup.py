@@ -398,3 +398,145 @@ def connected_components_min_label(
             f"exceeds the iteration budget — raise max_iters"
         )
     return labels.withColumnRenamed("node", id_col)
+
+
+def lsh_pair_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = LSH_SHINGLE_K,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate set: for
+    every banded candidate pair, the signature-agreement estimate
+    ĵ = |{i : sig_a[i] = sig_b[i]}| / num_hashes next to the exact
+    shingle Jaccard — the measurement that tells you whether the
+    l02 threshold/band parameters are trustworthy on YOUR corpus
+    (the textbook E[ĵ] = J guarantee is per-pair binomial; its
+    realized spread is corpus-dependent).
+
+    Returns: id_a, id_b, n_match, est_jaccard (exact k/num_hashes
+    grid), jaccard (r3, l02's rule), err (r3 of the raw ĵ − J, the
+    +0.0 outer guard normalizing a −0.0 round).
+
+    Same staging discipline as :func:`lsh_candidate_pairs` (one
+    persisted md5 pass, slim band shuffle); the 64-int signatures
+    re-attach AFTER candidate generation by key join — they never
+    enter the band exchange."""
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
+        )
+        .select(
+            "__id",
+            "__shingles",
+            shingle_hashes(F.col("__shingles")).alias("__h"),
+        )
+    )
+    base = base.persist()
+    sigs = base.select(
+        "__id",
+        "__shingles",
+        minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
+    )
+    banded = sigs.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidate_ids = (
+        left.join(
+            right,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = candidate_ids.join(
+        sigs.select(
+            F.col("__id").alias("id_a"),
+            F.col("__shingles").alias("sh_a"),
+            F.col("__sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        sigs.select(
+            F.col("__id").alias("id_b"),
+            F.col("__shingles").alias("sh_b"),
+            F.col("__sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    )
+    est = F.col("n_match").cast("double") / F.lit(num_hashes)
+    return (
+        pairs.withColumn("n_match", n_match)
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            est.alias("est_jaccard"),
+            F.round(inter / union, 3).alias("jaccard"),
+            (F.round(est - inter / union, 3) + F.lit(0.0)).alias("err"),
+        )
+    )
+
+
+def o_lsh_pair_calibration(
+    num_hashes: int = LSH_NUM_HASHES,
+) -> str:
+    """DuckDB mirror of :func:`lsh_pair_calibration`: the shared
+    l02 CTE chain's cand + sigs, a generated 64-term signature
+    match count, and the identical est/jaccard/err arithmetic."""
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / CAST(len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    )
+    return f"""
+    WITH {_o_lsh_ctes()}
+    SELECT c.id_a, c.id_b,
+           CAST({match_sum} AS BIGINT) AS n_match,
+           CAST({match_sum} AS DOUBLE) / {num_hashes} AS est_jaccard,
+           round({jac}, 3) AS jaccard,
+           round(CAST({match_sum} AS DOUBLE) / {num_hashes} - {jac}, 3)
+             + 0.0 AS err
+    FROM cand c
+    JOIN sigs sa ON c.id_a = sa.doc_id
+    JOIN sigs sb ON c.id_b = sb.doc_id
+    """

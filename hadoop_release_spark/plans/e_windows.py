@@ -3128,3 +3128,107 @@ def e45_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("shift_cents"),
     )
+
+
+def _o_e46() -> str:
+    """e46 oracle: ONE definition of the decomposition (the e43
+    oracle embedded verbatim as a subquery) + the variance-numerator
+    strength arithmetic on top — the components cannot diverge
+    between e43 and e46."""
+    num = "CAST(n_core AS HUGEINT) * {s2} - CAST({s1} AS HUGEINT) * {s1}"
+    num_r = num.format(s2="r2", s1="r1")
+    num_sr = num.format(s2="sr2", s1="sr1")
+    num_dt = num.format(s2="dt2", s1="dt1")
+    return f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(trend) AS BIGINT) AS n_core,
+             sum(CAST(residual AS HUGEINT)) AS r1,
+             sum(CAST(residual AS HUGEINT) * residual) AS r2,
+             sum(CAST(cents - trend AS HUGEINT)) AS sr1,
+             sum(CAST(cents - trend AS HUGEINT) * (cents - trend)) AS sr2,
+             sum(CAST(deseason AS HUGEINT))
+               FILTER (WHERE trend IS NOT NULL) AS dt1,
+             sum(CAST(deseason AS HUGEINT) * deseason)
+               FILTER (WHERE trend IS NOT NULL) AS dt2
+      FROM ({_o_e43()}) comp
+    )
+    SELECT n_days, n_core,
+           CASE WHEN {num_sr} > 0 THEN
+             CAST(round(greatest(0.0,
+               1.0 - CAST({num_r} AS DOUBLE)
+                     / CAST({num_sr} AS DOUBLE)), 6) AS DOUBLE)
+           END AS seasonal_strength,
+           CASE WHEN {num_dt} > 0 THEN
+             CAST(round(greatest(0.0,
+               1.0 - CAST({num_r} AS DOUBLE)
+                     / CAST({num_dt} AS DOUBLE)), 6) AS DOUBLE)
+           END AS trend_strength
+    FROM agg
+    """
+
+
+@register("e46_seasonal_strength", oracle=_o_e46(), priority="P2")
+def e46_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of seasonality and trend (Hyndman's tsfeatures
+    measures, the triage number behind "should this series be
+    seasonally adjusted at all?"): F_s = max(0, 1 − Var(R)/Var(S+R))
+    and F_t = max(0, 1 − Var(R)/Var(T+R)) over e43's decomposition
+    — built by CALLING e43 (one component definition, the d47/d38
+    shared-builder discipline), restricted to the core days where
+    the centered trend exists.
+
+    Determinism: every variance NUMERATOR n·Σv² − (Σv)² is exact
+    decimal(38,0)/HUGEINT over integer-cents components (the n(n−1)
+    denominators cancel in the ratio — same n, same rows); the
+    strength is ONE shared IEEE tree (two casts, one division, one
+    subtraction, one max-with-0.0) under r6; the d27 ±1-ulp
+    cast-noise argument covers numerators past 2^53. NULL (never a
+    divide-by-zero) when the denominator variance is zero — a
+    constant series has no strength to report.
+
+    Scale shape: e43's grid windows (calendar-bounded) + ONE final
+    single-row aggregate over the |days| grid — the whole op adds
+    an O(|days|) reduction to e43; nothing new shuffles. Per-entity
+    variants partition e43's windows and group this agg by the
+    entity key."""
+    comp = e43_seasonal_adjust(spark, sf_dir)
+    DEC = "decimal(38,0)"
+    t_ok = F.col("trend").isNotNull()
+    r = F.col("residual").cast(DEC)
+    sr = (F.col("cents") - F.col("trend")).cast(DEC)
+    dt = F.when(t_ok, F.col("deseason").cast(DEC))
+    agg = comp.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.count("trend").cast("long").alias("n_core"),
+        F.sum(r).alias("r1"),
+        F.sum(r * F.col("residual")).alias("r2"),
+        F.sum(sr).alias("sr1"),
+        F.sum(sr * (F.col("cents") - F.col("trend"))).alias("sr2"),
+        F.sum(dt).alias("dt1"),
+        F.sum(dt * F.col("deseason")).alias("dt2"),
+    )
+    n_core = F.col("n_core").cast(DEC)
+    num_r = n_core * F.col("r2") - F.col("r1") * F.col("r1")
+    num_sr = n_core * F.col("sr2") - F.col("sr1") * F.col("sr1")
+    num_dt = n_core * F.col("dt2") - F.col("dt1") * F.col("dt1")
+
+    def strength(num_den):
+        return F.when(
+            num_den > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - num_r.cast("double") / num_den.cast("double"),
+                ),
+                6,
+            ).cast("double"),
+        )
+
+    return agg.select(
+        "n_days",
+        "n_core",
+        strength(num_sr).alias("seasonal_strength"),
+        strength(num_dt).alias("trend_strength"),
+    )

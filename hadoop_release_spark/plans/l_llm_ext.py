@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.functions.contracts import r3, r4
 from hadoop_release_spark.functions.vectors import cosine, dot, norm2, o_cosine
+from hadoop_release_spark.operators.dedup import (
+    lsh_pair_calibration,
+    o_lsh_pair_calibration,
+)
 from hadoop_release_spark.plans.registry import register
 
 _DIM = 64
@@ -2337,3 +2341,35 @@ def l67_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_target"),
         )
     )
+
+
+@register(
+    "l68_minhash_calibration",
+    oracle=o_lsh_pair_calibration(),
+    priority="P2",
+)
+def l68_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration on the real corpus: every l02
+    LSH candidate pair scored with BOTH the 64-permutation
+    signature-agreement estimate ĵ and the exact shingle Jaccard,
+    plus their error — the measurement behind "can we replace the
+    exact verify stage with the sketch at 100 TB?" (E[ĵ] = J is the
+    textbook guarantee; the realized per-pair spread on YOUR corpus
+    is what decides whether a ĵ-threshold may replace the exact
+    one). Shares every construction with l02 via operators/dedup.py
+    — shingling, md5 staging, signatures, banding — so the
+    calibration measures exactly the estimator l02 ships.
+
+    Determinism: n_match is an exact integer; ĵ = n_match/64 lands
+    on an exact binary grid; jaccard r3 (l02's rule); err r3 of the
+    raw ĵ − J with an OUTER +0.0 (a tiny negative error rounds to
+    −0.0 in DuckDB's binary round but +0.0 in Spark's HALF_UP —
+    the guard normalizes both).
+
+    Scale shape: identical to l02 (one persisted md5 pass, slim
+    (id, band, bucket) shuffle, never all-pairs); the only addition
+    is that the 64-int signatures re-attach to CANDIDATE pairs by
+    key join — they never enter the band exchange, and the pair set
+    is LSH-bounded by construction."""
+    d = table(spark, sf_dir, "documents")
+    return lsh_pair_calibration(d, id_col="doc_id", text_col="text")

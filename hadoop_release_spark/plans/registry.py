@@ -209,12 +209,14 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e43_seasonal_adjust",
     "e44_holt_trend",
     "e45_changepoint",
+    "e46_seasonal_strength",
     "f07_diversified_topk",
     "g09_symmetric_diff",
     "j13_stream_token_bucket",
     "l65_temperature_mix",
     "l66_containment_dedup",
     "l67_dsir_weights",
+    "l68_minhash_calibration",
 })
 
 

@@ -83,7 +83,9 @@ HEAVY_TAIL = [
     "d49_jensen_shannon",
     "d50_mann_kendall",
     "e45_changepoint",
+    "e46_seasonal_strength",
     "l67_dsir_weights",
+    "l68_minhash_calibration",
 ]
 
 SFS = [0.1, 1.0]

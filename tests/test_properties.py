@@ -4395,3 +4395,176 @@ def test_mann_kendall_matches_reference(spark, days, tmp_path_factory):
             else 0.0
         )
         assert abs(r.z - zref) <= 6e-7, (r.z, zref)
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),      # day offset
+            st.integers(min_value=-400, max_value=400),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_seasonal_strength_matches_reference(spark, days, tmp_path_factory):
+    """e46 vs a pure-Python replay of e43's decomposition (lower
+    medians, dow = epoch-day mod 7, 7-day centered trend) + the
+    Hyndman strength formulas: counts exact, strengths within the
+    6dp half-grid, NULL exactly when the denominator variance is
+    zero."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.e_windows import e46_seasonal_strength
+
+    tmp = tmp_path_factory.mktemp("e46prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(days=d, hours=7) for d, _ in days],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(["click"] * len(days)),
+            "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+            "props": pa.array(["{}"] * len(days)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    epoch0 = int(
+        (T0 - datetime.datetime(1970, 1, 1)).total_seconds() // 86400
+    )
+    daily = defaultdict(int)
+    for d, c in days:
+        daily[epoch0 + d] += c
+    grid = sorted(daily)
+    cents = [daily[d] for d in grid]
+
+    def lo_med(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    by_dow = defaultdict(list)
+    for d in grid:
+        by_dow[d % 7].append(daily[d])
+    seasonal = [lo_med(by_dow[d % 7]) for d in grid]
+    deseason = [c - s for c, s in zip(cents, seasonal)]
+    n = len(grid)
+    trend = [
+        lo_med(deseason[i - 3 : i + 4]) if 3 <= i < n - 3 else None
+        for i in range(n)
+    ]
+    core = [i for i in range(n) if trend[i] is not None]
+    r = [deseason[i] - trend[i] for i in core]
+    sr = [cents[i] - trend[i] for i in core]
+    dt = [deseason[i] for i in core]
+
+    def num(vs):
+        return len(vs) * sum(v * v for v in vs) - sum(vs) ** 2
+
+    [row] = e46_seasonal_strength(spark, str(tmp)).collect()
+    assert (row.n_days, row.n_core) == (n, len(core))
+    for got, den_vals in (
+        (row.seasonal_strength, sr),
+        (row.trend_strength, dt),
+    ):
+        den = num(den_vals)
+        if den <= 0:
+            assert got is None
+        else:
+            exp = max(0.0, 1.0 - num(r) / den)
+            assert abs(got - exp) <= 6e-7, (got, exp)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "fish", "cat", "dog"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_minhash_calibration_matches_reference(
+    spark, docs, tmp_path_factory
+):
+    """l68 vs a full pure-Python MinHash/LSH replay (shingles, md5
+    mod P, the LCG permutations, 16×4 banding, candidate pairs):
+    the pair SET and n_match exact, est on the k/64 grid, jaccard
+    and err within the 3dp half-grid."""
+    import hashlib
+    from itertools import combinations
+
+    from hadoop_release_spark.operators.dedup import (
+        _P,
+        _hash_params,
+        lsh_pair_calibration,
+    )
+
+    tmp = tmp_path_factory.mktemp("l68prop")
+    texts = [" ".join(ws) for ws in docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    def shingles(words):
+        if len(words) >= 3:
+            out, seen = [], set()
+            for i in range(len(words) - 2):
+                s = " ".join(words[i : i + 3])
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+            return out
+        return [" ".join(words)]
+
+    params = _hash_params(64)
+
+    def signature(sh):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
+            for s in sh
+        ]
+        return [min((a * h + b) % _P for h in hs) for a, b in params]
+
+    shs = [shingles(ws) for ws in docs]
+    sigs = [signature(sh) for sh in shs]
+
+    def buckets(sig):
+        return {
+            (b, ",".join(str(v) for v in sig[b * 4 : b * 4 + 4]))
+            for b in range(16)
+        }
+
+    expected = {}
+    for i, j in combinations(range(len(docs)), 2):
+        if buckets(sigs[i]) & buckets(sigs[j]):
+            inter = len(set(shs[i]) & set(shs[j]))
+            union = len(set(shs[i]) | set(shs[j]))
+            n_match = sum(1 for x, y in zip(sigs[i], sigs[j]) if x == y)
+            expected[(i, j)] = (n_match, inter / union)
+
+    from hadoop_release_spark.catalog import table as _table
+
+    d = _table(spark, str(tmp), "documents")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in lsh_pair_calibration(d, "doc_id", "text").collect()
+    }
+    assert set(got) == set(expected)
+    for key, (n_match, jac) in expected.items():
+        r = got[key]
+        assert r.n_match == n_match
+        assert r.est_jaccard == n_match / 64
+        assert abs(r.jaccard - jac) <= 6e-4
+        assert abs(r.err - (n_match / 64 - jac)) <= 6e-4

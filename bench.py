@@ -108,6 +108,8 @@ HEADLINE = [
     "e46_seasonal_strength",  # Hyndman strength-of-seasonality/trend
     "l67_dsir_weights",       # DSIR hashed-ngram importance weights
     "l68_minhash_calibration",  # MinHash estimate vs exact Jaccard
+    "g10_relational_division",  # data-defined-divisor division
+    "m12_image_dup_survivors",  # image dup groups via union-find
 ]
 
 

@@ -346,33 +346,88 @@ def connected_components_min_label(
     billion-edge graphs use the large-star/small-star algorithm
     (Kiveris et al.) — same join primitives, fewer rounds.
     """
-    # Persist the SLIM symmetric edge list: every iteration's join and
-    # the convergence count re-read it, and ``pairs`` is typically an
-    # expensive pipeline (the full LSH candidate generation) that must
-    # not re-run per round. Released before return — the final labels
-    # are cache-materialized by the last convergence count, so the
-    # returned plan never reaches back through the edges.
+    # localCheckpoint (not persist) the SLIM symmetric edge list:
+    # every iteration's join and the convergence count re-read it,
+    # and ``pairs`` is typically an expensive pipeline (the full LSH
+    # candidate generation, or m12's image decode + banding) that
+    # must not re-run per round. The checkpoint ALSO TRUNCATES
+    # LINEAGE, which persist() does not: with a merely-persisted
+    # edge frame every iteration's plan still EMBEDS the whole
+    # upstream pipeline tree, and Spark stringifies that plan per
+    # job (QueryExecution.explainString for the UI/event log) —
+    # measured OOM of an 8 GiB driver on m12 at gen_sf sf1, where
+    # the embedded image-pipeline tree × iterations × AQE re-plans
+    # exhausted the heap BUILDING PLAN STRINGS. Cluster note:
+    # localCheckpoint is lineage-unsafe under executor loss; for
+    # these bounded frames (2·|pairs| longs) recomputation-on-loss
+    # is the wrong trade anyway — use reliable checkpoint dirs if
+    # the corpus makes the edge list precious.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("node")).withColumn(
-        "component", F.col("node")
-    ).persist()
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
 
     changed = -1
     for _ in range(max_iters):
-        neighbor = (
+        # JOIN-based propagation, each stage checkpointed: (a) the
+        # label lineage otherwise deepens by one layer per round and
+        # every job re-stringifies all of it; (b) referencing the
+        # checkpointed ``labels`` twice inside one un-checkpointed
+        # plan (the old union form) trips Catalyst attribute dedup
+        # on Spark 4.1.2 — NoSuchElementException "key not found:
+        # node#N" at the next checkpoint. With ``nmin`` checkpointed
+        # first, every subsequent plan holds ``labels`` exactly once.
+        nmin = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "component")
+            .groupBy("src")
+            .agg(F.min("component").alias("__ncomp"))
+            .localCheckpoint()
+        )
+        propagated = (
+            labels.join(nmin, labels.node == nmin.src, "left")
+            .select(
+                labels.node.alias("node"),
+                F.least(
+                    labels.component,
+                    F.coalesce(nmin.__ncomp, labels.component),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        # POINTER JUMP (label ← label[label]): every component label
+        # IS a node id, so one self-join halves the distance to the
+        # component minimum — neighbor propagation alone needs
+        # O(diameter) rounds, which a dense collision graph blows
+        # past (measured: gen_sf sf1 m12 has a component of diameter
+        # > 10 over 140k near-pair edges; 4328 labels still changing
+        # at the old budget). With the jump, max_iters=10 covers
+        # diameters ~2^10 — the Kiveris large-star/small-star
+        # convergence behavior from the same join primitives.
+        # NB: direct dataframe-attribute references here, not the
+        # alias("a")/"a.col" string style — string-qualified columns
+        # through a checkpoint + self-join chain hit a Catalyst
+        # attribute-rewrite bug on Spark 4.1.2 (NoSuchElementException
+        # "key not found: node#N" at the next checkpoint).
+        right = propagated.select(
+            F.col("node").alias("__c"), F.col("component").alias("__cc")
         )
         new_labels = (
-            labels.select("node", "component")
-            .union(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .persist()
+            propagated.join(
+                right, propagated.component == right.__c, "left"
+            )
+            .select(
+                propagated.node.alias("node"),
+                F.coalesce(right.__cc, propagated.component).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -380,18 +435,15 @@ def connected_components_min_label(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # Non-converged labels would silently disagree with the exact
         # transitive-closure oracle (a component with diameter >
         # max_iters) — fail HERE, not as an unexplained driver hash
         # mismatch. One extra propagation round per unit of diameter
         # fixes it; raise so the caller makes that choice explicitly.
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components_min_label: {changed} labels still "
             f"changing after max_iters={max_iters}; component diameter "

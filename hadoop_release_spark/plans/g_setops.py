@@ -270,3 +270,58 @@ def g09_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
         F.coalesce("n_a", "n_b").alias("n_orders"),
     )
+
+
+@register(
+    "g10_relational_division",
+    oracle="""
+    WITH divisor AS (
+      SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_div
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS n_priorities,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT p.o_custkey, p.n_priorities, p.n_orders
+    FROM per_cust p CROSS JOIN divisor d
+    WHERE p.n_priorities = d.n_div
+    """,
+    priority="P2",
+)
+def g10_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the classic "÷" operator the basic set
+    family (g01-g09) is missing: customers whose orders span EVERY
+    order-priority level observed in the corpus ("suppliers who
+    supply ALL parts" is the textbook form). The divisor is
+    DATA-DEFINED (the corpus-wide distinct priority set), not a
+    literal list — the true division semantics: a new priority
+    appearing in the data silently raises the bar. Emits each
+    qualifying customer with its distinct-priority and total-order
+    counts (all-exact provenance for the threshold).
+
+    Determinism: exact bigint counts end-to-end; no float anywhere;
+    the equality gate compares two exact counts.
+
+    Scale shape: ONE (custkey, priority) distinct partial agg (the
+    d04 count-distinct posture: map-side combine on the pair grid,
+    ≤ |customers|·|priorities| slim rows) feeding per-customer
+    counts; the divisor is a 1-row broadcast (granted stats row);
+    no raw-row shuffle beyond the single per-customer agg. At
+    100 TB: |priorities| is an enum-bounded domain, so the pair
+    grid is ~|customers| rows forever."""
+    o = table(spark, sf_dir, "orders")
+    divisor = o.agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("n_div")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_priorities") == F.col("n_div"))
+        .select("o_custkey", "n_priorities", "n_orders")
+    )

@@ -377,10 +377,13 @@ def m08_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M09_NEAR_BITS = 6
 
 
-@register(
-    "m09_phash_near_dup",
-    oracle=f"""
-    WITH docs AS (
+def _o_m09_ctes() -> str:
+    """Shared m09/m12 CTE chain (docs → canon dims → md5 pixel grays
+    → aHash halves → 4×16-bit bands → candidate pairs): ONE
+    definition of the image-hash arithmetic, so the pair op (m09)
+    and the survivor op (m12) cannot disagree on what an image
+    near-duplicate is."""
+    return """docs AS (
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
                AS canon
@@ -434,7 +437,13 @@ _M09_NEAR_BITS = 6
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@register(
+    "m09_phash_near_dup",
+    oracle=f"""
+    WITH {_o_m09_ctes()}
     SELECT c.doc_a, c.doc_b,
            CAST(bit_count(xor(ha.lo, hb.lo))
                 + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming,
@@ -798,4 +807,83 @@ def m11_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "m12_image_dup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_o_m09_ctes()}, pairs AS (
+      SELECT c.doc_a AS id_a, c.doc_b AS id_b
+      FROM cand c
+      JOIN hashes ha ON c.doc_a = ha.doc_id
+      JOIN hashes hb ON c.doc_b = hb.doc_id
+      WHERE bit_count(xor(ha.lo, hb.lo))
+            + bit_count(xor(ha.hi, hb.hi)) = 0
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS node, reach.r FROM edges e
+      JOIN reach ON reach.node = e.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id,
+           (node = min(r)) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+    priority="P2",
+)
+def m12_image_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE deduplication — l22's pipeline completed for
+    the image modality: m09's EXACT-hash pairs (Hamming 0 on the
+    real-decode aHash — byte-stable copies, the content-ID rule) →
+    connected components (copies chained through intermediates are
+    ONE group) → survivor = min doc_id per component, every doc
+    emitted with its canonical id and keep/drop flag. Built by
+    CALLING m09 and the shared union-find (operators/dedup.py
+    connected_components_min_label — the same component engine l22
+    uses), with the oracle reusing m09's CTE chain verbatim
+    (_o_m09_ctes) + the l22 recursive-closure suffix: neither the
+    hash arithmetic nor the component rule can diverge from the ops
+    they came from.
+
+    Radius 0, deliberately — NOT m09's analysis radius 6: Hamming
+    is not transitive, so TRANSITIVE grouping at radius > 0 chains
+    unrelated images through borderline links. Measured on the
+    gen_sf sf1 corpus (50k tiny fixture images): radius-6 grouping
+    yields a 140k-edge collision graph whose giant component chains
+    thousands of unrelated docs and needs unbounded label rounds.
+    The radius-6 PAIR table is m09's analysis product; GROUPS are
+    only sound where the relation is a true equivalence — exact
+    hash equality.
+
+    Scale shape: m09's posture end-to-end (one Arrow decode pass,
+    slim band shuffle, bucket-scoped candidates) + the l22
+    min-label + pointer-jump iteration over exact-dup edges — each
+    component is an equal-hash clique, so convergence takes 1-2
+    rounds; each round is two checkpointed joins + one min-agg over
+    (node, component) longs, only the changed-count reaching the
+    driver."""
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    pairs = (
+        m09_phash_near_dup(spark, sf_dir)
+        .filter(F.col("hamming") == 0)
+        .select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+    )
+    nodes = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__id")
+    )
+    comps = connected_components_min_label(nodes, pairs, id_col="__id")
+    return comps.select(
+        F.col("__id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("__id") == F.col("component")).alias("is_survivor"),
     )

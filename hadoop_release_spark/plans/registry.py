@@ -212,11 +212,13 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "e46_seasonal_strength",
     "f07_diversified_topk",
     "g09_symmetric_diff",
+    "g10_relational_division",
     "j13_stream_token_bucket",
     "l65_temperature_mix",
     "l66_containment_dedup",
     "l67_dsir_weights",
     "l68_minhash_calibration",
+    "m12_image_dup_survivors",
 })
 
 

@@ -84,8 +84,10 @@ HEAVY_TAIL = [
     "d50_mann_kendall",
     "e45_changepoint",
     "e46_seasonal_strength",
+    "g10_relational_division",
     "l67_dsir_weights",
     "l68_minhash_calibration",
+    "m12_image_dup_survivors",
 ]
 
 SFS = [0.1, 1.0]

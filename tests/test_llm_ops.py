@@ -70,3 +70,27 @@ def test_connected_components_chain_transitivity(spark):
     assert comps[1] == comps[2] == comps[3] == 1
     assert comps[4] == comps[5] == 4
     assert comps[9] == 9  # isolated node is its own survivor
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer-jump convergence: a 500-node path graph (diameter
+    499) must fully label to component 0 within the default
+    max_iters=10 — pure min-label propagation would need 499
+    rounds; the per-round label[label] jump makes it O(log d).
+    Also exercises the per-round localCheckpoint path (the lineage
+    truncation that keeps iteration plans from embedding the
+    upstream pipeline)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    nodes = spark.range(500).select(F.col("id").alias("__id"))
+    pairs = spark.range(499).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components_min_label(nodes, pairs, id_col="__id")
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.component == 0 for r in rows)

@@ -321,3 +321,28 @@ def test_m11_identical_tone_classes_score_one(spark, tmp_path_factory):
     assert all(
         v.jaccard < 1.0 for k, v in rows.items() if k != (1, 129)
     )
+
+
+def test_m12_planted_duplicates_group_and_survive(spark, sf_dir):
+    """m12: the fixture plants byte-identical images on docs with
+    id % 10 == 9 (each carries its predecessor's image), so every
+    such doc MUST be non-surviving with a canonical id at or below
+    its predecessor (Hamming 0 ⇒ all bands collide ⇒ same
+    component); docs in no near-pair must survive as their own
+    canonical."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m12_image_dup_survivors,
+    )
+
+    rows = {r.doc_id: r for r in m12_image_dup_survivors(spark, sf_dir).collect()}
+    assert rows, "m12 returned no rows"
+    planted = [d for d in rows if d % 10 == 9 and d - 1 in rows]
+    assert planted, "fixture has no planted duplicate pairs"
+    for d in planted:
+        assert rows[d].canonical_id <= d - 1, (d, rows[d])
+        assert not rows[d].is_survivor
+    # every component's canonical is its own minimum: the canonical
+    # doc itself must be a survivor
+    for d, r in rows.items():
+        assert rows[r.canonical_id].is_survivor
+        assert r.canonical_id <= d

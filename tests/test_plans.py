@@ -256,6 +256,10 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "data horizon + total (two rows; d38's shared _survival_risk)"
     ),
     "d39_psi_drift": _stats_row("9 decile bounds row"),
+    "g10_relational_division": _stats_row(
+        "1-row data-defined divisor count (corpus-wide distinct "
+        "priorities)"
+    ),
     "d50_mann_kendall": _BnljGrant(
         "day-grid × day-grid sign pair join over the DAILY aggregate "
         "(calendar-bounded |days|² — d43's granted bounded-domain "

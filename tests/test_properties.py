@@ -4568,3 +4568,52 @@ def test_minhash_calibration_matches_reference(
         assert r.est_jaccard == n_match / 64
         assert abs(r.jaccard - jac) <= 6e-4
         assert abs(r.err - (n_match / 64 - jac)) <= 6e-4
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # custkey
+            st.integers(min_value=0, max_value=3),   # priority class
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_relational_division_matches_reference(
+    spark, rows, tmp_path_factory
+):
+    """g10 vs the literal division rule: qualifying set and both
+    counts exact, divisor data-defined (corpus-wide distinct
+    priorities)."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.g_setops import g10_relational_division
+
+    tmp = tmp_path_factory.mktemp("g10prop")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderpriority": pa.array([f"{r[1]}-P" for r in rows]),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/orders.parquet")
+
+    divisor = {p for _, p in rows}
+    prios = defaultdict(set)
+    counts = defaultdict(int)
+    for c, p in rows:
+        prios[c].add(p)
+        counts[c] += 1
+    expected = {
+        c: (len(prios[c]), counts[c])
+        for c in prios
+        if prios[c] == divisor
+    }
+    got = {
+        r.o_custkey: (r.n_priorities, r.n_orders)
+        for r in g10_relational_division(spark, str(tmp)).collect()
+    }
+    assert got == expected

@@ -104,6 +104,7 @@ HEADLINE = [
     # round-9c flagships (this session)
     "d49_jensen_shannon",     # pairwise source-drift JSD matrix
     "d50_mann_kendall",       # tie-corrected monotonic-trend test
+    "d51_ljung_box",          # white-noise portmanteau per lag
     "e45_changepoint",        # CUSUM argmax level-shift split
     "e46_seasonal_strength",  # Hyndman strength-of-seasonality/trend
     "l67_dsir_weights",       # DSIR hashed-ngram importance weights

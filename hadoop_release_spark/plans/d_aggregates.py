@@ -3767,3 +3767,152 @@ def d50_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+#: d51 — Ljung–Box lag horizon (the weekly-seasonality screen needs
+#: at least 7; every lag adds one grid self-join arm).
+_D51_H = 7
+
+_O_D51 = f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {86400 * 1_000_000} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day_id, cents,
+             CAST(row_number() OVER (ORDER BY day_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS s
+      FROM daily
+    ), dev AS (
+      SELECT rn, n,
+             CAST(n AS HUGEINT) * cents - s AS d
+      FROM idx
+    ), den AS (
+      SELECT CAST(sum(d * d) AS HUGEINT) AS den, max(n) AS n FROM dev
+    ), lags AS (
+      SELECT unnest(range(1, {_D51_H + 1})) AS lag
+    ), nums AS (
+      SELECT l.lag, CAST(sum(a.d * b.d) AS HUGEINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.rn = a.rn + l.lag
+      GROUP BY l.lag
+    ), rhos AS (
+      SELECT m.lag, m.n_pairs, d.n,
+             CASE WHEN d.den > 0 THEN
+               CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+             END AS rho_raw
+      FROM nums m CROSS JOIN den d
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(round(rho_raw + 0.0, 6) AS DOUBLE) AS rho,
+           CAST(round(CAST(n * (n + 2) AS DOUBLE)
+                      * sum(rho_raw * rho_raw
+                            / CAST(n - lag AS DOUBLE))
+                        OVER (ORDER BY lag) + 0.0, 6)
+                AS DOUBLE) AS q_cum
+    FROM rhos
+    """
+
+
+@register("d51_ljung_box", oracle=_O_D51, priority="P2")
+def d51_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily revenue — the white-noise
+    screen (is there ANY autocorrelation structure up to lag h?)
+    that decides whether e39/e43/e44's structure-hunting ops have
+    anything to find: sample ACF ρ_k for k = 1..{_D51_H} over the
+    observed-day series, and the cumulative statistic
+    Q(h) = n(n+2) Σ_{{k≤h}} ρ_k²/(n−k), emitted per lag so the
+    whole Q trajectory (and each dof = lag) is visible.
+
+    Determinism: the ACF is formed from exact integers only — the
+    mean never becomes a float because every deviation is
+    cross-multiplied by n (d_t = n·x_t − S exact decimal/HUGEINT;
+    the n² factors cancel in ρ = Σd_a·d_b / Σd²); ρ is ONE
+    division of two decimal→double casts (±1-ulp cast noise ≪ the
+    r6 half-grid, the d33 argument); Q's running sum accumulates in
+    lag order in BOTH engines (the d38 identical-add-sequence
+    argument) over ≤{_D51_H} terms; r6 + 0.0 guards on both floats;
+    ρ and Q are NULL (never div-zero) on a zero-variance series.
+
+    Scale shape: one map-side-combined day agg → calendar-bounded
+    GRID; rn/n/S windows over the grid (e19 exception); the lag
+    alignment is the e39 shape — grid × {_D51_H}-row broadcast lag
+    list, then a grid-bounded equi-join on rn+lag; the denominator
+    is a 1-row broadcast; every per-lag stat is one slim row."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {86400 * 1_000_000}").alias(
+                "day_id"
+            ),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w_ord = Window.orderBy("day_id")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    DEC = "decimal(38,0)"
+    dev = daily.select(
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        (
+            F.count("*").over(w_all).cast(DEC) * F.col("cents")
+            - F.sum("cents").over(w_all)
+        ).alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in range(1, _D51_H + 1)], "lag long"
+    )
+    a = dev.select(F.col("rn").alias("rn_a"), F.col("d").alias("da"))
+    b = dev.select(F.col("rn").alias("rn_b"), F.col("d").alias("db"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rn_b") == F.col("rn_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("da") * F.col("db")).alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    rhos = nums.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        "n",
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("rho_raw"),
+    )
+    w_lag = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = (
+        (F.col("n") * (F.col("n") + 2)).cast("double")
+        * F.sum(
+            F.col("rho_raw")
+            * F.col("rho_raw")
+            / (F.col("n") - F.col("lag")).cast("double")
+        ).over(w_lag)
+    )
+    return rhos.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(F.col("rho_raw") + F.lit(0.0), 6)
+        .cast("double")
+        .alias("rho"),
+        F.round(q + F.lit(0.0), 6).cast("double").alias("q_cum"),
+    )

@@ -206,6 +206,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "d48_concentration",
     "d49_jensen_shannon",
     "d50_mann_kendall",
+    "d51_ljung_box",
     "e43_seasonal_adjust",
     "e44_holt_trend",
     "e45_changepoint",

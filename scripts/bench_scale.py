@@ -82,6 +82,7 @@ HEAVY_TAIL = [
     # round-9c additions
     "d49_jensen_shannon",
     "d50_mann_kendall",
+    "d51_ljung_box",
     "e45_changepoint",
     "e46_seasonal_strength",
     "g10_relational_division",

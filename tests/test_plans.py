@@ -277,6 +277,12 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "lag list stops being a constant few rows → unpivot + "
         "equi-join on (day, lag)",
     ),
+    "d51_ljung_box": _BnljGrant(
+        "day-grid × 7-row LAG list broadcast (e39's shape) + 1-row "
+        "ACF-denominator broadcast",
+        "lag horizon stops being a constant few rows → unpivot + "
+        "equi-join on (rn, lag)",
+    ),
     "d43_theil_sen": _BnljGrant(
         "day-grid × day-grid theta self-join over the DAILY aggregate "
         "(calendar-bounded, |days|² pairs — the e39/d33 "

@@ -4617,3 +4617,68 @@ def test_relational_division_matches_reference(
         for r in g10_relational_division(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),      # day offset
+            st.integers(min_value=-400, max_value=400),  # cents
+        ),
+        min_size=2,
+        max_size=70,
+    ).filter(lambda rs: len({d for d, _ in rs}) >= 2)
+)
+def test_ljung_box_matches_reference(spark, days, tmp_path_factory):
+    """d51 vs a pure-Python sample-ACF + Ljung–Box replay over the
+    observed-day series: n_pairs exact per emitted lag, rho/q_cum
+    within the 6dp half-grid (or NULL on a zero-variance series),
+    lags past the series length absent."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.d_aggregates import (
+        _D51_H,
+        d51_ljung_box,
+    )
+
+    tmp = tmp_path_factory.mktemp("d51prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(
+                [T0 + datetime.timedelta(days=d, hours=2) for d, _ in days],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(["view"] * len(days)),
+            "value": pa.array([c / 100.0 for _, c in days], pa.float64()),
+            "props": pa.array(["{}"] * len(days)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    daily = defaultdict(int)
+    for d, c in days:
+        daily[d] += c
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(xs)
+    dev = [n * x - s for x in xs]
+    den = sum(d * d for d in dev)
+
+    got = {r.lag: r for r in d51_ljung_box(spark, str(tmp)).collect()}
+    expected_lags = [k for k in range(1, _D51_H + 1) if k < n]
+    assert sorted(got) == expected_lags
+    qsum = 0.0
+    for k in expected_lags:
+        r = got[k]
+        assert r.n_pairs == n - k
+        if den == 0:
+            assert r.rho is None and r.q_cum is None
+            continue
+        rho = sum(dev[t] * dev[t + k] for t in range(n - k)) / den
+        qsum += rho * rho / (n - k)
+        q = n * (n + 2) * qsum
+        assert abs(r.rho - rho) <= 6e-7, (k, r.rho, rho)
+        assert abs(r.q_cum - q) <= max(6e-7, abs(q) * 1e-9), (k, r.q_cum, q)

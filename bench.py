@@ -111,6 +111,7 @@ HEADLINE = [
     "l68_minhash_calibration",  # MinHash estimate vs exact Jaccard
     "g10_relational_division",  # data-defined-divisor division
     "m12_image_dup_survivors",  # image dup groups via union-find
+    "l69_langid_confusion",   # lang-id quality confusion matrix
 ]
 
 

@@ -247,9 +247,10 @@ _LANG_MARKERS = {
 }
 
 
-@register(
-    "l15_lang_id",
-    oracle=f"""
+#: l15's full oracle, module-level so l69 embeds the IDENTICAL
+#: scorer SQL as a subquery (the e46/e43 shared-oracle discipline —
+#: one marker/argmax definition, both registrations).
+_O_L15 = f"""
     WITH scored AS (
       SELECT doc_id, lang,
              {", ".join(
@@ -265,9 +266,10 @@ _LANG_MARKERS = {
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS predicted
     FROM scored
-    """,
-    priority="P2",
-)
+    """
+
+
+@register("l15_lang_id", oracle=_O_L15, priority="P2")
 def l15_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification by marker-token counting (the n-gram
     frequency heuristic in its simplest deterministic form; a
@@ -2373,3 +2375,65 @@ def l68_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is LSH-bounded by construction."""
     d = table(spark, sf_dir, "documents")
     return lsh_pair_calibration(d, id_col="doc_id", text_col="text")
+
+
+
+@register(
+    "l69_langid_confusion",
+    oracle=f"""
+    WITH preds AS ({_O_L15}), cells AS (
+      SELECT lang AS true_lang, predicted,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM preds GROUP BY 1, 2
+    )
+    SELECT true_lang, predicted, n_docs,
+           CAST(round(CAST(n_docs AS DOUBLE)
+                      / CAST(sum(n_docs) OVER (PARTITION BY true_lang)
+                             AS DOUBLE), 6) AS DOUBLE) AS recall_share,
+           CAST(CASE WHEN true_lang = predicted THEN 1 ELSE 0 END
+                AS INT) AS is_correct
+    FROM cells
+    """,
+    priority="P2",
+)
+def l69_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the quality report for l15's
+    heuristic classifier against the labeled lang column: per
+    (true_lang, predicted) cell the doc count and the within-row
+    recall share (the diagonal cells ARE per-language recall; the
+    off-diagonal rows say WHICH languages the marker heuristic
+    confuses — the evidence behind "do we need trigram log-odds
+    here?"). Built by CALLING l15 (one scorer definition; the
+    oracle embeds l15's oracle verbatim as a subquery — the
+    e46/m12 shared-definition discipline).
+
+    Determinism: counts exact; recall_share a single IEEE division
+    of exact bigints, r6; is_correct an exact comparison.
+
+    Scale shape: l15's one-pass scoring (per-row marker counts
+    fused onto the scan, no shuffle) + ONE map-side-combined
+    (true, predicted) agg to the |langs|² grid; the recall window
+    partitions that bounded grid. The fact table is touched once."""
+    preds = l15_lang_id(spark, sf_dir)
+    cells = (
+        preds.groupBy(
+            F.col("lang").alias("true_lang"), "predicted"
+        ).agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w_row = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_row).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("recall_share"),
+        F.when(F.col("true_lang") == F.col("predicted"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_correct"),
+    )

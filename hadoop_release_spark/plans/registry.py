@@ -219,6 +219,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l66_containment_dedup",
     "l67_dsir_weights",
     "l68_minhash_calibration",
+    "l69_langid_confusion",
     "m12_image_dup_survivors",
 })
 

@@ -88,6 +88,7 @@ HEAVY_TAIL = [
     "g10_relational_division",
     "l67_dsir_weights",
     "l68_minhash_calibration",
+    "l69_langid_confusion",
     "m12_image_dup_survivors",
 ]
 

@@ -4682,3 +4682,75 @@ def test_ljung_box_matches_reference(spark, days, tmp_path_factory):
         q = n * (n + 2) * qsum
         assert abs(r.rho - rho) <= 6e-7, (k, r.rho, rho)
         assert abs(r.q_cum - q) <= max(6e-7, abs(q) * 1e-9), (k, r.q_cum, q)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr", "es"]),   # labeled lang
+            st.lists(
+                st.sampled_from(
+                    ["the", "und", "les", "los", "to", "ist", "est",
+                     "es", "y", "qqq"]
+                ),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_langid_confusion_matches_reference(spark, docs, tmp_path_factory):
+    """l69 vs a pure-Python replay of l15's marker-count argmax
+    (fixed en>de>fr>es tie preference) + the confusion rollup:
+    cells and counts exact, recall shares within the 6dp
+    half-grid."""
+    from collections import Counter
+
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _LANG_MARKERS,
+        l69_langid_confusion,
+    )
+
+    tmp = tmp_path_factory.mktemp("l69prop")
+    texts = [" ".join(ws) for _, ws in docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([lang for lang, _ in docs]),
+            "source": pa.array(["s0"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    def predict(text):
+        toks = text.split(" ")
+        s = {
+            lang: sum(1 for t in toks if t in set(m))
+            for lang, m in _LANG_MARKERS.items()
+        }
+        if s["en"] >= s["de"] and s["en"] >= s["fr"] and s["en"] >= s["es"]:
+            return "en"
+        if s["de"] >= s["fr"] and s["de"] >= s["es"]:
+            return "de"
+        return "fr" if s["fr"] >= s["es"] else "es"
+
+    cells = Counter((lang, predict(t)) for (lang, _), t in zip(docs, texts))
+    row_tot = Counter()
+    for (lang, _), n in cells.items():
+        row_tot[lang] += n
+
+    got = {
+        (r.true_lang, r.predicted): r
+        for r in l69_langid_confusion(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(cells)
+    for key, n in cells.items():
+        r = got[key]
+        assert r.n_docs == n
+        assert r.is_correct == int(key[0] == key[1])
+        assert abs(r.recall_share - n / row_tot[key[0]]) <= 6e-7

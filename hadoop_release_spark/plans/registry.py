@@ -78,6 +78,18 @@ def _wrap(fn: QueryFn) -> QueryFn:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             spark.catalog.clearCache()
+            # clearCache drops CACHED plans but NOT localCheckpoint
+            # blocks (the CC loop's per-round lineage truncation,
+            # round-8 rework) — release those explicitly or a long
+            # grading session accumulates one edge/label set per
+            # dedup query. Post-release, the PREVIOUS query's
+            # returned frame must not be re-materialized (its
+            # lineage was truncated to the freed blocks) — same
+            # release-at-next-query contract as the cache line
+            # above, just error-on-reuse instead of slow-on-reuse.
+            # (py4j exposes the Java map as a dict view)
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
             # Streaming memory sinks register stream_out_* temp views
             # (streaming/runner.materialize) that clearCache does NOT
             # release — drop the previous query's here so full result

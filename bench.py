@@ -189,32 +189,39 @@ def main() -> None:
 
     total_min = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    # Full detail (long names, min + median) on its OWN line first —
+    # human/BENCH.md consumption.
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        "queries_median": medians,
+    }
+    print(json.dumps(detail, separators=(",", ":")))
+    # FINAL line: the record the driver keeps. Rounds 6-8 embedded the
+    # whole SCALE_REHEARSAL.json blob in the single output line, which
+    # pushed the summary out of the driver's 2000-char stdout tail and
+    # left BENCH_r{6,7,8}.json with parsed:null (round-8 verdict
+    # item 1). The final line must therefore be SMALL and COMPLETE on
+    # its own: totals + per-query medians keyed by the SHORT row id
+    # (the §2 prefix before the first underscore, unique by
+    # construction) — ~13 bytes/query keeps 70+ queries well under the
+    # tail window. Rehearsal is referenced by path, never embedded.
+    compact_medians = {
+        name.split("_", 1)[0]: med for name, med in medians.items()
+    }
     out = {
         "metric": "headline_queries_total_wall_median",
         "value": total_median,
         "unit": "sec",
         "value_min_total": total_min,
-        "queries": timings,
-        "queries_median": medians,
         "sf": float(sf),
         "n_queries": len(timings),
+        "queries": compact_medians,
+        "scale_rehearsal_path": "SCALE_REHEARSAL.json",
     }
-    # Two-scale rehearsal (round-7 verdict item 2): embed the latest
-    # committed SCALE_REHEARSAL.json (produced by
-    # scripts/bench_scale.py over gen_sf fixtures at sf0.1 AND
-    # sf1.0) so the per-round BENCH record carries both scales. Not
-    # recomputed here — the rehearsal takes minutes at sf1 and its
-    # fixtures are generated, not driver-shipped.
-    try:
-        rehearsal = json.loads(
-            (Path(__file__).resolve().parent / "SCALE_REHEARSAL.json")
-            .read_text()
-        )
-    except (OSError, ValueError):
-        rehearsal = None
-    if rehearsal is not None:
-        out["scale_rehearsal"] = rehearsal
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, f"final bench line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

@@ -475,7 +475,18 @@ def lsh_pair_calibration(
     Same staging discipline as :func:`lsh_candidate_pairs` (one
     persisted md5 pass, slim band shuffle); the 64-int signatures
     re-attach AFTER candidate generation by key join — they never
-    enter the band exchange."""
+    enter the band exchange.
+
+    CACHE-RELEASE CONTRACT (round-8 advisor): the persisted staging
+    block intentionally OUTLIVES this call — the caller materializes
+    the returned frame after we return, and the registry wrapper
+    releases it at the start of the NEXT query (plans/registry.py
+    _wrap). Direct library callers outside the registry (tests,
+    notebooks) must release it themselves between calls —
+    ``spark.catalog.clearCache()`` plus unpersisting
+    ``sparkContext._jsc.getPersistentRDDs()`` — or a tight loop
+    (e.g. hypothesis running hundreds of examples) accumulates one
+    cached shingle pass per call until LRU eviction kicks in."""
     rows_per_band = num_hashes // bands
     base = (
         df.select(

@@ -2314,7 +2314,7 @@ def _survival_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
            d AS d_events, c AS c_censored,
            CASE WHEN term IS NOT NULL THEN
              CAST(round(sum(term) OVER (ORDER BY dur_days
-                        ROWS UNBOUNDED PRECEDING) + 0.0, 6) AS DOUBLE)
+                        ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS DOUBLE)
            END AS ln_survival
     FROM terms
     """,
@@ -2361,7 +2361,9 @@ def d38_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_censored"),
         F.when(
             F.col("term").isNotNull(),
-            F.round(F.sum("term").over(w_run) + F.lit(0.0), 6).cast("double"),
+            (F.round(F.sum("term").over(w_run), 6) + F.lit(0.0)).cast(
+                "double"
+            ),
         ).alias("ln_survival"),
     )
 
@@ -2420,7 +2422,7 @@ def _o_d39() -> str:
     )
     SELECT p.source,
            CAST(c.n AS BIGINT) AS n_docs,
-           CAST(round(sum((r.pref - p.pr) * ln(r.pref / p.pr)) + 0.0, 6)
+           CAST(round(sum((r.pref - p.pr) * ln(r.pref / p.pr)), 6) + 0.0
                 AS DOUBLE) AS psi
     FROM probs p
     JOIN refp r ON p.bucket = r.bucket
@@ -2526,13 +2528,15 @@ def d39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "source")
         .groupBy("source", "n")
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("pref") - F.col("pr"))
-                    * F.log(F.col("pref") / F.col("pr"))
+            (
+                F.round(
+                    F.sum(
+                        (F.col("pref") - F.col("pr"))
+                        * F.log(F.col("pref") / F.col("pr"))
+                    ),
+                    6,
                 )
-                + F.lit(0.0),
-                6,
+                + F.lit(0.0)
             )
             .cast("double")
             .alias("psi")
@@ -2848,9 +2852,9 @@ def _o_d43() -> str:
     )
     SELECT n.n_days,
            CAST(n.n_days * (n.n_days - 1) / 2 AS BIGINT) AS n_pairs,
-           CAST(round(s.slope_med + 0.0, 6) AS DOUBLE)
+           CAST(round(s.slope_med, 6) + 0.0 AS DOUBLE)
              AS slope_cents_per_day,
-           CAST(round(m.intercept_med + 0.0, 6) AS DOUBLE)
+           CAST(round(m.intercept_med, 6) + 0.0 AS DOUBLE)
              AS intercept_cents
     FROM nd n CROSS JOIN smed s CROSS JOIN rmed m
     """
@@ -2939,8 +2943,12 @@ def d43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_days * (n_days - 1) DIV 2 AS BIGINT)").alias(
                 "n_pairs"
             ),
-            F.round(F.col("slope_med"), 6).alias("slope_cents_per_day"),
-            F.round(F.col("intercept_med"), 6).alias("intercept_cents"),
+            (F.round(F.col("slope_med"), 6) + F.lit(0.0)).alias(
+                "slope_cents_per_day"
+            ),
+            (F.round(F.col("intercept_med"), 6) + F.lit(0.0)).alias(
+                "intercept_cents"
+            ),
         )
     )
 
@@ -2980,7 +2988,7 @@ def _o_d44() -> str:
       SELECT min(slope) AS slope_med FROM scum WHERE 2 * cum >= total
     )
     SELECT n.n_hours, p.n_pairs,
-           CAST(round(s.slope_med + 0.0, 6) AS DOUBLE)
+           CAST(round(s.slope_med, 6) + 0.0 AS DOUBLE)
              AS slope_cents_per_hour
     FROM nh n CROSS JOIN np p CROSS JOIN smed s
     """
@@ -3074,7 +3082,9 @@ def d44_theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_hours",
             "n_pairs",
-            F.round(F.col("slope_med"), 6).alias("slope_cents_per_hour"),
+            (F.round(F.col("slope_med"), 6) + F.lit(0.0)).alias(
+                "slope_cents_per_hour"
+            ),
         )
     )
 
@@ -3503,7 +3513,7 @@ def _o_d49() -> str:
     )
     SELECT a.source AS src_a, b.source AS src_b,
            CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
-           CAST(round(sum({term}) + 0.0, 6) AS DOUBLE) AS jsd
+           CAST(round(sum({term}), 6) + 0.0 AS DOUBLE) AS jsd
     FROM probs a
     JOIN probs b ON a.bucket = b.bucket AND a.source < b.source
     JOIN counts ca ON a.source = ca.source
@@ -3623,7 +3633,7 @@ def d49_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "src_b")
         .groupBy("src_a", "src_b", "n_a", "n_b")
         .agg(
-            (F.round(F.sum(term) + F.lit(0.0), 6))
+            (F.round(F.sum(term), 6) + F.lit(0.0))
             .cast("double")
             .alias("jsd")
         )
@@ -3667,7 +3677,7 @@ _O_D50 = f"""
                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
                WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
-               ELSE 0.0 END + 0.0, 6) AS DOUBLE)
+               ELSE 0.0 END, 6) + 0.0 AS DOUBLE)
            END AS z,
            CASE WHEN s > 0 THEN 'increasing'
                 WHEN s < 0 THEN 'decreasing'
@@ -3760,7 +3770,7 @@ def d50_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var18",
         F.when(
             F.col("var18") > 0,
-            F.round(z_raw + F.lit(0.0), 6).cast("double"),
+            (F.round(z_raw, 6) + F.lit(0.0)).cast("double"),
         ).alias("z"),
         F.when(F.col("s") > 0, F.lit("increasing"))
         .when(F.col("s") < 0, F.lit("decreasing"))
@@ -3809,11 +3819,11 @@ _O_D51 = f"""
       FROM nums m CROSS JOIN den d
     )
     SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-           CAST(round(rho_raw + 0.0, 6) AS DOUBLE) AS rho,
+           CAST(round(rho_raw, 6) + 0.0 AS DOUBLE) AS rho,
            CAST(round(CAST(n * (n + 2) AS DOUBLE)
                       * sum(rho_raw * rho_raw
                             / CAST(n - lag AS DOUBLE))
-                        OVER (ORDER BY lag) + 0.0, 6)
+                        OVER (ORDER BY lag), 6) + 0.0
                 AS DOUBLE) AS q_cum
     FROM rhos
     """
@@ -3911,8 +3921,8 @@ def d51_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rhos.select(
         F.col("lag").cast("long").alias("lag"),
         "n_pairs",
-        F.round(F.col("rho_raw") + F.lit(0.0), 6)
+        (F.round(F.col("rho_raw"), 6) + F.lit(0.0))
         .cast("double")
         .alias("rho"),
-        F.round(q + F.lit(0.0), 6).cast("double").alias("q_cum"),
+        (F.round(q, 6) + F.lit(0.0)).cast("double").alias("q_cum"),
     )

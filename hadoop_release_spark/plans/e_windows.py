@@ -3050,7 +3050,7 @@ _O_E45 = f"""
                 AS DOUBLE) AS mean_after_cents,
            CAST(round(CAST(s_n - s_k AS DOUBLE)
                       / CAST(n_days - k AS DOUBLE)
-                      - CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) + 0.0, 6)
+                      - CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6) + 0.0
                 AS DOUBLE) AS shift_cents
     FROM best WHERE rn = 1
     """
@@ -3124,7 +3124,7 @@ def e45_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_days") - F.col("k")).alias("n_after"),
         F.round(mean_b, 6).cast("double").alias("mean_before_cents"),
         F.round(mean_a, 6).cast("double").alias("mean_after_cents"),
-        F.round(mean_a - mean_b + F.lit(0.0), 6)
+        (F.round(mean_a - mean_b, 6) + F.lit(0.0))
         .cast("double")
         .alias("shift_cents"),
     )

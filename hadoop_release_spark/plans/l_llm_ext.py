@@ -1958,7 +1958,7 @@ def _o_l62() -> str:
     SELECT doc_id,
            CAST(sum(n12) AS BIGINT) AS n_bigrams,
            CAST(round(-sum(CAST(n12 AS DOUBLE) * lp)
-                      / CAST(sum(n12) AS DOUBLE) + 0.0, 6) AS DOUBLE)
+                      / CAST(sum(n12) AS DOUBLE), 6) + 0.0 AS DOUBLE)
              AS avg_nll
     FROM scored GROUP BY doc_id
     """
@@ -2027,11 +2027,13 @@ def l62_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.sum("n12").cast("long").alias("n_bigrams"),
-        F.round(
-            -F.sum(F.col("n12").cast("double") * F.col("lp"))
-            / F.sum("n12").cast("double")
-            + F.lit(0.0),
-            6,
+        (
+            F.round(
+                -F.sum(F.col("n12").cast("double") * F.col("lp"))
+                / F.sum("n12").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         )
         .cast("double")
         .alias("avg_nll"),
@@ -2209,7 +2211,7 @@ def _o_l67() -> str:
     )
     SELECT d.doc_id, d.lang,
            CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(round(coalesce(p.s, 0.0) + 0.0, 6) AS DOUBLE) AS logw,
+           CAST(round(coalesce(p.s, 0.0), 6) + 0.0 AS DOUBLE) AS logw,
            CAST(CASE WHEN d.lang = t.target_lang THEN 1 ELSE 0 END
                 AS INT) AS in_target
     FROM documents d
@@ -2334,7 +2336,7 @@ def l67_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(F.coalesce("s", F.lit(0.0)) + F.lit(0.0), 6)
+            (F.round(F.coalesce("s", F.lit(0.0)), 6) + F.lit(0.0))
             .cast("double")
             .alias("logw"),
             F.when(F.col("target_lang").isNotNull(), 1)

@@ -1822,7 +1822,7 @@ def l61_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, tok_cnt,
            CAST(round(CAST(rn - 1 AS DOUBLE)
-                      / CAST(greatest(n - 1, 1) AS DOUBLE) + 0.0, 6)
+                      / CAST(greatest(n - 1, 1) AS DOUBLE), 6) + 0.0
                 AS DOUBLE) AS pct,
            CAST(least((rn - 1) * 10 // n, 9) AS BIGINT) AS decile
     FROM r
@@ -1866,10 +1866,13 @@ def l63_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             # greatest(n-1, 1): a single-doc source calibrates to
             # pct 0.0 instead of 0/0 NaN (cross-engine NaN hashing
             # is undefined behavior this contract never emits).
-            F.round(
-                (F.col("rn") - 1).cast("double")
-                / F.greatest(F.col("n") - 1, F.lit(1)).cast("double"),
-                6,
+            (
+                F.round(
+                    (F.col("rn") - 1).cast("double")
+                    / F.greatest(F.col("n") - 1, F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("pct"),
             F.least(
                 F.expr("(rn - 1) * 10 DIV n"), F.lit(9)

@@ -18,6 +18,7 @@ being oracle-checked.
 from __future__ import annotations
 
 import json
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -76,30 +77,42 @@ def _wrap(fn: QueryFn) -> QueryFn:
     (tests/test_contract.py pins this.)"""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Each cleanup step gets its OWN narrow try/except (round-8
+        # advisor): a failure in one (e.g. Spark Connect lacking the
+        # _jsc gateway, or an RDD freed concurrently) must not
+        # silently skip the OTHERS — that would quietly re-introduce
+        # the accumulation leak this wrapper exists to fix — and must
+        # leave a log signal rather than pass silently.
         try:
             spark.catalog.clearCache()
-            # clearCache drops CACHED plans but NOT localCheckpoint
-            # blocks (the CC loop's per-round lineage truncation,
-            # round-8 rework) — release those explicitly or a long
-            # grading session accumulates one edge/label set per
-            # dedup query. Post-release, the PREVIOUS query's
-            # returned frame must not be re-materialized (its
-            # lineage was truncated to the freed blocks) — same
-            # release-at-next-query contract as the cache line
-            # above, just error-on-reuse instead of slow-on-reuse.
-            # (py4j exposes the Java map as a dict view)
+        except Exception as exc:  # pragma: no cover - env-specific
+            warnings.warn(f"registry cleanup: clearCache failed: {exc!r}")
+        # clearCache drops CACHED plans but NOT localCheckpoint
+        # blocks (the CC loop's per-round lineage truncation,
+        # round-8 rework) — release those explicitly or a long
+        # grading session accumulates one edge/label set per
+        # dedup query. Post-release, the PREVIOUS query's
+        # returned frame must not be re-materialized (its
+        # lineage was truncated to the freed blocks) — same
+        # release-at-next-query contract as the cache line
+        # above, just error-on-reuse instead of slow-on-reuse.
+        # (py4j exposes the Java map as a dict view)
+        try:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
-            # Streaming memory sinks register stream_out_* temp views
-            # (streaming/runner.materialize) that clearCache does NOT
-            # release — drop the previous query's here so full result
-            # tables cannot accumulate across a long grading session
-            # (self-review find).
+        except Exception as exc:  # pragma: no cover - env-specific
+            warnings.warn(f"registry cleanup: RDD unpersist failed: {exc!r}")
+        # Streaming memory sinks register stream_out_* temp views
+        # (streaming/runner.materialize) that clearCache does NOT
+        # release — drop the previous query's here so full result
+        # tables cannot accumulate across a long grading session
+        # (self-review find).
+        try:
             for t in spark.catalog.listTables():
                 if t.isTemporary and t.name.startswith("stream_out_"):
                     spark.catalog.dropTempView(t.name)
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - env-specific
+            warnings.warn(f"registry cleanup: view drop failed: {exc!r}")
         return fn(spark, sf_dir)
 
     wrapped.__doc__ = fn.__doc__

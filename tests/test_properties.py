@@ -4557,17 +4557,27 @@ def test_minhash_calibration_matches_reference(
     from hadoop_release_spark.catalog import table as _table
 
     d = _table(spark, str(tmp), "documents")
-    got = {
-        (r.id_a, r.id_b): r
-        for r in lsh_pair_calibration(d, "doc_id", "text").collect()
-    }
-    assert set(got) == set(expected)
-    for key, (n_match, jac) in expected.items():
-        r = got[key]
-        assert r.n_match == n_match
-        assert r.est_jaccard == n_match / 64
-        assert abs(r.jaccard - jac) <= 6e-4
-        assert abs(r.err - (n_match / 64 - jac)) <= 6e-4
+    try:
+        got = {
+            (r.id_a, r.id_b): r
+            for r in lsh_pair_calibration(d, "doc_id", "text").collect()
+        }
+        assert set(got) == set(expected)
+        for key, (n_match, jac) in expected.items():
+            r = got[key]
+            assert r.n_match == n_match
+            assert r.est_jaccard == n_match / 64
+            assert abs(r.jaccard - jac) <= 6e-4
+            assert abs(r.err - (n_match / 64 - jac)) <= 6e-4
+    finally:
+        # The operator's persisted staging block outlives the call by
+        # contract (released by the registry wrapper in production —
+        # operators/dedup.py docstring); hypothesis runs this body
+        # dozens of times per session, so release here or the blocks
+        # accumulate one shingle pass per example.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
 
 @settings(**_SETTINGS)

@@ -487,3 +487,24 @@ def test_rank_clusters_arrow_empty_centroids_yields_empty(spark, sf_dir):
     out = rank_clusters_arrow(e, none, 3, 64)
     assert out.count() == 0
     assert out.columns == ["vec_id", "embedding", "__nrm", "cluster", "__rn"]
+
+
+def test_rank_clusters_arrow_enforces_centroid_ceiling(spark, sf_dir):
+    """Round-8 verdict item 6: the kernel's driver collect documented
+    its exit condition (hierarchical quantization beyond driver-sized
+    K) but did not ENFORCE it. A centroid table above max_centroids
+    must raise loudly BEFORE materializing the whole table — planted
+    here with a tiny ceiling so the tripwire itself is exercised."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    with pytest.raises(RuntimeError, match="max_centroids"):
+        rank_clusters_arrow(e, cent, 3, 64, max_centroids=5)
+    # At-or-under the ceiling still runs (boundary is inclusive).
+    ok = rank_clusters_arrow(e, cent.limit(5), 3, 64, max_centroids=5)
+    assert ok.count() > 0

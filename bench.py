@@ -112,6 +112,8 @@ HEADLINE = [
     "g10_relational_division",  # data-defined-divisor division
     "m12_image_dup_survivors",  # image dup groups via union-find
     "l69_langid_confusion",   # lang-id quality confusion matrix
+    # round-9 flagships (this session)
+    "l70_corpus_pipeline_v2",  # chained dedup family → split+shard ledger
 ]
 
 

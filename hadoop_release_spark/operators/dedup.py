@@ -240,13 +240,16 @@ def _o_lsh_ctes(
     shingle_k: int = LSH_SHINGLE_K,
     num_hashes: int = LSH_NUM_HASHES,
     bands: int = LSH_BANDS,
+    src: str = "documents",
 ) -> str:
     """The CTE chain (toks→…→verified) shared by the l02 and l22
     oracles. Possible because every hash in the pipeline is
     md5-derived (portable) and the band bucket is the plain
     signature tuple. All expressions — the shingle concat included —
     are generated from the parameters, so the oracle tracks any
-    change to the shared LSH_* constants above."""
+    change to the shared LSH_* constants above. ``src`` names the
+    relation scanned (any CTE/view with doc_id + text — l70 feeds
+    the exact-dedup survivors instead of raw documents)."""
     rows_per_band = num_hashes // bands
     params = _hash_params(num_hashes)
     sig_cols = ",\n             ".join(
@@ -264,7 +267,7 @@ def _o_lsh_ctes(
         for j in range(bands)
     )
     ctes = f"""toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM {src}
     ), shingled AS (
       SELECT doc_id, {o_word_shingles_case(shingle_k)} AS shingles
       FROM toks

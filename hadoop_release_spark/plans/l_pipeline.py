@@ -34,7 +34,7 @@ UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
@@ -719,11 +719,9 @@ def l34_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: with S = doc_id%25, P = doc_id%10, K = doc_id%50.
 _URL_TRACK_RE = r"&utm_[a-z]+=[^&]*"
 
-
-@register(
-    "l35_dedup_url",
-    oracle=f"""
-    WITH planted AS (
+#: SQL text of the plant + canonicalization, shared by the l35 oracle
+#: and the l70 pipeline oracle (``{src}`` = relation with doc_id).
+_O_URL_PLANT = """
       SELECT doc_id,
              CASE doc_id % 4
                WHEN 0 THEN 'https://site' || (doc_id % 25)
@@ -740,8 +738,10 @@ _URL_TRACK_RE = r"&utm_[a-z]+=[^&]*"
                     || '.example.com/p/' || (doc_id % 10)
                     || '?id=' || (doc_id % 50) || '&utm_medium=email'
              END AS url
-      FROM documents
-    ), canon AS (
+      FROM {src}
+"""
+
+_O_URL_CANON = f"""
       SELECT doc_id,
              regexp_replace(
                regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://[^/?]+')),
@@ -749,6 +749,67 @@ _URL_TRACK_RE = r"&utm_[a-z]+=[^&]*"
                || substring(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/?]+')) + 1),
                '{_URL_TRACK_RE}', '', 'g') AS canonical_url
       FROM planted
+"""
+
+
+def _planted_url() -> Column:
+    """Spark twin of _O_URL_PLANT's CASE (over doc_id)."""
+    s = F.col("doc_id") % 25
+    pg = F.col("doc_id") % 10
+    k = F.col("doc_id") % 50
+    variant = F.col("doc_id") % 4
+    return (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://site"), s, F.lit(".example.com/p/"), pg,
+                F.lit("?id="), k,
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"), s, F.lit(".Example.COM:443/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_source=feed"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://site"), s, F.lit(".example.com:443/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_campaign=x&utm_medium=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://Site"), s, F.lit(".example.com/p/"), pg,
+                F.lit("?id="), k, F.lit("&utm_medium=email"),
+            )
+        )
+    )
+
+
+def _canonical_url() -> Column:
+    """Spark twin of _O_URL_CANON (over a ``url`` column)."""
+    authority = F.regexp_extract(F.col("url"), r"^[a-zA-Z]+://[^/?]+", 0)
+    return F.regexp_replace(
+        F.concat(
+            F.regexp_replace(F.lower(authority), r":443$", ""),
+            F.expr(
+                "substring(url, length(regexp_extract(url,"
+                " '^[a-zA-Z]+://[^/?]+', 0)) + 1)"
+            ),
+        ),
+        _URL_TRACK_RE,
+        "",
+    )
+
+
+@register(
+    "l35_dedup_url",
+    oracle=f"""
+    WITH planted AS ({_O_URL_PLANT.format(src="documents")}
+    ), canon AS ({_O_URL_CANON}
     )
     SELECT canonical_url, min(doc_id) AS survivor_id,
            count(*) AS n_docs
@@ -780,51 +841,9 @@ def l35_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural partition key for the downstream content-dedup join
     (l01/l02 consume it)."""
     d = table(spark, sf_dir, "documents")
-    s = F.col("doc_id") % 25
-    pg = F.col("doc_id") % 10
-    k = F.col("doc_id") % 50
-    variant = F.col("doc_id") % 4
-    url = (
-        F.when(
-            variant == 0,
-            F.concat(
-                F.lit("https://site"), s, F.lit(".example.com/p/"), pg,
-                F.lit("?id="), k,
-            ),
-        )
-        .when(
-            variant == 1,
-            F.concat(
-                F.lit("HTTPS://SITE"), s, F.lit(".Example.COM:443/p/"), pg,
-                F.lit("?id="), k, F.lit("&utm_source=feed"),
-            ),
-        )
-        .when(
-            variant == 2,
-            F.concat(
-                F.lit("https://site"), s, F.lit(".example.com:443/p/"), pg,
-                F.lit("?id="), k, F.lit("&utm_campaign=x&utm_medium=y"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://Site"), s, F.lit(".example.com/p/"), pg,
-                F.lit("?id="), k, F.lit("&utm_medium=email"),
-            )
-        )
-    )
-    planted = d.select("doc_id", url.alias("url"))
-    authority = F.regexp_extract(F.col("url"), r"^[a-zA-Z]+://[^/?]+", 0)
-    canonical = F.regexp_replace(
-        F.concat(
-            F.regexp_replace(F.lower(authority), r":443$", ""),
-            F.expr("substring(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/?]+', 0)) + 1)"),
-        ),
-        _URL_TRACK_RE,
-        "",
-    )
+    planted = d.select("doc_id", _planted_url().alias("url"))
     return (
-        planted.select("doc_id", canonical.alias("canonical_url"))
+        planted.select("doc_id", _canonical_url().alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_docs"))
     )
@@ -2089,4 +2108,337 @@ def l65_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(tgt), "lang")
         .filter(F.col("rn") <= F.col("lang_target"))
         .select("doc_id", "lang", "lang_target")
+    )
+
+
+#: l70 — embedding dimension (the fixture contract, = l_llm_ext._DIM)
+#: and the semantic-dup cosine threshold (= l_llm_ext._L56_TAU). Both
+#: imported at oracle-build/plan-build time so l70 and l56 cannot
+#: drift.
+def _o_l70() -> str:
+    from hadoop_release_spark.functions.vectors import o_cosine
+    from hadoop_release_spark.operators.dedup import (
+        LSH_JACCARD_THRESHOLD,
+        _o_lsh_ctes,
+    )
+    from hadoop_release_spark.plans.l_llm_ext import _DIM, _L56_TAU
+
+    cos_ac = o_cosine("e.embedding", "c.centroid", _DIM)
+    cos_ab = o_cosine("a.embedding", "b.embedding", _DIM)
+    bucket = (
+        "CAST(('0x' || substring(md5(source), 1, 4))::UBIGINT"
+        " % 100 AS BIGINT)"
+    )
+    return f"""
+    WITH planted AS ({_O_URL_PLANT.format(src="documents")}
+    ), canon AS ({_O_URL_CANON}
+    ), fetches AS (
+      SELECT d.doc_id, c.canonical_url, md5(d.text) AS h
+      FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+    ), usurv AS (
+      SELECT canonical_url, h, min(doc_id) AS u_surv
+      FROM fetches GROUP BY canonical_url, h
+    ), umap AS (
+      SELECT f.doc_id, f.h, u.u_surv
+      FROM fetches f JOIN usurv u
+        ON f.canonical_url = u.canonical_url AND f.h = u.h
+    ), esurv AS (
+      SELECT h, min(doc_id) AS e_surv
+      FROM umap WHERE doc_id = u_surv GROUP BY h
+    ), emap AS (
+      SELECT m.doc_id, s.e_surv
+      FROM umap m JOIN esurv s ON m.h = s.h
+      WHERE m.doc_id = m.u_surv
+    ), ekept AS (
+      SELECT d.* FROM documents d
+      JOIN emap m ON d.doc_id = m.doc_id AND m.e_surv = d.doc_id
+    ), {_o_lsh_ctes(src="ekept")}, nkill AS (
+      SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+      FROM verified WHERE jaccard >= {LSH_JACCARD_THRESHOLD}
+      GROUP BY id_b
+    ), nkept AS (
+      SELECT k.* FROM ekept k
+      LEFT JOIN nkill x ON k.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL
+    ), centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), assign0 AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ac} DESC, c.centroid_id)
+               AS rn
+      FROM embeddings e
+      JOIN nkept s ON e.vec_id = s.doc_id
+      CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster
+      FROM assign0 WHERE rn = 1
+    ), spairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({cos_ab}, 3) AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ), skill AS (
+      SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+      FROM spairs WHERE sim >= {_L56_TAU} GROUP BY id_b
+    ), kept AS (
+      SELECT k.* FROM nkept k
+      LEFT JOIN skill x ON k.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL
+    ), splits AS (
+      SELECT doc_id,
+             CASE WHEN {bucket} < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN {bucket} < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    ), shp AS (
+      SELECT doc_id, s.s AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR))
+               AS key
+      FROM kept, unnest(range(0, {_L60_SHARDS})) AS s(s)
+    ), shr AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY key DESC, shard) AS rn
+        FROM shp
+      ) WHERE rn = 1
+    )
+    SELECT m.doc_id, 'url_refetch_dup' AS status,
+           CAST(m.u_surv AS BIGINT) AS dup_of,
+           CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard
+    FROM umap m WHERE m.doc_id <> m.u_surv
+    UNION ALL
+    SELECT m.doc_id, 'exact_dup', CAST(m.e_surv AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM emap m WHERE m.doc_id <> m.e_surv
+    UNION ALL
+    SELECT n.doc_id, 'near_dup', n.dup_of,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM nkill n
+    UNION ALL
+    SELECT s.doc_id, 'semantic_dup', s.dup_of,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM skill s
+    UNION ALL
+    SELECT k.doc_id, 'kept', CAST(NULL AS BIGINT), sp.split,
+           CAST(sh.shard AS BIGINT)
+    FROM kept k
+    JOIN splits sp ON k.doc_id = sp.doc_id
+    JOIN shr sh ON k.doc_id = sh.doc_id
+    """
+
+
+@register("l70_corpus_pipeline_v2", oracle=_o_l70(), priority="P1")
+def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build pipeline v2 — the round-6/8 dedup family chained
+    the way a production corpus build actually runs it, as ONE
+    declarative plan emitting a per-document DISPOSITION LEDGER:
+
+      1. URL refetch collapse (l35 canonicalization × l01 content
+         hash): docs sharing a canonical URL AND identical bytes are
+         the same fetch — min-id survivor. (Same-URL different-bytes
+         is a page UPDATE and must NOT collapse here — that is why
+         this stage keys on the (canonical_url, md5) pair, not the
+         URL alone; l35 measures URL-only collapse separately.)
+      2. Exact content dedup across URLs (l01): md5(text) group,
+         min-id survivor. (The fixture corpus plants no
+         byte-identical dups — verified, both stages kill 0 rows
+         there — but at crawl scale these two cheapest passes remove
+         the bulk of the volume before anything quadratic runs.)
+      3. Near dedup (l02's banded MinHash-LSH, shared LSH_*
+         constants): a doc is dropped iff a LOWER-id doc pairs with
+         it at exact-verified Jaccard ≥ τ — the l56 greedy shadow
+         rule (l22's transitive-closure variant is the standalone
+         op; the shadow rule composes without an iterative pass).
+      4. Semantic dedup (l56's SemDeDup): surviving docs' embeddings
+         assigned to the shared centroid sample via the Arrow
+         kernel, same-cluster cosine ≥ τ vs a lower id → dropped.
+         Docs WITHOUT an embedding row pass through this stage
+         unexamined (the fixture embeds a prefix of the corpus;
+         both engines join on vec_id = doc_id, so coverage is
+         consistent) — production would embed everything or route
+         uncovered docs to a quarantine split.
+      5. Leakage-safe split (l34): kept docs assigned train/val/test
+         by md5(source) GROUP hash.
+      6. Placement (l60/l61): kept docs assigned their rendezvous
+         shard — the ledger row is exactly the (split, shard)
+         manifest entry; the l61 digest rollup is a groupBy away.
+
+    Output: one row per input doc — (doc_id, status ∈ {url_refetch_
+    dup, exact_dup, near_dup, semantic_dup, kept}, dup_of = the
+    shadowing id for drops, split + shard for kept). Fully
+    md5-deterministic; the whole chain is hash-oracled end-to-end.
+
+    Scale shape (the point of the exercise — every stage keeps its
+    standalone op's posture, and the stages COMPOSE without any new
+    shuffle class): stages 1-2 are map-side-combined group-aggs on
+    (url-hash, md5) / md5 — digests shuffle, text does not; stage 3
+    is the persisted-sketch banded LSH (slim (id, band, bucket)
+    exchange); stage 4 broadcasts only centroids and shuffles
+    cluster-keyed pairs (Σ|cluster|² bound); stages 5-6 are
+    stateless per-row hashes. Each stage's input is the previous
+    stage's survivor SEMI-JOIN — monotonically shrinking, so the
+    expensive stages see the least data. ekept is persisted once
+    (spine of three consumers; released by the registry wrapper at
+    the next query — the lsh_pair_calibration contract)."""
+    from hadoop_release_spark.functions.vectors import dot
+    from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+    from hadoop_release_spark.plans.l_llm_ext import _DIM, _L56_TAU
+
+    d = table(spark, sf_dir, "documents")
+    # ONE projection computes both stage-1 keys (content md5 +
+    # canonical URL) — no self-join, one text scan feeding stages 1-2.
+    fetch = d.select(
+        "doc_id", F.md5("text").alias("__h"), _planted_url().alias("url")
+    ).select("doc_id", "__h", _canonical_url().alias("curl"))
+    usurv = fetch.groupBy("curl", "__h").agg(
+        F.min("doc_id").alias("u_surv")
+    )
+    # umap is the slim (doc_id, md5, survivor) spine of THREE
+    # consumers (stage-2 minima, stage-2 map, the url_drop ledger
+    # branch) — persist it so the md5-over-text pass runs once
+    # (released by the registry wrapper at the next query).
+    umap = (
+        fetch.join(usurv, ["curl", "__h"])
+        .select("doc_id", "__h", "u_surv")
+        .persist()
+    )
+    # Stage-2 input: URL-stage survivors; the content hash rides
+    # along from stage 1 (one md5 pass total for both stages).
+    esurv = (
+        umap.filter(F.col("doc_id") == F.col("u_surv"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("e_surv"))
+    )
+    emap = (
+        umap.filter(F.col("doc_id") == F.col("u_surv"))
+        .join(esurv, "__h")
+        .select("doc_id", "e_surv")
+    )
+    ekept = d.join(
+        emap.filter(F.col("doc_id") == F.col("e_surv")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    pairs = lsh_candidate_pairs(ekept, "doc_id", "text")
+    nkill = (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").cast("long").alias("dup_of"))
+        .select(F.col("id_b").alias("doc_id"), "dup_of")
+    )
+    nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    sv = emb.join(
+        nkept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    assigned = rank_clusters_arrow(sv, centroids, 1, _DIM).select(
+        "vec_id", "embedding", "__nrm", "cluster"
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    # Corpus-side pair join must SHUFFLE on cluster, never broadcast
+    # the stat-less kernel output (the l56/l58 rule).
+    spairs = (
+        a.join(b.hint("shuffle_hash"), "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "id_a",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                3,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.expr(_L56_TAU))
+    )
+    skill = (
+        spairs.groupBy("id_b")
+        .agg(F.min("id_a").cast("long").alias("dup_of"))
+        .select(F.col("id_b").alias("doc_id"), "dup_of")
+    )
+    kept = nkept.join(skill.select("doc_id"), "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    shp = kept.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias(
+            "shard"
+        ),
+    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
+    shr = (
+        shp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").cast("long").alias("shard"))
+    )
+
+    def _nulls():
+        return [
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("long").alias("shard"),
+        ]
+
+    url_drop = umap.filter(F.col("doc_id") != F.col("u_surv")).select(
+        "doc_id",
+        F.lit("url_refetch_dup").alias("status"),
+        F.col("u_surv").cast("long").alias("dup_of"),
+        *_nulls(),
+    )
+    ex_drop = emap.filter(F.col("doc_id") != F.col("e_surv")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("status"),
+        F.col("e_surv").cast("long").alias("dup_of"),
+        *_nulls(),
+    )
+    near_drop = nkill.select(
+        "doc_id", F.lit("near_dup").alias("status"), "dup_of", *_nulls()
+    )
+    sem_drop = skill.select(
+        "doc_id",
+        F.lit("semantic_dup").alias("status"),
+        "dup_of",
+        *_nulls(),
+    )
+    kept_rows = (
+        kept.select("doc_id", split.alias("split"), "source")
+        .join(shr, "doc_id")
+        .select(
+            "doc_id",
+            F.lit("kept").alias("status"),
+            F.lit(None).cast("long").alias("dup_of"),
+            "split",
+            "shard",
+        )
+    )
+    return (
+        url_drop.unionByName(ex_drop)
+        .unionByName(near_drop)
+        .unionByName(sem_drop)
+        .unionByName(kept_rows)
     )

@@ -246,6 +246,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l68_minhash_calibration",
     "l69_langid_confusion",
     "m12_image_dup_survivors",
+    "l70_corpus_pipeline_v2",
 })
 
 

@@ -236,3 +236,37 @@ def test_corpus_diff_statuses_match_derivation(spark, sf_dir):
         else:
             assert status == "unchanged", (doc_id, status)
     assert len({s for s in rows.values()}) == 4  # all four statuses occur
+
+
+def test_l70_ledger_stage_invariants(spark, sf_dir):
+    """l70 structural contract: the ledger PARTITIONS the corpus (one
+    row per doc, statuses disjoint), every drop points at a strictly
+    lower-id shadow that itself survived the EARLIER stages, and
+    split/shard are populated exactly on kept rows."""
+    d = table(spark, sf_dir, "documents")
+    out = specs()["l70_corpus_pipeline_v2"].fn(spark, sf_dir).toPandas()
+    n_docs = d.count()
+    assert len(out) == n_docs
+    assert out["doc_id"].nunique() == n_docs
+    statuses = set(out["status"])
+    assert statuses <= {
+        "url_refetch_dup", "exact_dup", "near_dup", "semantic_dup", "kept"
+    }
+    kept = out[out["status"] == "kept"]
+    dropped = out[out["status"] != "kept"]
+    # drops carry a lower-id shadow and no placement; kept the reverse
+    assert (dropped["dup_of"] < dropped["doc_id"]).all()
+    assert dropped["split"].isna().all() and dropped["shard"].isna().all()
+    assert kept["dup_of"].isna().all()
+    assert kept["split"].isin(["train", "val", "test"]).all()
+    assert kept["shard"].between(0, 7).all()
+    # a near/semantic shadow must itself have survived every EARLIER
+    # stage (it may be dropped by its own or a later stage, but a doc
+    # already removed by an earlier stage can never shadow anyone)
+    order = {
+        "url_refetch_dup": 0, "exact_dup": 1, "near_dup": 2,
+        "semantic_dup": 3, "kept": 4,
+    }
+    stage_of = dict(zip(out["doc_id"], out["status"].map(order)))
+    for _, r in dropped.iterrows():
+        assert stage_of[int(r["dup_of"])] >= order[r["status"]], r.to_dict()

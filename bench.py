@@ -114,6 +114,7 @@ HEADLINE = [
     "l69_langid_confusion",   # lang-id quality confusion matrix
     # round-9 flagships (this session)
     "l70_corpus_pipeline_v2",  # chained dedup family → split+shard ledger
+    "e47_entity_changepoint",  # per-entity CUSUM argmax level-shift
 ]
 
 

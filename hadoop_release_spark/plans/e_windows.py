@@ -3232,3 +3232,129 @@ def e46_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         strength(num_sr).alias("seasonal_strength"),
         strength(num_dt).alias("trend_strength"),
     )
+
+
+_O_E47 = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               // {DAY_US} AS day_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, day_id,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day_id) AS BIGINT) AS k,
+             CAST(sum(cents) OVER (PARTITION BY event_type
+                                   ORDER BY day_id) AS BIGINT) AS s_k,
+             CAST(count(*) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n_days,
+             CAST(sum(cents) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS s_n
+      FROM daily
+    ), cand AS (
+      SELECT event_type, day_id, k, s_k, n_days, s_n,
+             abs(CAST(n_days AS HUGEINT) * s_k
+                 - CAST(k AS HUGEINT) * s_n) AS dev
+      FROM cum WHERE k < n_days
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev DESC, day_id) AS rn
+      FROM cand
+    )
+    SELECT event_type, day_id AS split_day_id, n_days,
+           k AS n_before, n_days - k AS n_after,
+           CAST(round(CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                AS DOUBLE) AS mean_before_cents,
+           CAST(round(CAST(s_n - s_k AS DOUBLE)
+                      / CAST(n_days - k AS DOUBLE), 6)
+                AS DOUBLE) AS mean_after_cents,
+           CAST(round(CAST(s_n - s_k AS DOUBLE)
+                      / CAST(n_days - k AS DOUBLE)
+                      - CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6) + 0.0
+                AS DOUBLE) AS shift_cents
+    FROM best WHERE rn = 1
+    """
+
+
+@register("e47_entity_changepoint", oracle=_O_E47, priority="P2")
+def e47_entity_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity change-point — e45's CUSUM argmax run independently
+    per event_type (the per-entity variant e45's docstring
+    promises, the e42 pattern): each entity's daily-cents series
+    gets its own |Σ_{{i≤k}}(x_i − x̄)| peak, so one entity's level
+    shift (a price change on purchases) is dated on ITS series
+    instead of being diluted by the aggregate. One row per entity:
+    split day, regime sizes, both regime means, shift.
+
+    Determinism: identical to e45 per partition — the deviation is
+    the exact integer N·S_k − k·S_N in decimal(38,0)/HUGEINT, ties
+    break on the earlier day, the three reported floats are single
+    IEEE divisions of exact bigints r6 (shift with the OUTER +0.0
+    signed-zero guard); an entity observed on a single day emits no
+    row (k < n_days has no candidates), rather than a degenerate
+    0-width regime.
+
+    Scale shape: ONE map-side-combined (entity, day) agg collapses
+    events to the entity×day grid; every window — running sum,
+    totals, argmax rank — partitions by the entity key over that
+    calendar-bounded grid (the e42 posture: adding entities adds
+    parallelism, not rows per partition). No unpartitioned window
+    anywhere, no join; skew is bounded because each partition is at
+    most |calendar| rows regardless of how hot the entity is."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    DEC = "decimal(38,0)"
+    cum = daily.select(
+        "event_type",
+        "day_id",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("cents").over(w_cum).cast("long").alias("s_k"),
+        F.count("*").over(w_all).cast("long").alias("n_days"),
+        F.sum("cents").over(w_all).cast("long").alias("s_n"),
+    )
+    dev = F.abs(
+        F.col("n_days").cast(DEC) * F.col("s_k")
+        - F.col("k").cast(DEC) * F.col("s_n")
+    )
+    cand = cum.filter(F.col("k") < F.col("n_days")).withColumn("dev", dev)
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("dev"), "day_id"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    kd = F.col("k").cast("double")
+    rd = (F.col("n_days") - F.col("k")).cast("double")
+    mean_b = F.col("s_k").cast("double") / kd
+    mean_a = (F.col("s_n") - F.col("s_k")).cast("double") / rd
+    return best.select(
+        "event_type",
+        F.col("day_id").alias("split_day_id"),
+        "n_days",
+        F.col("k").alias("n_before"),
+        (F.col("n_days") - F.col("k")).alias("n_after"),
+        F.round(mean_b, 6).cast("double").alias("mean_before_cents"),
+        F.round(mean_a, 6).cast("double").alias("mean_after_cents"),
+        (F.round(mean_a - mean_b, 6) + F.lit(0.0))
+        .cast("double")
+        .alias("shift_cents"),
+    )

@@ -247,6 +247,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l69_langid_confusion",
     "m12_image_dup_survivors",
     "l70_corpus_pipeline_v2",
+    "e47_entity_changepoint",
 })
 
 

@@ -4764,3 +4764,86 @@ def test_langid_confusion_matches_reference(spark, docs, tmp_path_factory):
         assert r.n_docs == n
         assert r.is_correct == int(key[0] == key[1])
         assert abs(r.recall_share - n / row_tot[key[0]]) <= 6e-7
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "purchase", "click"]),  # entity
+            st.integers(min_value=0, max_value=20),          # day offset
+            st.integers(min_value=-5000, max_value=5000),    # cents
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda rs: any(
+            len({d for e2, d, _ in rs if e2 == e}) >= 2
+            for e in {e for e, _, _ in rs}
+        )
+    )
+)
+def test_entity_changepoint_matches_reference(spark, rows, tmp_path_factory):
+    """e47 vs the literal per-entity CUSUM rule: per event_type daily
+    sums, argmax of |N·S_k − k·S_N| with the earlier-day tie-break;
+    split day and regime sizes EXACT, means within the 6dp
+    half-grid; single-day entities emit no row."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.e_windows import e47_entity_changepoint
+
+    tmp = tmp_path_factory.mktemp("e47prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    T0 + datetime.timedelta(days=d, hours=3)
+                    for _, d, _ in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([e for e, _, _ in rows]),
+            "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for e, d, c in rows:
+        daily[e][d] += c
+    expected = {}
+    for e, series in daily.items():
+        grid = sorted(series)
+        n = len(grid)
+        if n < 2:
+            continue
+        s_n = sum(series.values())
+        best = None
+        s_k = 0
+        for k, day in enumerate(grid, start=1):
+            s_k += series[day]
+            if k >= n:
+                break
+            dev = abs(n * s_k - k * s_n)
+            if best is None or dev > best[0]:
+                best = (dev, day, k, s_k)
+        expected[e] = (best[1], best[2], n, best[3], s_n)
+
+    got = {
+        r.event_type: r
+        for r in e47_entity_changepoint(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expected)
+    epoch0 = int(
+        (T0 - datetime.datetime(1970, 1, 1)).total_seconds() // 86400
+    )
+    for e, (day, k, n, sk, sn) in expected.items():
+        r = got[e]
+        assert (r.n_days, r.n_before, r.n_after) == (n, k, n - k)
+        assert r.split_day_id == epoch0 + day
+        assert abs(r.mean_before_cents - sk / k) <= 6e-7
+        assert abs(r.mean_after_cents - (sn - sk) / (n - k)) <= 6e-7
+        assert abs(r.shift_cents - ((sn - sk) / (n - k) - sk / k)) <= 2e-6

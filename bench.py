@@ -115,6 +115,7 @@ HEADLINE = [
     # round-9 flagships (this session)
     "l70_corpus_pipeline_v2",  # chained dedup family → split+shard ledger
     "e47_entity_changepoint",  # per-entity CUSUM argmax level-shift
+    "l71_ivf_pq",             # FAISS IVFPQ layout: probe lists, score codes
 ]
 
 

@@ -404,6 +404,95 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    subdim: int,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF+PQ search — the production FAISS IVFPQ layout the l47
+    docstring names: the coarse quantizer (IVF) prunes WHICH
+    inverted lists each query reads, and the product quantizer (PQ)
+    shrinks WHAT a list costs to read — search touches only the
+    m-byte codes of the nprobe probed clusters, never a corpus
+    vector. (FAISS's ``by_residual=False`` variant: codes encode the
+    raw vectors, not centroid residuals, so the code table is the
+    SAME artifact l47 builds — one codebook serves both the flat-PQ
+    and the IVF-PQ index.)
+
+    ``codes``: (vec_id, cluster, u, code_id) — the cluster-tagged
+    code table; ``codebook``: (code_id, embedding); ``query``:
+    (query_id, qe); ``centroids``: (centroid_id, centroid). Returns
+    (query_id, vec_id, adc_d2) — top-k ascending approximate squared
+    L2 per query, deterministically tie-broken.
+
+    METRIC_L2 throughout (the FAISS IndexIVFPQ default): list
+    probing ranks centroids by ascending squared L2 — the SAME
+    metric the ADC scores approximate. A cosine probe over L2 codes
+    was measured to halve recall on the isotropic fixture (the
+    query's L2 neighbors live in lists a cosine ranking skips);
+    l19 remains the cosine IVF-Flat twin.
+
+    Determinism: per-subspace LUT distances round to 6dp and
+    accumulate in DECIMAL(18,6) (exact, order-insensitive — the l47
+    rule), rankings tie-break on vec_id, probe ranking on
+    centroid_id.
+
+    Scale shape: probes = query × broadcast centroid table with a
+    per-query rank (queries are the bounded side — the l09/l48
+    tripwire applies); the LUT is |queries|·m·K rows, broadcast;
+    candidate generation joins the code table against the broadcast
+    probe list on cluster — at 100 TB the code table is WRITTEN
+    partitioned by cluster, so this join is partition pruning (read
+    nprobe/K of the index) before any compute; the ADC agg partial-
+    aggregates (query, vec) groups map-side. No corpus vectors move."""
+    from hadoop_release_spark.functions.vectors import sq_dist
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cd2").asc(), F.col("centroid_id")
+    )
+    probes = (
+        query.crossJoin(F.broadcast(centroids))
+        .withColumn("__cd2", sq_dist(F.col("qe"), F.col("centroid")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cluster"))
+    )
+    q_subs = pq_subvectors(query, "query_id", "query_id", "qe", m, subdim)
+    code_subs = pq_subvectors(
+        codebook, "code_id", "code_id", "embedding", m, subdim
+    ).withColumnRenamed("sub", "csub")
+    lut = q_subs.join(code_subs, "u").select(
+        "query_id",
+        "u",
+        "code_id",
+        F.round(sq_dist(F.col("sub"), F.col("csub")), 6)
+        .cast("decimal(18,6)")
+        .alias("qd2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "u", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("__adc"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("__adc").cast("double"), 3).alias("adc_d2"),
+        )
+    )
+
+
 def rank_clusters_arrow(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -2439,3 +2439,173 @@ def l69_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_correct"),
     )
+
+
+#: l71 — IVF+PQ probe depth and result depth (l19's conventions).
+_L71_NPROBE = 4
+_L71_K = 10
+_L71_QUERIES = 5
+
+
+def _o_l71() -> str:
+    from hadoop_release_spark.functions.vectors import o_sq_dist_offset
+
+    d2_ac = o_sq_dist_offset("e.embedding", "c.centroid", "0", "0", _DIM)
+    d2_qc = o_sq_dist_offset("q.qe", "c.centroid", "0", "0", _DIM)
+    d2 = o_sq_dist_offset(
+        "e.embedding", "c.embedding", f"u.u * {_PQ_SUBDIM}",
+        f"u.u * {_PQ_SUBDIM}", _PQ_SUBDIM,
+    )
+    qd2 = o_sq_dist_offset(
+        "q.qe", "c.embedding", f"u.u * {_PQ_SUBDIM}",
+        f"u.u * {_PQ_SUBDIM}", _PQ_SUBDIM,
+    )
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), assign0 AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2_ac} ASC, c.centroid_id)
+               AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cluster FROM assign0 WHERE rn = 1
+    ), cb AS (
+      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code_id, embedding
+      FROM embeddings
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_STRIDE * _PQ_CODES}
+    ), usub AS (
+      SELECT unnest(range(0, {_PQ_M})) AS u
+    ), corpus_sub AS (
+      SELECT e.vec_id, u.u, c.code_id, {d2} AS d2
+      FROM embeddings e CROSS JOIN usub u CROSS JOIN cb c
+    ), enc AS (
+      SELECT vec_id, u, code_id FROM (
+        SELECT vec_id, u, code_id,
+               row_number() OVER (PARTITION BY vec_id, u
+                                  ORDER BY d2, code_id) AS rn
+        FROM corpus_sub) WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {_L71_QUERIES}
+    ), probes0 AS (
+      SELECT q.query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {d2_qc} ASC, c.centroid_id)
+               AS rn
+      FROM queries q CROSS JOIN centroids c
+    ), probes AS (
+      SELECT query_id, centroid_id AS cluster
+      FROM probes0 WHERE rn <= {_L71_NPROBE}
+    ), lut AS (
+      SELECT q.query_id, u.u, c.code_id,
+             CAST(round({qd2}, 6) AS DECIMAL(18,6)) AS qd2
+      FROM queries q CROSS JOIN usub u CROSS JOIN cb c
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probes p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ), adc AS (
+      SELECT c.query_id, c.vec_id, sum(l.qd2) AS adc
+      FROM cand c
+      JOIN enc e ON c.vec_id = e.vec_id
+      JOIN lut l ON l.query_id = c.query_id
+                AND l.u = e.u AND l.code_id = e.code_id
+      GROUP BY c.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM adc)
+    SELECT query_id, vec_id, round(CAST(adc AS DOUBLE), 3) AS adc_d2
+    FROM ranked WHERE rn <= {_L71_K}
+    """
+
+
+@register("l71_ivf_pq", oracle=_o_l71(), priority="P2")
+def l71_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the production FAISS layout the l47
+    docstring names, now an operator of its own: the IVF coarse
+    quantizer (l19's centroid sample + Arrow-kernel assignment)
+    prunes which inverted lists each query reads, and l47's product
+    quantizer shrinks what a list costs to read — queries are
+    answered from the m-byte codes of the nprobe probed clusters
+    only; corpus vectors are touched once at INDEX BUILD and never
+    at query time. ``by_residual=False`` (a real FAISS option):
+    codes encode raw vectors, so the code table is the SAME artifact
+    l47 builds — one codebook serves the flat-PQ and IVF-PQ indexes.
+
+    METRIC_L2 throughout (the FAISS IndexIVFPQ default): coarse
+    assignment, list probing, and the ADC all rank by squared L2 —
+    mixing a cosine probe over L2 codes was measured to halve recall
+    on the isotropic fixture (the query's L2 neighbors live in lists
+    a cosine ranking skips). l19 remains the cosine IVF-Flat twin.
+
+    ORACLE-CHECKED end-to-end by composing the components' exact
+    arithmetic (the round-8 verdict item): assignment/probing use
+    the shared sq_dist fold with id tie-breaks; encode argmin and
+    the 6dp-DECIMAL ADC accumulation reuse l47's — already proven
+    hash-exact standalone. Recall vs exact L2 pinned in
+    tests/test_similarity.py.
+
+    Scale shape: index build = one kernel assignment pass + one
+    broadcast encode join (corpus never shuffles; output is m codes
+    + a cluster id per vector — at 100 TB it is WRITTEN partitioned
+    by cluster); query = broadcast probe list + broadcast LUT against
+    the code table, partition-pruned to nprobe/K of the index, then
+    a map-side-combined (query, vec) agg. No corpus vector moves at
+    query time; memory per executor is bounded by |queries|·m·K LUT
+    rows."""
+    from hadoop_release_spark.functions.vectors import sq_dist
+    from hadoop_release_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    codebook = e.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0)
+        & (F.col("vec_id") < _PQ_STRIDE * _PQ_CODES)
+    ).select(
+        (F.col("vec_id") / _PQ_STRIDE).cast("int").alias("code_id"),
+        "embedding",
+    )
+    # L2 coarse assignment: broadcast-argmin min-struct (the
+    # pq_encode pattern at full dim). The cosine Arrow kernel does
+    # not apply here — METRIC_L2 needs the (x−y)² fold, and the
+    # min-struct reduction keeps it one map-side pass; an L2 kernel
+    # is the optimization exit if assignment ever dominates.
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "centroid_id",
+            sq_dist(F.col("embedding"), F.col("centroid")).alias("__d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("__d2"), F.col("centroid_id"))).alias(
+                "__b"
+            )
+        )
+        .select("vec_id", F.col("__b.centroid_id").alias("cluster"))
+    )
+    # Index build: cluster tag + m codes per vector, one vec_id join
+    # (at scale both sides derive from the same scan and the code
+    # table is sunk partitioned-by-cluster — the docstring exit).
+    codes = pq_encode(e, codebook, _PQ_M, _PQ_SUBDIM).join(
+        assigned, "vec_id"
+    )
+    query = e.filter(F.col("vec_id") < _L71_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_pq_topk(
+        codes, codebook, query, centroids, _PQ_M, _PQ_SUBDIM,
+        k=_L71_K, nprobe=_L71_NPROBE,
+    )

@@ -248,6 +248,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m12_image_dup_survivors",
     "l70_corpus_pipeline_v2",
     "e47_entity_changepoint",
+    "l71_ivf_pq",
 })
 
 

@@ -2783,31 +2783,40 @@ def e42_entity_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFram
 _E43_HALF = 3
 
 
-def _o_e43() -> str:
+def _o_e43(keys: tuple[str, ...] = ()) -> str:
+    """e43's decomposition SQL, parameterized by entity keys so the
+    per-entity variant (e48) shares ONE definition with the global
+    series (the e45/e47 discipline). Empty keys reproduce the
+    original e43 oracle semantics exactly."""
+    kc = "".join(f"{k}, " for k in keys)
+    seas_part = kc + "day_id % 7"
+    trend_part = ("PARTITION BY " + ", ".join(keys) + " ") if keys else ""
+    group_by = ", ".join(str(i + 1) for i in range(len(keys) + 1))
     return f"""
     WITH daily AS (
-      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+      SELECT {kc}CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
                // {DAY_US} AS day_id,
              CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
                            AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1
+      FROM events GROUP BY {group_by}
     ), seas AS (
-      SELECT day_id, cents, day_id % 7 AS dow,
-             list_sort(list(cents) OVER (PARTITION BY day_id % 7)) AS sarr
+      SELECT {kc}day_id, cents, day_id % 7 AS dow,
+             list_sort(list(cents) OVER (PARTITION BY {seas_part}))
+               AS sarr
       FROM daily
     ), des AS (
-      SELECT day_id, dow, cents,
+      SELECT {kc}day_id, dow, cents,
              sarr[(len(sarr) + 1) // 2] AS seasonal,
              cents - sarr[(len(sarr) + 1) // 2] AS deseason
       FROM seas
     ), tr AS (
-      SELECT day_id, dow, cents, seasonal, deseason,
-             list_sort(list(deseason) OVER (ORDER BY day_id
+      SELECT {kc}day_id, dow, cents, seasonal, deseason,
+             list_sort(list(deseason) OVER ({trend_part}ORDER BY day_id
                        ROWS BETWEEN {_E43_HALF} PRECEDING
                        AND {_E43_HALF} FOLLOWING)) AS tarr
       FROM des
     )
-    SELECT day_id, CAST(dow AS BIGINT) AS dow, cents, seasonal, deseason,
+    SELECT {kc}day_id, CAST(dow AS BIGINT) AS dow, cents, seasonal, deseason,
            CASE WHEN len(tarr) = {2 * _E43_HALF + 1}
                 THEN tarr[{_E43_HALF + 1}] END AS trend,
            CASE WHEN len(tarr) = {2 * _E43_HALF + 1}
@@ -2839,42 +2848,66 @@ def e43_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row sorts are |days|/7- and 7-element arrays. Per-entity
     variants partition both windows by the entity key (e42's move).
     """
+    return _seasonal_decompose(spark, sf_dir, [])
+
+
+def _seasonal_decompose(
+    spark: SparkSession, sf_dir: str, keys: list[str]
+) -> DataFrame:
+    """e43's decomposition plan, parameterized by entity keys (the
+    oracle twin of :func:`_o_e43`): empty keys = the global daily
+    series; non-empty keys partition BOTH windows and the day agg by
+    the entity — the e42 posture, where entities add parallelism and
+    every window partition stays calendar-bounded."""
     ev = table(spark, sf_dir, "events")
     daily = (
         ev.select(
+            *keys,
             F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_id"),
             F.expr(
                 "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
             ).alias("c"),
         )
-        .groupBy("day_id")
+        .groupBy(*keys, "day_id")
         .agg(F.sum("c").cast("long").alias("cents"))
         .withColumn("dow", (F.col("day_id") % 7).cast("long"))
     )
-    sw = Window.partitionBy("dow")
+    sw = Window.partitionBy(*keys, "dow")
     sarr = F.sort_array(F.collect_list("cents").over(sw))
     seasonal = F.element_at(
         "__sarr", F.expr("CAST((size(__sarr) + 1) DIV 2 AS INT)")
     )
     des = daily.select(
-        "day_id", "dow", "cents", sarr.alias("__sarr")
+        *keys, "day_id", "dow", "cents", sarr.alias("__sarr")
     ).select(
+        *keys,
         "day_id",
         "dow",
         "cents",
         seasonal.alias("seasonal"),
         (F.col("cents") - seasonal).alias("deseason"),
     )
-    tw = Window.orderBy("day_id").rowsBetween(-_E43_HALF, _E43_HALF)
+    tw = (
+        Window.partitionBy(*keys)
+        .orderBy("day_id")
+        .rowsBetween(-_E43_HALF, _E43_HALF)
+    )
     tarr = F.sort_array(F.collect_list("deseason").over(tw))
     full = 2 * _E43_HALF + 1
     base = des.select(
-        "day_id", "dow", "cents", "seasonal", "deseason", tarr.alias("__tarr")
+        *keys,
+        "day_id",
+        "dow",
+        "cents",
+        "seasonal",
+        "deseason",
+        tarr.alias("__tarr"),
     )
     trend = F.when(
         F.size("__tarr") == full, F.element_at("__tarr", _E43_HALF + 1)
     )
     return base.select(
+        *keys,
         "day_id",
         "dow",
         "cents",
@@ -3358,3 +3391,33 @@ def e47_entity_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("shift_cents"),
     )
+
+
+@register(
+    "e48_entity_seasonal_adjust",
+    oracle=_o_e43(("event_type",)),
+    priority="P2",
+)
+def e48_entity_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity seasonal decomposition — e43's STL-lite run
+    independently per event_type (the per-entity variant e43's
+    docstring promises, the e42/e47 pattern): each entity's daily
+    series gets its OWN weekday-median seasonal profile and centered
+    rolling trend, so a purchase-heavy weekend cycle cannot leak
+    into the error-event baseline. One row per (entity, day) with
+    the full component set (cents = seasonal + deseason; deseason =
+    trend + residual on core days).
+
+    Determinism: identical to e43 per partition — both medians are
+    SELECTED integer-cents elements (lower-median convention), no
+    float anywhere; trend/residual NULL at the edges where the
+    centered frame is incomplete. The implementation IS e43's: one
+    shared builder (_seasonal_decompose / _o_e43(keys)) serves both
+    registrations, so the decompositions cannot diverge.
+
+    Scale shape: ONE map-side-combined (entity, day) agg → the
+    entity×day grid; both windows partition by (entity[, dow]) over
+    calendar-bounded partitions (the e42 posture — entities add
+    parallelism, partition depth stays ≤ |calendar|). Per-entity
+    strength scoring composes on top exactly as e46 does on e43."""
+    return _seasonal_decompose(spark, sf_dir, ["event_type"])

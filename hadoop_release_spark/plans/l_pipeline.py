@@ -2442,3 +2442,200 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sem_drop)
         .unionByName(kept_rows)
     )
+
+
+#: l72 — portable Bloom gate: M bits (word-packed into M/32 BIGINT
+#: masks, bits 0..31 so the shift is sign-safe in both engines),
+#: k=2 positions per gram from two independent 32-bit slices of ONE
+#: md5. M is a fixture constant sized ~10 bits/corpus-gram at sf0.1;
+#: production sizes it from the corpus gram cardinality the same way
+#: (bits ≈ 10·n keeps FPR ≈ 1%; the dataflow is M-independent).
+L72_M_BITS = 1 << 23
+_L72_WORD = 32
+
+
+def _o_l72() -> str:
+    p1 = (
+        "CAST(('0x' || substring(md5(g), 1, 8))::UBIGINT"
+        f" % {L72_M_BITS} AS BIGINT)"
+    )
+    p2 = (
+        "CAST(('0x' || substring(md5(g), 9, 8))::UBIGINT"
+        f" % {L72_M_BITS} AS BIGINT)"
+    )
+    return f"""
+    WITH ctoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {NEW_MOD} != {NEW_REM}
+    ), cg0 AS (
+      SELECT doc_id, {o_word_shingles_case(DECON_NGRAM_K)} AS gs
+      FROM ctoks
+    ), cgrams AS (
+      SELECT DISTINCT g FROM (SELECT unnest(gs) AS g FROM cg0)
+    ), cpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {p1} AS pos FROM cgrams
+        UNION ALL
+        SELECT {p2} AS pos FROM cgrams)
+    ), words AS (
+      SELECT pos // {_L72_WORD} AS word,
+             bit_or(1::BIGINT << CAST(pos % {_L72_WORD} AS INT)) AS mask
+      FROM cpos GROUP BY 1
+    ), itoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {NEW_MOD} = {NEW_REM}
+    ), ig0 AS (
+      SELECT doc_id, {o_word_shingles_case(DECON_NGRAM_K)} AS gs
+      FROM itoks
+    ), igrams AS (
+      SELECT doc_id, unnest(gs) AS g FROM ig0
+    ), ipos AS (
+      SELECT doc_id, g, {p1} AS pos FROM igrams
+      UNION ALL
+      SELECT doc_id, g, {p2} AS pos FROM igrams
+    ), bits AS (
+      SELECT i.doc_id, i.g,
+             CASE WHEN w.mask IS NOT NULL
+                  AND (w.mask >> CAST(i.pos % {_L72_WORD} AS INT))
+                      & 1 = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM ipos i LEFT JOIN words w ON i.pos // {_L72_WORD} = w.word
+    ), gpass AS (
+      SELECT doc_id, g, min(hit) AS pass FROM bits GROUP BY doc_id, g
+    ), shared AS (
+      SELECT i.doc_id, i.g,
+             CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END AS in_corpus
+      FROM igrams i LEFT JOIN cgrams c ON i.g = c.g
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(p.pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(s.in_corpus) AS BIGINT) AS n_shared,
+           CAST(sum(p.pass) - sum(s.in_corpus) AS BIGINT) AS n_false_pos,
+           sum(s.in_corpus) >= {DECON_MIN_SHARED} AS contaminated
+    FROM gpass p JOIN shared s ON p.doc_id = s.doc_id AND p.g = s.g
+    GROUP BY p.doc_id
+    """
+
+
+@register("l72_bloom_gram_gate", oracle=_o_l72(), priority="P2")
+def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated contamination screen — the sketch that makes l28's
+    ingestion-time gram check CHEAP: the corpus's 8-gram set is
+    folded into an M-bit Bloom bitmap (k=2 md5-slice positions per
+    gram, bits word-packed by a single bit_or aggregate), and an
+    incoming shard's grams test against the broadcast bitmap BEFORE
+    any join against the corpus gram table. Grams the bloom rejects
+    are DEFINITELY absent (no false negatives — pinned in pytest);
+    only bloom-positive grams would proceed to the exact
+    verification l28/l30 run. Output per incoming doc: gram count,
+    bloom-positive count, true shared count, the realized
+    false-positive count (the sketch's measured FPR on YOUR corpus —
+    the l68 calibration discipline applied to Bloom), and the l28
+    contamination verdict at the shared DECON_MIN_SHARED threshold.
+
+    Unlike engine-native bloom builders (Spark's DataFrameStatFunctions
+    / runtime bloom-filter joins, which s08 exercises), this bitmap
+    is PORTABLE: every bit derives from md5 arithmetic both engines
+    replay, so the whole sketch — every mask word — is inside the
+    hash-oracle gate, not trusted.
+
+    Scale shape: the bitmap build is ONE map-side-combined bit_or
+    agg to ≤ M/32 rows (a CONSTANT ~1 MB broadcast at M=2^23,
+    regardless of corpus size — that constant-memory summary is the
+    entire point of the sketch); the shard's gram→word join is
+    against that broadcast; the only corpus-sized work is the
+    distinct-gram agg the bitmap build shares with l28's index. The
+    exact-verify join here covers ALL shard grams (so the oracle can
+    score the FPR); production gates it on pass=1, shrinking the
+    expensive join by the bloom's rejection rate. M sizes at ~10
+    bits per corpus gram (FPR ≈ 1%); beyond driver-broadcast scale
+    the bitmap shards by word range — same dataflow."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % NEW_MOD != NEW_REM)
+    incoming = d.filter(F.col("doc_id") % NEW_MOD == NEW_REM)
+
+    def _grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias(
+                "g"
+            ),
+        )
+
+    def _pos(col: str) -> list[Column]:
+        return [
+            (
+                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+                % L72_M_BITS
+            ),
+            (
+                F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+                % L72_M_BITS
+            ),
+        ]
+
+    cgrams = _grams(corpus).select("g").distinct()
+    # cgrams feeds the bitmap build AND the exact verify — persist so
+    # the corpus gram explode+distinct runs once (registry-released).
+    cgrams = cgrams.persist()
+    cpos = cgrams.select(
+        F.explode(F.array(*_pos("g"))).alias("pos")
+    ).distinct()
+    words = cpos.groupBy(
+        (F.col("pos") / _L72_WORD).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {_L72_WORD} AS INT))"
+            )
+        ).alias("mask")
+    )
+    igrams = _grams(incoming)
+    ipos = igrams.select(
+        "doc_id", "g", F.explode(F.array(*_pos("g"))).alias("pos")
+    )
+    bits = ipos.join(
+        F.broadcast(words),
+        (F.col("pos") / _L72_WORD).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "doc_id",
+        "g",
+        F.when(
+            F.col("mask").isNotNull()
+            & (
+                F.expr(
+                    f"shiftright(mask, CAST(pos % {_L72_WORD} AS INT))"
+                ).bitwiseAND(1)
+                == 1
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    gpass = bits.groupBy("doc_id", "g").agg(F.min("hit").alias("pass"))
+    shared = igrams.join(
+        cgrams.select(F.col("g").alias("cg")),
+        F.col("g") == F.col("cg"),
+        "left",
+    ).select(
+        "doc_id",
+        "g",
+        F.when(F.col("cg").isNotNull(), 1).otherwise(0).alias("in_corpus"),
+    )
+    return (
+        gpass.join(shared, ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("pass").cast("long").alias("n_bloom_pass"),
+            F.sum("in_corpus").cast("long").alias("n_shared"),
+            (F.sum("pass") - F.sum("in_corpus"))
+            .cast("long")
+            .alias("n_false_pos"),
+            (F.sum("in_corpus") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )

@@ -540,10 +540,11 @@ def m09_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "m10_video_near_dup",
-    oracle="""
-    WITH docs AS (
+def _o_m10_ctes() -> str:
+    """m10's oracle CTE chain (decode replay -> frame aHashes ->
+    fingerprint sets -> shared counts + sizes), reusable by the m13
+    survivor closure (the _o_m09_ctes discipline)."""
+    return """docs AS (
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
                AS canon
@@ -604,7 +605,13 @@ def m09_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fps a JOIN fps b ON a.lo = b.lo AND a.hi = b.hi
                            AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+
+@register(
+    "m10_video_near_dup",
+    oracle=f"""
+    WITH {_o_m10_ctes()}
     SELECT s.doc_a, s.doc_b, s.shared_frames,
            za.nf AS n_a, zb.nf AS n_b,
            CAST(s.shared_frames AS DOUBLE)
@@ -681,10 +688,11 @@ def m10_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "m11_audio_near_dup",
-    oracle="""
-    WITH docs AS (
+def _o_m11_ctes() -> str:
+    """m11's oracle CTE chain (PCM replay -> zero-crossing frames ->
+    3-frame shingles -> shared counts + sizes), reusable by the m14
+    survivor closure."""
+    return """docs AS (
       SELECT doc_id,
              200 + (doc_id % 32) * 25 AS f,
              192 + (doc_id % 4) * 64 AS n
@@ -726,7 +734,13 @@ def m10_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS shared_shingles
       FROM fps a JOIN fps b ON a.key = b.key AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+
+@register(
+    "m11_audio_near_dup",
+    oracle=f"""
+    WITH {_o_m11_ctes()}
     SELECT s.doc_a, s.doc_b, s.shared_shingles,
            za.ns AS n_a, zb.ns AS n_b,
            CAST(s.shared_shingles AS DOUBLE)
@@ -877,6 +891,142 @@ def m12_image_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
+    )
+    nodes = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__id")
+    )
+    comps = connected_components_min_label(nodes, pairs, id_col="__id")
+    return comps.select(
+        F.col("__id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+@register(
+    "m13_video_dup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_o_m10_ctes()}, eq_pairs AS (
+      SELECT s.doc_a AS id_a, s.doc_b AS id_b
+      FROM shared s
+      JOIN sizes za ON s.doc_a = za.doc_id
+      JOIN sizes zb ON s.doc_b = zb.doc_id
+      WHERE s.shared_frames = za.nf AND s.shared_frames = zb.nf
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM eq_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM eq_pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS node, reach.r FROM edges e
+      JOIN reach ON reach.node = e.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id,
+           (node = min(r)) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+    priority="P2",
+)
+def m13_video_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO deduplication — the m12 pattern for the video
+    modality: m10's pairs restricted to frame-fingerprint SET
+    EQUALITY (shared = |A| = |B|, i.e. Jaccard exactly 1 on exact
+    integer counts — re-encoded copies of the same clip), →
+    connected components → min-id survivor per group. Set equality
+    IS an equivalence relation, so transitive grouping is sound —
+    the same argument that restricted m12 to Hamming radius 0;
+    m10's partial-overlap pairs (shared clips trimmed or extended)
+    remain its ANALYSIS product and never enter the closure.
+
+    Built by CALLING m10 and the shared union-find
+    (connected_components_min_label); the oracle reuses m10's CTE
+    chain verbatim (_o_m10_ctes) + the l22 recursive-closure suffix
+    — neither the fingerprint arithmetic nor the component rule can
+    diverge from the ops they came from.
+
+    Scale shape: m10's posture (one Arrow decode pass, frame-hash
+    keyed join over near-singleton buckets) + pointer-jump
+    min-label over equality edges — equal-set groups are cliques,
+    convergence in 1-2 rounds, each round two checkpointed joins +
+    one min-agg over (node, component) longs."""
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    pairs = (
+        m10_video_near_dup(spark, sf_dir)
+        .filter(
+            (F.col("shared_frames") == F.col("n_a"))
+            & (F.col("shared_frames") == F.col("n_b"))
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    nodes = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__id")
+    )
+    comps = connected_components_min_label(nodes, pairs, id_col="__id")
+    return comps.select(
+        F.col("__id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+@register(
+    "m14_audio_dup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_o_m11_ctes()}, eq_pairs AS (
+      SELECT s.doc_a AS id_a, s.doc_b AS id_b
+      FROM shared s
+      JOIN sizes za ON s.doc_a = za.doc_id
+      JOIN sizes zb ON s.doc_b = zb.doc_id
+      WHERE s.shared_shingles = za.ns AND s.shared_shingles = zb.ns
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM eq_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM eq_pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS node, reach.r FROM edges e
+      JOIN reach ON reach.node = e.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id,
+           (node = min(r)) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+    priority="P2",
+)
+def m14_audio_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end AUDIO deduplication — the m12/m13 pattern for the
+    audio modality: m11's pairs restricted to zero-crossing-shingle
+    SET EQUALITY (shared = |A| = |B| on exact integer counts —
+    byte-identical tones / re-encodes), → connected components →
+    min-id survivor. The m07 fixture's tone classes make distinct
+    docs carry IDENTICAL audio naturally, so the components here
+    are real multi-doc groups (≈ |docs| / 128 members each), not
+    just planted pairs — the union-find earns its keep. Set
+    equality is a true equivalence; m11's partial-overlap pairs
+    (same frequency, different length) stay out of the closure.
+
+    Built by CALLING m11 + the shared union-find; oracle =
+    _o_m11_ctes verbatim + the recursive-closure suffix.
+
+    Scale shape: m11's posture (one Arrow decode pass, md5-shingle
+    keyed join) + pointer-jump min-label over equality cliques —
+    1-2 rounds, slim (node, component) exchanges only."""
+    from hadoop_release_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    pairs = (
+        m11_audio_near_dup(spark, sf_dir)
+        .filter(
+            (F.col("shared_shingles") == F.col("n_a"))
+            & (F.col("shared_shingles") == F.col("n_b"))
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     )
     nodes = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("__id")

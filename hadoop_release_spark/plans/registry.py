@@ -249,6 +249,10 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l70_corpus_pipeline_v2",
     "e47_entity_changepoint",
     "l71_ivf_pq",
+    "l72_bloom_gram_gate",
+    "m13_video_dup_survivors",
+    "m14_audio_dup_survivors",
+    "e48_entity_seasonal_adjust",
 })
 
 

@@ -94,10 +94,26 @@ HEAVY_TAIL = [
 
 SFS = [0.1, 1.0]
 
+#: Second-decade tail (round-8 verdict item 3): the dedup/similarity
+#: chains whose decade-1 (0.1→1.0) ratios were the highest measured —
+#: a 10× ratio can hide an N^1.3 term that only shows at 100×, so
+#: these get a second measured decade (1.0→10) via ``--decade2``.
+DEDUP_TAIL = [
+    "l02_dedup_near",
+    "l22_dedup_survivors",
+    "l28_decontaminate",
+    "l48_semantic_decontaminate",
+    "l58_knn_self_join",
+    "l66_containment_dedup",
+    "l68_minhash_calibration",
+]
 
-def _ensure_fixtures() -> dict[float, str]:
+SFS_DECADE2 = [1.0, 10.0]
+
+
+def _ensure_fixtures(sfs: list[float]) -> dict[float, str]:
     dirs = {}
-    for sf in SFS:
+    for sf in sfs:
         d = REPO / ".localdata" / f"sf{sf:g}"
         # embeddings is the LAST table gen_sf writes — its presence
         # means the whole directory completed (review finding: a
@@ -113,29 +129,37 @@ def _ensure_fixtures() -> dict[float, str]:
 
 
 def main() -> None:
-    rounds = 1 if "--quick" in sys.argv else 2
+    args = sys.argv[1:]
+    decade2 = "--decade2" in args
+    rounds = 1 if ("--quick" in args or decade2) else 2
+    for a in args:
+        if a.startswith("--rounds="):
+            rounds = int(a.split("=", 1)[1])
     # Optional name-prefix filter: measure only the matching heavy-
     # tail queries and MERGE their rows into the existing
     # SCALE_REHEARSAL.json (so adding a round's new ops doesn't
     # force a full re-measurement of the carried record).
-    prefixes = tuple(a for a in sys.argv[1:] if not a.startswith("--"))
-    dirs = _ensure_fixtures()
+    prefixes = tuple(a for a in args if not a.startswith("--"))
+    sfs = SFS_DECADE2 if decade2 else SFS
+    lo, hi = sfs
+    dirs = _ensure_fixtures(sfs)
     spark = get_session("hadoop-release-spark-bench-scale")
     available = all_queries()
-    names = [n for n in HEAVY_TAIL if n in available]
+    pool = DEDUP_TAIL if decade2 else HEAVY_TAIL
+    names = [n for n in pool if n in available]
     if prefixes:
         names = [n for n in names if n.startswith(prefixes)]
 
     # Warmup both scales' parquet footers + codegen once.
-    for sf in SFS:
+    for sf in sfs:
         available["d02_agg_groupby"](spark, dirs[sf]).toPandas()
 
     samples: dict[float, dict[str, list[float]]] = {
-        sf: {n: [] for n in names} for sf in SFS
+        sf: {n: [] for n in names} for sf in sfs
     }
     for _ in range(rounds):
         for name in names:
-            for sf in SFS:
+            for sf in sfs:
                 for _rep in range(2):
                     t0 = time.perf_counter()
                     available[name](spark, dirs[sf]).toPandas()
@@ -145,35 +169,54 @@ def main() -> None:
                     f"{min(samples[sf][name]):.2f}s", file=sys.stderr,
                 )
 
+    lo_key, hi_key = f"sf{lo:g}", f"sf{hi:g}"
+    rows: dict = {}
+    for name in names:
+        med = {
+            sf: round(statistics.median(samples[sf][name]), 3) for sf in sfs
+        }
+        mn = {sf: round(min(samples[sf][name]), 3) for sf in sfs}
+        ratio = round(med[hi] / med[lo], 2) if med[lo] > 0 else None
+        ratio_min = round(mn[hi] / mn[lo], 2) if mn[lo] > 0 else None
+        rows[name] = {
+            f"{lo_key}_median_sec": med[lo],
+            f"{hi_key}_median_sec": med[hi],
+            "ratio_median": ratio,
+            f"{lo_key}_min_sec": mn[lo],
+            f"{hi_key}_min_sec": mn[hi],
+            "ratio_min": ratio_min,
+        }
+        print(f"{name}: {med[lo]}s -> {med[hi]}s  ({ratio}x)", file=sys.stderr)
+
+    out = REPO / "SCALE_REHEARSAL.json"
+    carried: dict = {}
+    if out.exists():
+        try:
+            carried = json.loads(out.read_text())
+        except ValueError:
+            carried = {}
     report: dict = {
         "metric": "heavy_tail_scale_rehearsal",
         "generator": "scripts/gen_sf.py seed=42",
         "sfs": SFS,
         "row_ratio": 10.0,
-        "queries": {},
+        "queries": carried.get("queries", {}),
     }
-    out = REPO / "SCALE_REHEARSAL.json"
-    if prefixes and out.exists():
-        # Filtered run: keep the carried record's rows for everything
-        # not re-measured here.
-        report["queries"] = json.loads(out.read_text()).get("queries", {})
-    for name in names:
-        med = {
-            sf: round(statistics.median(samples[sf][name]), 3) for sf in SFS
-        }
-        mn = {sf: round(min(samples[sf][name]), 3) for sf in SFS}
-        ratio = round(med[1.0] / med[0.1], 2) if med[0.1] > 0 else None
-        ratio_min = round(mn[1.0] / mn[0.1], 2) if mn[0.1] > 0 else None
-        report["queries"][name] = {
-            "sf0.1_median_sec": med[0.1],
-            "sf1_median_sec": med[1.0],
-            "ratio_median": ratio,
-            "sf0.1_min_sec": mn[0.1],
-            "sf1_min_sec": mn[1.0],
-            "ratio_min": ratio_min,
-        }
-        print(f"{name}: {med[0.1]}s -> {med[1.0]}s  ({ratio}x)", file=sys.stderr)
-
+    if "decade2" in carried:
+        report["decade2"] = carried["decade2"]
+    if decade2:
+        # Second decade rows live under their own key; decade-1 rows
+        # are carried untouched.
+        d2 = report.get(
+            "decade2",
+            {"sfs": SFS_DECADE2, "row_ratio": 10.0, "queries": {}},
+        )
+        d2["queries"].update(rows)
+        report["decade2"] = d2
+    else:
+        if not prefixes:
+            report["queries"] = {}
+        report["queries"].update(rows)
     out.write_text(json.dumps(report, indent=1) + "\n")
     print(json.dumps(report))
     spark.stop()

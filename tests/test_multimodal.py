@@ -346,3 +346,55 @@ def test_m12_planted_duplicates_group_and_survive(spark, sf_dir):
     for d, r in rows.items():
         assert rows[r.canonical_id].is_survivor
         assert r.canonical_id <= d
+
+
+def test_m13_video_survivors_group_planted_clips(spark, sf_dir):
+    """m13: a doc with doc_id % 10 == 9 carries its predecessor's
+    CLIP (the m10 canon rule) — identical frame-fingerprint sets, so
+    both must land in one component with the lower id canonical;
+    every component's canonical is its own surviving minimum."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m13_video_dup_survivors,
+    )
+
+    rows = {
+        r.doc_id: r for r in m13_video_dup_survivors(spark, sf_dir).collect()
+    }
+    assert rows, "m13 returned no rows"
+    planted = [d for d in rows if d % 10 == 9 and d - 1 in rows]
+    assert planted, "fixture has no planted duplicate clips"
+    for d in planted:
+        assert rows[d].canonical_id <= d - 1, (d, rows[d])
+        assert not rows[d].is_survivor
+    for d, r in rows.items():
+        assert rows[r.canonical_id].is_survivor
+        assert r.canonical_id <= d
+
+
+def test_m14_audio_survivors_group_tone_classes(spark, sf_dir):
+    """m14: the m07/m11 fixture derives each doc's tone from
+    (doc_id % 32 → frequency, doc_id % 4 → length), so every doc in
+    one (freq, len) class carries IDENTICAL audio — identical
+    zero-crossing shingle sets — and the whole class must share one
+    component whose canonical is the class minimum."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.m_multimodal import (
+        m14_audio_dup_survivors,
+    )
+
+    rows = {
+        r.doc_id: r for r in m14_audio_dup_survivors(spark, sf_dir).collect()
+    }
+    assert rows, "m14 returned no rows"
+    classes = defaultdict(list)
+    for d in rows:
+        classes[(d % 32, d % 4)].append(d)
+    multi = [ds for ds in classes.values() if len(ds) >= 2]
+    assert multi, "fixture has no multi-doc tone class"
+    for ds in multi:
+        comps = {rows[d].canonical_id for d in ds}
+        assert len(comps) == 1, (ds, comps)
+    for d, r in rows.items():
+        assert rows[r.canonical_id].is_survivor
+        assert r.canonical_id <= d

@@ -270,3 +270,61 @@ def test_l70_ledger_stage_invariants(spark, sf_dir):
     stage_of = dict(zip(out["doc_id"], out["status"].map(order)))
     for _, r in dropped.iterrows():
         assert stage_of[int(r["dup_of"])] >= order[r["status"]], r.to_dict()
+
+
+def test_l72_bloom_gate_invariants_vs_python_replay(spark, sf_dir):
+    """l72 structural contract + oracle-independent replay: a Bloom
+    filter has NO false negatives (every corpus-present gram must
+    pass the bloom: n_shared ≤ n_bloom_pass, n_false_pos ≥ 0), and
+    n_grams / n_shared / the contamination verdict must equal a pure
+    pandas recomputation of the 8-gram set intersection."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        DECON_MIN_SHARED,
+        DECON_NGRAM_K,
+        NEW_MOD,
+        NEW_REM,
+        l72_bloom_gram_gate,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def grams(text):
+        ws = text.split(" ")
+        if len(ws) >= DECON_NGRAM_K:
+            return {
+                " ".join(ws[i : i + DECON_NGRAM_K])
+                for i in range(len(ws) - DECON_NGRAM_K + 1)
+            }
+        return {" ".join(ws)}
+
+    corpus_grams = set()
+    for d, t in docs.items():
+        if d % NEW_MOD != NEW_REM:
+            corpus_grams |= grams(t)
+
+    out = {r.doc_id: r for r in l72_bloom_gram_gate(spark, sf_dir).collect()}
+    incoming = {d for d in docs if d % NEW_MOD == NEW_REM}
+    assert set(out) == incoming
+    for d in incoming:
+        g = grams(docs[d])
+        r = out[d]
+        assert r.n_grams == len(g)
+        assert r.n_shared == len(g & corpus_grams)
+        assert r.contaminated == (r.n_shared >= DECON_MIN_SHARED)
+        # Bloom soundness: no false negatives, bounded pass count
+        assert r.n_shared <= r.n_bloom_pass <= r.n_grams
+        assert r.n_false_pos == r.n_bloom_pass - r.n_shared >= 0
+    # The filter must actually FILTER: at this corpus load the bloom
+    # rejects most non-shared grams, so a bit-test bug that silently
+    # degrades to pass-everything (n_bloom_pass = n_grams on docs
+    # with unshared grams) fails here, not just in the oracle hash.
+    total_pass = sum(out[d].n_bloom_pass for d in incoming)
+    total_grams = sum(out[d].n_grams for d in incoming)
+    total_shared = sum(out[d].n_shared for d in incoming)
+    assert total_shared < total_grams, "fixture degenerate: all shared"
+    assert total_pass < total_grams

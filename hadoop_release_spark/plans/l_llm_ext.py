@@ -933,10 +933,9 @@ def l42_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l43_lm_score",
-    oracle="""
-    WITH tok AS (
+#: l43's oracle pieces, shared with the l73 perplexity-tier op (one
+#: scoring definition — the e43/e46 discipline).
+_O_L43_CTES = """tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), per AS (
       SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok
@@ -948,10 +947,20 @@ def l42_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens,
              sum(CAST(p.n AS DOUBLE) * ln(CAST(c.c AS DOUBLE))) AS s
       FROM per p JOIN cnt c USING (tok) GROUP BY p.doc_id
-    )
+    )"""
+
+_O_L43_NLL = (
+    "round(ln(CAST(t.t AS DOUBLE)) - d.s / CAST(d.n_tokens AS DOUBLE),"
+    " 6) + 0.0"
+)
+
+
+@register(
+    "l43_lm_score",
+    oracle=f"""
+    WITH {_O_L43_CTES}
     SELECT doc_id, n_tokens,
-           round(ln(CAST(t.t AS DOUBLE)) - d.s / CAST(d.n_tokens AS DOUBLE),
-                 6) + 0.0 AS avg_nll
+           {_O_L43_NLL} AS avg_nll
     FROM doc d CROSS JOIN tot t
     """,
     priority="P2",
@@ -996,10 +1005,15 @@ def l43_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tokens",
-        F.round(
-            F.log(F.col("t").cast("double"))
-            - F.col("s") / F.col("n_tokens").cast("double"),
-            6,
+        # outer +0.0 matches the oracle's guard (avg_nll ≥ 0 up to
+        # float noise; the guard covers the tiny-negative round edge)
+        (
+            F.round(
+                F.log(F.col("t").cast("double"))
+                - F.col("s") / F.col("n_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("avg_nll"),
     )
 
@@ -2608,4 +2622,101 @@ def l71_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         codes, codebook, query, centroids, _PQ_M, _PQ_SUBDIM,
         k=_L71_K, nprobe=_L71_NPROBE,
+    )
+
+
+def _o_l73() -> str:
+    return f"""
+    WITH {_O_L43_CTES}, scored AS (
+      SELECT d.doc_id, m.lang, d.n_tokens,
+             {_O_L43_NLL} AS avg_nll
+      FROM doc d CROSS JOIN tot t
+      JOIN documents m ON d.doc_id = m.doc_id
+    ), pp AS (
+      SELECT lang, avg_nll, CAST(count(*) AS BIGINT) AS w
+      FROM scored GROUP BY lang, avg_nll
+    ), cum AS (
+      SELECT lang, avg_nll,
+             sum(w) OVER (PARTITION BY lang ORDER BY avg_nll) AS cumw,
+             sum(w) OVER (PARTITION BY lang) AS total
+      FROM pp
+    ), b1 AS (
+      SELECT lang, min(avg_nll) AS t1 FROM cum
+      WHERE 3 * cumw >= total GROUP BY lang
+    ), b2 AS (
+      SELECT lang, min(avg_nll) AS t2 FROM cum
+      WHERE 3 * cumw >= 2 * total GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.avg_nll,
+           CASE WHEN s.avg_nll <= b1.t1 THEN 'head'
+                WHEN s.avg_nll <= b2.t2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM scored s
+    JOIN b1 ON s.lang = b1.lang
+    JOIN b2 ON s.lang = b2.lang
+    """
+
+
+@register("l73_perplexity_buckets", oracle=_o_l73(), priority="P2")
+def l73_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiers (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): bucket every document into head/middle/tail by
+    PER-LANGUAGE perplexity terciles — the published recipe that
+    stratifies a crawl by LM fluency so downstream sampling can
+    prefer the head without discarding the tail. The LM score IS
+    l43's (one scoring definition — the shared _O_L43_CTES /
+    _seasonal-decompose discipline); tercile bounds are per-language
+    so a verbose language's score scale never leaks into another's
+    tiers (CCNet's core design point).
+
+    Determinism: avg_nll is l43's r6 + 0.0 value, identical in both
+    engines (hash-proven standalone); the tercile bounds are
+    SELECTED elements of the per-language distinct-score
+    distribution under the d23/d26 lower-quantile cum-weight rule
+    (min v with 3·cumw ≥ k·total) — never interpolated, so the tier
+    comparison compares identical doubles to identical doubles.
+
+    Scale shape: l43's scoring topology (explode → two map-side-
+    combined aggs → slim token join → doc agg) + ONE (lang, score)
+    distinct-value agg whose cum-weight windows run over |distinct
+    scores| per language (the d26 compression — never raw docs) +
+    two |langs|-row broadcast bound tables joined back. One fact
+    scan beyond l43's; at 100 TB the bounds tables are constants."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = l43_lm_score(spark, sf_dir).join(d, "doc_id")
+    pp = scored.groupBy("lang", "avg_nll").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("lang").orderBy("avg_nll")
+    w_all = Window.partitionBy("lang")
+    cum = pp.select(
+        "lang",
+        "avg_nll",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    b1 = (
+        cum.filter(3 * F.col("cumw") >= F.col("total"))
+        .groupBy("lang")
+        .agg(F.min("avg_nll").alias("t1"))
+    )
+    b2 = (
+        cum.filter(3 * F.col("cumw") >= 2 * F.col("total"))
+        .groupBy("lang")
+        .agg(F.min("avg_nll").alias("t2"))
+    )
+    return (
+        scored.join(F.broadcast(b1), "lang")
+        .join(F.broadcast(b2), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("tier"),
+        )
     )

@@ -275,6 +275,7 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m13_video_dup_survivors",
     "m14_audio_dup_survivors",
     "e48_entity_seasonal_adjust",
+    "l73_perplexity_buckets",
 })
 
 

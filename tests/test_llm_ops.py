@@ -94,3 +94,54 @@ def test_connected_components_long_chain_converges(spark):
     rows = out.collect()
     assert len(rows) == 500
     assert all(r.component == 0 for r in rows)
+
+
+def test_l73_tiers_match_python_tercile_rule(spark, sf_dir):
+    """l73's head/middle/tail assignment vs a pure-Python replay of
+    the lower-tercile rule over l43's own scores: bounds are SELECTED
+    score elements (min v with 3*cumw >= k*total per language), tiers
+    partition each language roughly in thirds."""
+    from collections import Counter, defaultdict
+
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.plans.l_llm_ext import (
+        l43_lm_score,
+        l73_perplexity_buckets,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang = {r.doc_id: r.lang for r in d.collect()}
+    nll = {r.doc_id: r.avg_nll for r in l43_lm_score(spark, sf_dir).collect()}
+    out = {r.doc_id: r for r in l73_perplexity_buckets(spark, sf_dir).collect()}
+    assert set(out) == set(nll)
+
+    per_lang = defaultdict(list)
+    for doc, v in nll.items():
+        per_lang[lang[doc]].append(v)
+
+    def lower_quantile(xs, k):
+        # min v with 3*cumw >= k*total over the weighted distinct grid
+        xs = sorted(xs)
+        total = len(xs)
+        cum = 0
+        for i, v in enumerate(xs):
+            cum += 1
+            if 3 * cum >= k * total and (i == len(xs) - 1 or xs[i] != xs[i + 1] or True):
+                if 3 * cum >= k * total:
+                    return v
+        return xs[-1]
+
+    bounds = {
+        lg: (lower_quantile(vs, 1), lower_quantile(vs, 2))
+        for lg, vs in per_lang.items()
+    }
+    for doc, r in out.items():
+        t1, t2 = bounds[lang[doc]]
+        want = "head" if nll[doc] <= t1 else ("middle" if nll[doc] <= t2 else "tail")
+        assert r.tier == want, (doc, r.tier, want, nll[doc], t1, t2)
+        assert r.lang == lang[doc] and r.avg_nll == nll[doc]
+    # every language with >= 3 docs has all three tiers inhabited
+    for lg, vs in per_lang.items():
+        if len(set(vs)) >= 3:
+            tiers = Counter(out[d2].tier for d2 in out if lang[d2] == lg)
+            assert set(tiers) == {"head", "middle", "tail"}, (lg, tiers)

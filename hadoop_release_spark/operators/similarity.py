@@ -25,6 +25,8 @@ pruning does the candidate selection before any compute.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,49 @@ from hadoop_release_spark.functions.vectors import cosine, dot, norm2
 #: cluster-bucketed ingest, not a bigger collect — so raise loudly
 #: instead of degrading. Overridable per call for tests / odd shapes.
 ARROW_KERNEL_MAX_CENTROIDS = 131_072
+
+
+def systematic_stride(n: int) -> int:
+    """Centroid-sampling stride for the deterministic systematic
+    coarse quantizer: ⌊√n⌋, so K = n/stride ≈ √n lists — the
+    FAISS/SemDeDup sizing rule. A FIXED stride scales K linearly
+    with the corpus and turns the N×K assignment stage quadratic:
+    measured on the round-9 sf1→sf10 rehearsal, the old ``% 50``
+    rule sent l58's decade ratio to 53× (4 000 centroids at 200k
+    vectors — N²/50 assignment flops), while √N keeps assignment
+    AND the nprobe×stride candidate work at O(N^1.5). Exact-integer
+    isqrt; the oracle's floor(sqrt(double)) agrees for every
+    n < 2^52 (sqrt is correctly rounded and the nearest-double gap
+    exceeds 1/(2√n) only past 2^52)."""
+    return max(1, math.isqrt(n))
+
+
+def systematic_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, centroid) via the adaptive √N stride — the
+    shared quantizer-construction for l19/l56/l58/l70/l71 (l21
+    k-means is the production trainer; the dataflow is identical).
+    Costs one count() job to size the stride."""
+    stride = systematic_stride(embeddings.count())
+    return embeddings.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+
+
+def o_systematic_centroids(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`systematic_centroids`: the centroid CTE
+    body with the stride computed from the same corpus count."""
+    return (
+        f"SELECT vec_id AS centroid_id, embedding AS centroid\n"
+        f"      FROM {table}\n"
+        f"      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(\n"
+        f"        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)\n"
+        f"        FROM {table}) = 0"
+    )
 
 
 def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:

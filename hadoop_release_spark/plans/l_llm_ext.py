@@ -667,7 +667,10 @@ def _o_l19() -> str:
     return f"""
     WITH centroids AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
+        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        FROM embeddings) = 0
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -706,18 +709,19 @@ def l19_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the whole pipeline in SQL (cosine folds mirrored
     exactly, rankings id-tie-broken). Recall against brute force is
     additionally pinned in tests/test_similarity.py. Centroid
-    'training' is a deterministic systematic sample (vec_id % 50 ==
-    0) standing in for k-means — the search dataflow is identical
-    either way."""
+    'training' is the shared adaptive-stride systematic sample
+    (systematic_centroids — K = ⌊√N⌋ lists, the FAISS sizing rule;
+    a FIXED stride scaled K linearly and measured 53× on l58's
+    sf1→sf10 decade before the round-9 fix) standing in for k-means
+    — the search dataflow is identical either way."""
     from hadoop_release_spark.operators.similarity import (
         ivf_topk,
         rank_clusters_arrow,
+        systematic_centroids,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
-    )
+    centroids = systematic_centroids(e)
     # Corpus assignment via the Arrow kernel — bit-identical to
     # assign_clusters (parity pinned in tests/test_similarity.py),
     # ~12x faster on the N x K stage (round-8 BENCH notes).
@@ -1689,7 +1693,10 @@ def _o_l56() -> str:
     return f"""
     WITH centroids AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
+        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        FROM embeddings) = 0
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -1736,17 +1743,18 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin, corpus never shuffles for assignment); the ONLY join is
     cluster-keyed, so pair work is Σ|cluster|² — with k-means K ≈
     √N clusters this is the SemDeDup contract (the paper's K=50k on
-    LAION); the deterministic systematic centroid sample stands in
-    for the l21 k-means trainer exactly as in l19. No transitive
+    LAION); the adaptive-stride systematic centroid sample (K =
+    ⌊√N⌋, systematic_centroids — the paper's own sizing rule) stands
+    in for the l21 k-means trainer exactly as in l19. No transitive
     closure pass (l22 covers that); the min-id rule is one
     group-agg over threshold pairs."""
-    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        systematic_centroids,
+    )
 
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
-    )
+    centroids = systematic_centroids(e)
     # Assignment (argmin = rank 1) via the Arrow kernel —
     # bit-identical to assign_clusters' crossJoin + fold + window
     # (same IEEE order and tie rule; kernel parity pinned in
@@ -1824,7 +1832,10 @@ def _o_l58() -> str:
     return f"""
     WITH centroids AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
+        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        FROM embeddings) = 0
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -1882,13 +1893,13 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the assigned table is written bucketed by cluster so this
     join co-locates without a shuffle (c15 pattern); self-recall vs
     brute force is pinned in tests/test_similarity.py."""
-    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        systematic_centroids,
+    )
 
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
-    )
+    centroids = systematic_centroids(e)
     # Centroid ranking via the Arrow kernel — bit-identical to the
     # crossJoin + cosine-fold + rank-window form it replaces (same
     # IEEE addition order, same tie rule; pinned in
@@ -2477,7 +2488,10 @@ def _o_l71() -> str:
     return f"""
     WITH centroids AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
+        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        FROM embeddings) = 0
     ), assign0 AS (
       SELECT e.vec_id, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -2576,13 +2590,11 @@ def l71_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_release_spark.operators.similarity import (
         ivf_pq_topk,
         pq_encode,
+        systematic_centroids,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
-    )
+    centroids = systematic_centroids(e)
     codebook = e.filter(
         (F.col("vec_id") % _PQ_STRIDE == 0)
         & (F.col("vec_id") < _PQ_STRIDE * _PQ_CODES)

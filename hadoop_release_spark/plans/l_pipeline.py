@@ -2162,7 +2162,10 @@ def _o_l70() -> str:
       WHERE x.doc_id IS NULL
     ), centroids AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
+        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        FROM embeddings) = 0
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -2285,7 +2288,10 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next query — the lsh_pair_calibration contract)."""
     from hadoop_release_spark.functions.vectors import dot
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
-    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        systematic_centroids,
+    )
     from hadoop_release_spark.plans.l_llm_ext import _DIM, _L56_TAU
 
     d = table(spark, sf_dir, "documents")
@@ -2331,10 +2337,7 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
     emb = table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
-    )
+    centroids = systematic_centroids(emb)
     sv = emb.join(
         nkept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )

@@ -92,8 +92,8 @@ def _wrap(fn: QueryFn) -> QueryFn:
     cache must outlive the function — the external driver
     materializes the returned DataFrame after we return — so the
     release point is the start of the NEXT query: accumulation over a
-    143-query session is bounded to one query's working set.
-    (tests/test_contract.py pins this.)"""
+    full-registry session (329 active queries at round 9) is bounded
+    to one query's working set. (tests/test_contract.py pins this.)"""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         if INTERACTIVE_MODE:

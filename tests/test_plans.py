@@ -222,6 +222,13 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "corpus × broadcast CENTROID set (K ≈ √N, never corpus-scale)",
         "K stops fitting a broadcast → hierarchical / PQ assignment",
     ),
+    "l71_ivf_pq": _BnljGrant(
+        "bounded query batch × broadcast centroid table (the probe "
+        "ranking; K ≈ √N adaptive stride) — corpus assignment is the "
+        "same broadcast-argmin, codes join by key",
+        "query set scales with the corpus → batch the probe ranking "
+        "through the Arrow kernel / cluster-keyed equi-join",
+    ),
     "l48_semantic_decontaminate": _BnljGrant(
         "corpus × broadcast eval suite (thousands of rows, fixed)",
         "eval suite scales with the corpus → l14 LSH / l19 IVF "
@@ -241,6 +248,9 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
     "d29_ratio_to_report": _stats_row("grand total → 25-row rollup"),
     "d31_benford": _stats_row("order grand total → 9-row histogram"),
     "l43_lm_score": _stats_row("corpus token total T"),
+    "l73_perplexity_buckets": _stats_row(
+        "corpus token total T (l43's shared scoring CTE)"
+    ),
     "e29_rfm_segments": _stats_row("population count"),
     "d32_ks_test": _stats_row("totals/max/argmin rows → ECDF table"),
     "d33_chi_square": _BnljGrant(

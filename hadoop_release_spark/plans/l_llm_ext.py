@@ -1892,7 +1892,22 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     values: same ops on the same inputs, reused not recomputed. At
     100 TB the assigned table is written bucketed by cluster so this
     join co-locates without a shuffle (c15 pattern); self-recall vs
-    brute force is pinned in tests/test_similarity.py."""
+    brute force is pinned in tests/test_similarity.py.
+
+    COMPLEXITY, stated honestly (round-9 rehearsal finding): with
+    the adaptive K = ⌊√N⌋ quantizer (systematic_centroids — the
+    round-9 fix for the fixed-stride rule that scaled K linearly
+    and measured 53× on the sf1→sf10 decade), assignment/probing
+    cost N·√N kernel flops and the candidate stage scores
+    N·nprobe·√N pairs — O(N^1.5) BY DESIGN. A fixed-nprobe IVF
+    self-join cannot be linear at fixed recall; expect a per-decade
+    wall ratio near √10·10 ≈ 31×, and read SCALE_REHEARSAL.json's
+    decade2 row against THAT bar, not the ~10× linear bar. The
+    100 TB levers are constant-factor and amortization, all
+    composable from ops this repo ships: cluster-bucketed ingest
+    (assignment leaves the query path entirely), IMI-style
+    hierarchical probe ranking (two √K codebooks), and PQ-compressed
+    lists (l71) shrinking the per-candidate cost 16×."""
     from hadoop_release_spark.operators.similarity import (
         rank_clusters_arrow,
         systematic_centroids,

@@ -1896,9 +1896,13 @@ def test_semdedup_min_id_survivor_chain(spark, tmp_path_factory):
     d_vec = [0.0] * dim
     d_vec[2] = 1.0
     tmp = tmp_path_factory.mktemp("l56plant")
+    # ids 0,1,3,5: with the adaptive stride (n=4 → stride 2) only
+    # id 0 is ≡ 0 mod 2 among the PRESENT ids, so the quantizer has
+    # ONE centroid and all four vectors share its cluster — the
+    # single-cluster shadow-chain scenario this test pins.
     tbl = pa.table(
         {
-            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "vec_id": pa.array([0, 1, 3, 5], pa.int64()),
             "embedding": pa.array(
                 [vec(0), vec(60), vec(120), d_vec], pa.list_(pa.float32())
             ),
@@ -1909,8 +1913,8 @@ def test_semdedup_min_id_survivor_chain(spark, tmp_path_factory):
     rows = {r.vec_id: r for r in l56_semdedup(spark, str(tmp)).collect()}
     assert rows[0].is_kept == 1 and rows[0].dup_of is None
     assert rows[1].is_kept == 0 and rows[1].dup_of == 0
-    assert rows[2].is_kept == 0 and rows[2].dup_of == 1  # shadowed by dropped B
-    assert rows[3].is_kept == 1 and rows[3].dup_of is None
+    assert rows[3].is_kept == 0 and rows[3].dup_of == 1  # shadowed by dropped B
+    assert rows[5].is_kept == 1 and rows[5].dup_of is None
 
 
 @settings(**_SETTINGS)

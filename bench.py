@@ -116,6 +116,11 @@ HEADLINE = [
     "l70_corpus_pipeline_v2",  # chained dedup family → split+shard ledger
     "e47_entity_changepoint",  # per-entity CUSUM argmax level-shift
     "l71_ivf_pq",             # FAISS IVFPQ layout: probe lists, score codes
+    "l72_bloom_gram_gate",    # portable Bloom bitmap contamination gate
+    "l73_perplexity_buckets",  # CCNet per-language perplexity tiers
+    "e48_entity_seasonal_adjust",  # per-entity STL-lite decomposition
+    "m13_video_dup_survivors",     # frame-set-equality video dedup closure
+    "m14_audio_dup_survivors",     # shingle-set-equality audio dedup closure
 ]
 
 

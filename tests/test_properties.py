@@ -4928,3 +4928,149 @@ def test_entity_seasonal_adjust_matches_reference(spark, rows):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "ep"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_corpus_pipeline_v2_matches_reference(spark, docs, tmp_path_factory):
+    """l70 vs a pure-Python replay of the whole chain (semantic stage
+    neutralized with an EMPTY embeddings table so stages 1-3 and the
+    placement stages carry the property): URL refetch collapse keys
+    on (doc_id % 50, md5(text)) — the planted canonicalization
+    collapses the four variants of one (site,page,id) triple, which
+    is doc_id mod 50; exact dedup on md5(text) among survivors; near
+    dedup via the full MinHash/LSH replay (shingles → md5 mod P →
+    LCG sigs → 16×4 banding → exact Jaccard, Spark's HALF_UP 3dp via
+    Decimal); kept docs get the md5(source) split and the rendezvous
+    shard. Statuses, dup_of, split, shard all exact."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    from hadoop_release_spark.operators.dedup import _P, _hash_params
+    from hadoop_release_spark.plans.l_pipeline import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        _L60_SHARDS,
+    )
+    from hadoop_release_spark.plans.registry import specs
+
+    texts = [" ".join(ws) for ws in docs]
+    n = len(texts)
+    tmp = tmp_path_factory.mktemp("l70prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(empty, f"{tmp}/embeddings.parquet")
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # stage 1: URL refetch collapse on (curl-key, content hash)
+    status, dup_of = {}, {}
+    groups = {}
+    for d in range(n):
+        groups.setdefault((d % 50, md5(texts[d])), []).append(d)
+    u_surv = []
+    for ds in groups.values():
+        ds = sorted(ds)
+        u_surv.append(ds[0])
+        for d in ds[1:]:
+            status[d], dup_of[d] = "url_refetch_dup", ds[0]
+    # stage 2: exact content dedup among stage-1 survivors
+    by_hash = {}
+    for d in sorted(u_surv):
+        by_hash.setdefault(md5(texts[d]), []).append(d)
+    e_surv = []
+    for ds in by_hash.values():
+        e_surv.append(ds[0])
+        for d in ds[1:]:
+            status[d], dup_of[d] = "exact_dup", ds[0]
+    # stage 3: MinHash/LSH near dedup (full replay, l68 machinery)
+
+    def shingles(ws):
+        if len(ws) >= 3:
+            out, seen = [], set()
+            for i in range(len(ws) - 2):
+                s = " ".join(ws[i : i + 3])
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+            return out
+        return [" ".join(ws)]
+
+    params = _hash_params(64)
+
+    def signature(sh):
+        hs = [int(md5(s)[:15], 16) % _P for s in sh]
+        return [min((a * h + b) % _P for h in hs) for a, b in params]
+
+    shs = {d: shingles(docs[d]) for d in e_surv}
+    sigs = {d: signature(shs[d]) for d in e_surv}
+
+    def buckets(sig):
+        return {
+            (b, ",".join(str(v) for v in sig[b * 4 : b * 4 + 4]))
+            for b in range(16)
+        }
+
+    nkill = {}
+    for a, b in combinations(sorted(e_surv), 2):
+        if buckets(sigs[a]) & buckets(sigs[b]):
+            inter = len(set(shs[a]) & set(shs[b]))
+            union = len(set(shs[a]) | set(shs[b]))
+            j3 = Decimal(inter / union).quantize(
+                Decimal("0.001"), ROUND_HALF_UP
+            )
+            if j3 >= Decimal("0.3"):
+                nkill.setdefault(b, a)
+    for b, a in nkill.items():
+        status[b], dup_of[b] = "near_dup", a
+    kept = [d for d in e_surv if d not in nkill]
+    # stages 5-6 for kept (semantic stage empty)
+    want = {}
+    for d in range(n):
+        if d in status:
+            want[d] = (status[d], dup_of[d], None, None)
+    for d in kept:
+        bucket = int(md5(f"s{d % 3}")[:4], 16) % 100
+        split = (
+            "train"
+            if bucket < SPLIT_TRAIN_LT
+            else ("val" if bucket < SPLIT_VAL_LT else "test")
+        )
+        shard = max(
+            range(_L60_SHARDS), key=lambda s: (md5(f"{d}:{s}"), -s)
+        )
+        want[d] = ("kept", None, split, shard)
+
+    got = {
+        r.doc_id: (r.status, r.dup_of, r.split, r.shard)
+        for r in specs()["l70_corpus_pipeline_v2"]
+        .fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}

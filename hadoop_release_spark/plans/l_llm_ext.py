@@ -1910,6 +1910,7 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (l71) shrinking the per-candidate cost 16×."""
     from hadoop_release_spark.operators.similarity import (
         rank_clusters_arrow,
+        score_candidates_arrow,
         systematic_centroids,
     )
 
@@ -1936,21 +1937,22 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
-    # Both join sides are corpus-scale (the kernel's output has no
-    # size statistics, and without the hint AQE broadcast the probe
-    # side — the l09 anti-shape this query exists to avoid; pinned
-    # in test_plans.py): force the cluster-keyed SHUFFLE hash join.
+    # Candidate scoring through the per-cluster Arrow kernel
+    # (score_candidates_arrow): the cogroup IS the cluster-keyed
+    # shuffle the join version paid — both sides corpus-scale,
+    # NEITHER broadcast (the l09 anti-shape; pinned in
+    # test_plans.py) — but the member×probe cosine block runs
+    # vectorized and only top-k-with-margin survivors per (probe,
+    # cluster) reach the JVM. The contract score is Spark's own
+    # round of the kernel's bit-identical raw cosine; the global
+    # window over per-cluster winners is exact (every global top-k
+    # member is a within-cluster winner for its probe).
+    cand = score_candidates_arrow(assigned, probes, _L58_K, _DIM)
     return (
-        assigned.join(probes.hint("shuffle_hash"), "cluster")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        cand.select(
             "query_id",
             "vec_id",
-            F.round(
-                dot(F.col("embedding"), F.col("qe"))
-                / (F.col("__nrm") * F.col("__qnrm")),
-                3,
-            ).alias("score"),
+            F.round(F.col("__raw"), 3).alias("score"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= _L58_K)

@@ -638,14 +638,19 @@ def test_m09_band_exchange_is_slim(spark, sf_dir):
 
 
 def test_l58_candidate_join_is_hash_not_broadcast_corpus(spark, sf_dir):
-    """l58's defining contrast with l19, pinned: the corpus-scale
-    candidate join (assigned ⋈ probes on cluster) must be a shuffle
-    hash/sort-merge join — if the probe side (which IS the corpus)
-    ever broadcasts, the operator silently becomes l09's bounded
-    shape and dies at scale."""
+    """l58's defining contrast with l19, pinned (round-9 form): the
+    corpus-scale candidate stage (assigned ⋈ probes on cluster) must
+    be the cluster-keyed COGROUP feeding the scoring kernel — a
+    FlatMapCoGroupsInPandas over two cluster-hashed exchanges. If
+    the probe side (which IS the corpus) ever broadcasts, the
+    operator silently becomes l09's bounded shape and dies at
+    scale; if the cogroup disappears in favor of a plain join, the
+    member×probe product re-materializes as interpreted per-row
+    folds (measured 810-1070 s at gen_sf sf10 vs the kernel path)."""
     plan = _plan(spark, sf_dir, "l58_knn_self_join")
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     # round-8: centroid ranking moved into the Arrow kernel — the
     # N×K fan-out (and its BNLJ) must stay gone.
     assert "MapInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

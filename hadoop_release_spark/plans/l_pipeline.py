@@ -2330,10 +2330,16 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).persist()
     pairs = lsh_candidate_pairs(ekept, "doc_id", "text")
+    # nkill feeds THREE consumers (the near_dup ledger branch, the
+    # semantic stage's survivor semi-join, and the kept spine) — a
+    # slim (doc_id, dup_of) table, but each unpersisted read would
+    # re-run the banded LSH candidate join. Persist (registry-
+    # released); same for skill below.
     nkill = (
         pairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
+        .persist()
     )
     nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
     emb = table(spark, sf_dir, "embeddings")
@@ -2376,6 +2382,7 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
+        .persist()
     )
     kept = nkept.join(skill.select("doc_id"), "doc_id", "left_anti")
     bucket = (

@@ -388,6 +388,11 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             # round-3 heavy tail (full-corpus gram/LSH passes)
             "l28_decontaminate", "l30_dedup_incremental",
             "i14_mr_kcore",
+            # round-9 heavy tail (composed pipeline, modality
+            # closures, corpus gram bitmap)
+            "l70_corpus_pipeline_v2", "m13_video_dup_survivors",
+            "m14_audio_dup_survivors", "l72_bloom_gram_gate",
+            "l68_minhash_calibration", "l66_containment_dedup",
             # round-5 measured ≥2.5 s driver-shaped (three two-phase
             # rank persist+collect passes / partitioned DPP write)
             "e29_rfm_segments", "c26_join_dpp", "d32_ks_test",

@@ -24,6 +24,7 @@ from hadoop_release_spark.operators.dedup import (
     lsh_pair_calibration,
     o_lsh_pair_calibration,
 )
+from hadoop_release_spark.operators.similarity import o_systematic_centroids
 from hadoop_release_spark.plans.registry import register
 
 _DIM = 64
@@ -666,11 +667,7 @@ def _o_l19() -> str:
     cos_aq = o_cosine("a.embedding", "p.qe", _DIM)
     return f"""
     WITH centroids AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings
-      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
-        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
-        FROM embeddings) = 0
+      {o_systematic_centroids()}
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -1692,11 +1689,7 @@ def _o_l56() -> str:
     cos_ab = o_cosine("a.embedding", "b.embedding", _DIM)
     return f"""
     WITH centroids AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings
-      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
-        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
-        FROM embeddings) = 0
+      {o_systematic_centroids()}
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -1831,11 +1824,7 @@ def _o_l58() -> str:
     cos_aq = o_cosine("a.embedding", "p.qe", _DIM)
     return f"""
     WITH centroids AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings
-      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
-        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
-        FROM embeddings) = 0
+      {o_systematic_centroids()}
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id
@@ -2504,11 +2493,7 @@ def _o_l71() -> str:
     )
     return f"""
     WITH centroids AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings
-      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
-        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
-        FROM embeddings) = 0
+      {o_systematic_centroids()}
     ), assign0 AS (
       SELECT e.vec_id, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.dedup import o_word_shingles_case, word_shingles
+from hadoop_release_spark.operators.similarity import o_systematic_centroids
 from hadoop_release_spark.operators.rank import global_prefix_sum
 from hadoop_release_spark.plans.registry import register
 
@@ -2161,11 +2162,7 @@ def _o_l70() -> str:
       LEFT JOIN nkill x ON k.doc_id = x.doc_id
       WHERE x.doc_id IS NULL
     ), centroids AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
-      FROM embeddings
-      WHERE vec_id % (SELECT greatest(CAST(floor(sqrt(
-        CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
-        FROM embeddings) = 0
+      {o_systematic_centroids()}
     ), assign0 AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
              row_number() OVER (PARTITION BY e.vec_id

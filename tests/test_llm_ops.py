@@ -124,11 +124,10 @@ def test_l73_tiers_match_python_tercile_rule(spark, sf_dir):
         xs = sorted(xs)
         total = len(xs)
         cum = 0
-        for i, v in enumerate(xs):
+        for v in xs:
             cum += 1
-            if 3 * cum >= k * total and (i == len(xs) - 1 or xs[i] != xs[i + 1] or True):
-                if 3 * cum >= k * total:
-                    return v
+            if 3 * cum >= k * total:
+                return v
         return xs[-1]
 
     bounds = {

@@ -5067,10 +5067,21 @@ def test_corpus_pipeline_v2_matches_reference(spark, docs, tmp_path_factory):
         )
         want[d] = ("kept", None, split, shard)
 
-    got = {
-        r.doc_id: (r.status, r.dup_of, r.split, r.shard)
-        for r in specs()["l70_corpus_pipeline_v2"]
-        .fn(spark, str(tmp))
-        .collect()
-    }
-    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}
+    try:
+        got = {
+            r.doc_id: (r.status, r.dup_of, r.split, r.shard)
+            for r in specs()["l70_corpus_pipeline_v2"]
+            .fn(spark, str(tmp))
+            .collect()
+        }
+        assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}
+    finally:
+        # l70 persists its per-stage kill tables and the LSH staging
+        # block past the call by contract (released by the registry
+        # wrapper in production); hypothesis runs this body dozens of
+        # times per session, so release here or the blocks accumulate
+        # one pipeline working set per example — the same fix the
+        # l68 calibration test above carries.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()

@@ -906,134 +906,163 @@ def m12_image_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m13_video_dup_survivors",
     oracle=f"""
-    WITH RECURSIVE {_o_m10_ctes()}, eq_pairs AS (
-      SELECT s.doc_a AS id_a, s.doc_b AS id_b
-      FROM shared s
-      JOIN sizes za ON s.doc_a = za.doc_id
-      JOIN sizes zb ON s.doc_b = zb.doc_id
-      WHERE s.shared_frames = za.nf AND s.shared_frames = zb.nf
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM eq_pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM eq_pairs
-    ), reach AS (
-      SELECT doc_id AS node, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS node, reach.r FROM edges e
-      JOIN reach ON reach.node = e.src
+    WITH {_o_m10_ctes()}, digs AS (
+      SELECT doc_id,
+             md5(string_agg(CAST(lo AS VARCHAR) || ','
+                            || CAST(hi AS VARCHAR), ';'
+                            ORDER BY lo, hi)) AS dig
+      FROM fps GROUP BY doc_id
+    ), canon AS (
+      SELECT dig, min(doc_id) AS canonical_id FROM digs GROUP BY dig
     )
-    SELECT node AS doc_id, min(r) AS canonical_id,
-           (node = min(r)) AS is_survivor
-    FROM reach GROUP BY node
+    SELECT d.doc_id,
+           coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+           (d.doc_id = coalesce(c.canonical_id, d.doc_id))
+             AS is_survivor
+    FROM documents d
+    LEFT JOIN digs g ON d.doc_id = g.doc_id
+    LEFT JOIN canon c ON g.dig = c.dig
     """,
     priority="P2",
 )
 def m13_video_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end VIDEO deduplication — the m12 pattern for the video
-    modality: m10's pairs restricted to frame-fingerprint SET
-    EQUALITY (shared = |A| = |B|, i.e. Jaccard exactly 1 on exact
-    integer counts — re-encoded copies of the same clip), →
-    connected components → min-id survivor per group. Set equality
-    IS an equivalence relation, so transitive grouping is sound —
-    the same argument that restricted m12 to Hamming radius 0;
-    m10's partial-overlap pairs (shared clips trimmed or extended)
-    remain its ANALYSIS product and never enter the closure.
+    """End-to-end VIDEO deduplication: docs whose frame-fingerprint
+    SETS are equal (Jaccard exactly 1 — re-encoded copies of the
+    same clip) collapse to one group, min-id survivor, every doc
+    emitted with its canonical id and keep/drop flag.
 
-    Built by CALLING m10 and the shared union-find
-    (connected_components_min_label); the oracle reuses m10's CTE
-    chain verbatim (_o_m10_ctes) + the l22 recursive-closure suffix
-    — neither the fingerprint arithmetic nor the component rule can
-    diverge from the ops they came from.
+    Set equality is already an equivalence relation, so the groups
+    ARE computable without materializing pairs: group docs directly
+    by a DIGEST of the sorted distinct fingerprint set (round-9
+    verdict item 2 — the previous plan generated m10's candidate
+    pairs, filtered to shared = |A| = |B|, then ran the iterative
+    union-find closure; the digest groupBy produces the identical
+    partition in O(N) with no self-join and no label rounds; the
+    equivalence is pinned by tests/test_multimodal.py's
+    old-plan-vs-new-plan check). Docs with an EMPTY fingerprint set
+    never reach the digest groupBy and stay singletons via the
+    left join — the pair-based rule never linked them either (a
+    naive digest over empties would have merged them).
 
-    Scale shape: m10's posture (one Arrow decode pass, frame-hash
-    keyed join over near-singleton buckets) + pointer-jump
-    min-label over equality edges — equal-set groups are cliques,
-    convergence in 1-2 rounds, each round two checkpointed joins +
-    one min-agg over (node, component) longs."""
-    from hadoop_release_spark.operators.dedup import (
-        connected_components_min_label,
+    Scale shape: one Arrow-batched decode pass (payloads never
+    shuffle — the m06/m09 invariant), then a doc-keyed exchange of
+    slim (doc_id, lo, hi) longs for the digest agg, one dig-keyed
+    window-min for the survivor, and one doc-keyed join back to the
+    corpus spine. No candidate pairs, no iteration — strictly less
+    work than m10 itself. m10's partial-overlap pairs (trimmed /
+    extended clips) remain its ANALYSIS product and never enter
+    grouping, same as before."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_video_payload_canon,
+        video_frame_ahashes,
     )
 
-    pairs = (
-        m10_video_near_dup(spark, sf_dir)
-        .filter(
-            (F.col("shared_frames") == F.col("n_a"))
-            & (F.col("shared_frames") == F.col("n_b"))
-        )
-        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    d = attach_video_payload_canon(
+        table(spark, sf_dir, "documents").select("doc_id")
     )
-    nodes = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("__id")
+    fps = video_frame_ahashes(d).select(
+        "doc_id",
+        F.col("ahash_lo").alias("lo"),
+        F.col("ahash_hi").alias("hi"),
     )
-    comps = connected_components_min_label(nodes, pairs, id_col="__id")
-    return comps.select(
-        F.col("__id").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    # collect_set IS the per-doc distinct — one doc-keyed exchange
+    # total, where distinct() + collect_list would have cost two.
+    digs = fps.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ";", F.sort_array(F.collect_set(F.concat_ws(",", "lo", "hi")))
+            )
+        ).alias("dig")
+    )
+    digs = digs.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    canonical = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    return docs.join(digs, "doc_id", "left").select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_survivor"),
     )
 
 
 @register(
     "m14_audio_dup_survivors",
     oracle=f"""
-    WITH RECURSIVE {_o_m11_ctes()}, eq_pairs AS (
-      SELECT s.doc_a AS id_a, s.doc_b AS id_b
-      FROM shared s
-      JOIN sizes za ON s.doc_a = za.doc_id
-      JOIN sizes zb ON s.doc_b = zb.doc_id
-      WHERE s.shared_shingles = za.ns AND s.shared_shingles = zb.ns
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM eq_pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM eq_pairs
-    ), reach AS (
-      SELECT doc_id AS node, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS node, reach.r FROM edges e
-      JOIN reach ON reach.node = e.src
+    WITH {_o_m11_ctes()}, digs AS (
+      SELECT doc_id, md5(string_agg(key, ';' ORDER BY key)) AS dig
+      FROM fps GROUP BY doc_id
+    ), canon AS (
+      SELECT dig, min(doc_id) AS canonical_id FROM digs GROUP BY dig
     )
-    SELECT node AS doc_id, min(r) AS canonical_id,
-           (node = min(r)) AS is_survivor
-    FROM reach GROUP BY node
+    SELECT d.doc_id,
+           coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+           (d.doc_id = coalesce(c.canonical_id, d.doc_id))
+             AS is_survivor
+    FROM documents d
+    LEFT JOIN digs g ON d.doc_id = g.doc_id
+    LEFT JOIN canon c ON g.dig = c.dig
     """,
     priority="P2",
 )
 def m14_audio_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end AUDIO deduplication — the m12/m13 pattern for the
-    audio modality: m11's pairs restricted to zero-crossing-shingle
-    SET EQUALITY (shared = |A| = |B| on exact integer counts —
-    byte-identical tones / re-encodes), → connected components →
-    min-id survivor. The m07 fixture's tone classes make distinct
-    docs carry IDENTICAL audio naturally, so the components here
-    are real multi-doc groups (≈ |docs| / 128 members each), not
-    just planted pairs — the union-find earns its keep. Set
-    equality is a true equivalence; m11's partial-overlap pairs
-    (same frequency, different length) stay out of the closure.
+    """End-to-end AUDIO deduplication — the m13 digest pattern for
+    the audio modality: docs whose zero-crossing-shingle SETS are
+    equal (byte-identical tones / re-encodes) group directly by a
+    digest of the sorted shingle set, min-id survivor per group.
+    The m07 fixture's tone classes make distinct docs carry
+    IDENTICAL audio naturally, so the groups are real multi-doc
+    classes (≈ |docs| / 128 members each), not just planted pairs.
 
-    Built by CALLING m11 + the shared union-find; oracle =
-    _o_m11_ctes verbatim + the recursive-closure suffix.
+    Set equality is already an equivalence, so no pair
+    materialization and no union-find closure are needed (round-9
+    verdict item 2 — the previous plan filtered m11's candidate
+    pairs to shared = |A| = |B| and iterated connected components;
+    the digest groupBy yields the identical partition in O(N),
+    pinned old-vs-new by tests/test_multimodal.py). Empty-shingle
+    docs stay singletons via the left join, exactly as the
+    pair-based rule left them. m11's partial-overlap pairs (same
+    frequency, different length) are its ANALYSIS product and never
+    enter grouping.
 
-    Scale shape: m11's posture (one Arrow decode pass, md5-shingle
-    keyed join) + pointer-jump min-label over equality cliques —
-    1-2 rounds, slim (node, component) exchanges only."""
-    from hadoop_release_spark.operators.dedup import (
-        connected_components_min_label,
+    Scale shape: one Arrow-batched decode pass (payloads never
+    shuffle), per-doc shingle projection, ONE doc-keyed exchange
+    into collect_set + digest, a dig-keyed window-min, and the
+    doc-keyed spine join. No corpus self-join, no iteration."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_zero_crossings,
     )
 
-    pairs = (
-        m11_audio_near_dup(spark, sf_dir)
-        .filter(
-            (F.col("shared_shingles") == F.col("n_a"))
-            & (F.col("shared_shingles") == F.col("n_b"))
+    d = attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    frames = audio_zero_crossings(d).select(
+        "doc_id", "frame_idx", F.col("zero_crossings").alias("zc")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sh = (
+        frames.withColumn("zc1", F.lead("zc", 1).over(w))
+        .withColumn("zc2", F.lead("zc", 2).over(w))
+        .filter(F.col("zc2").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", "zc", "zc1", "zc2")).alias("key"),
         )
-        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     )
-    nodes = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("__id")
+    # collect_set IS the per-doc distinct — the shingle rows arrive
+    # already doc-partitioned from the lead() window, so the digest
+    # agg is map-side local; no corpus-wide exchange at all.
+    digs = sh.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(";", F.sort_array(F.collect_set("key")))).alias(
+            "dig"
+        )
     )
-    comps = connected_components_min_label(nodes, pairs, id_col="__id")
-    return comps.select(
-        F.col("__id").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    digs = digs.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    canonical = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    return docs.join(digs, "doc_id", "left").select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_survivor"),
     )

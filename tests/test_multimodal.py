@@ -398,3 +398,71 @@ def test_m14_audio_survivors_group_tone_classes(spark, sf_dir):
     for d, r in rows.items():
         assert rows[r.canonical_id].is_survivor
         assert r.canonical_id <= d
+
+
+def _pairs_closure_survivors(docs, pairs):
+    """The ROUND-9 m13/m14 construction, replayed in pure Python:
+    set-equality pairs -> union-find -> min-id canonical. Kept as
+    the reference the digest plan must reproduce exactly."""
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in docs}
+
+
+def test_m13_digest_plan_equals_pair_closure_plan(spark, sf_dir):
+    """Round-10 rewrite pin: the set-digest groupBy must yield the
+    IDENTICAL partition the previous plan computed via m10's
+    equality pairs + connected components (set equality is an
+    equivalence, so digest groups = closure components)."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m10_video_near_dup,
+        m13_video_dup_survivors,
+    )
+
+    new = {
+        r.doc_id: (r.canonical_id, r.is_survivor)
+        for r in m13_video_dup_survivors(spark, sf_dir).collect()
+    }
+    eq_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in m10_video_near_dup(spark, sf_dir).collect()
+        if r.shared_frames == r.n_a and r.shared_frames == r.n_b
+    ]
+    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    want = {d: (c, d == c) for d, c in canon.items()}
+    assert new == want, {
+        k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
+    }
+
+
+def test_m14_digest_plan_equals_pair_closure_plan(spark, sf_dir):
+    """Round-10 rewrite pin for the audio modality (see m13 twin)."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m11_audio_near_dup,
+        m14_audio_dup_survivors,
+    )
+
+    new = {
+        r.doc_id: (r.canonical_id, r.is_survivor)
+        for r in m14_audio_dup_survivors(spark, sf_dir).collect()
+    }
+    eq_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in m11_audio_near_dup(spark, sf_dir).collect()
+        if r.shared_shingles == r.n_a and r.shared_shingles == r.n_b
+    ]
+    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    want = {d: (c, d == c) for d, c in canon.items()}
+    assert new == want, {
+        k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
+    }

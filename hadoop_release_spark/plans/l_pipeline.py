@@ -1692,6 +1692,38 @@ def l59_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L60_SHARDS = 8
 
 
+def rendezvous_shard(
+    doc_id: str = "doc_id", n_shards: int = _L60_SHARDS
+) -> Column:
+    """``argmax_s md5(doc:s)`` as ONE shuffle-free projection.
+
+    The shard count is a driver-side constant, so the argmax over s
+    never needs rows: build the S (key, shard) structs inline and
+    take ``array_max`` — struct comparison is field-by-field, so max
+    key wins and the negated-shard second field breaks (impossible,
+    distinct-md5) ties toward the SMALLER shard, byte-identical to
+    the previous ``explode(sequence) + row_number() OVER (PARTITION
+    BY doc_id ORDER BY key DESC, shard)`` plan that cost a hash
+    exchange of S·N slim rows (round-9 verdict item 3: zero rows
+    beats slim rows). The l60/l61 oracles keep the explode+window
+    spelling — same argmax, and DuckDB is the referee, not the
+    engine. Plan-pinned exchange-free in tests/test_plans.py."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat_ws(":", F.col(doc_id), F.lit(s))
+                    ).alias("key"),
+                    F.lit(-s).alias("neg"),
+                    F.lit(s).cast("long").alias("shard"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )["shard"]
+
+
 @register(
     "l60_rendezvous_sharding",
     oracle=f"""
@@ -1722,23 +1754,13 @@ def l60_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; hex-string comparison is byte-identical in both
     engines and ties are impossible (distinct md5 inputs).
 
-    Scale shape: the ×N_SHARDS explode and the per-doc argmax window
-    are per-row map-side work (the window partitions by doc_id over
-    exactly N rows); nothing shuffles except the doc_id-keyed window
-    exchange carrying slim (doc, shard, 32-char key) rows. Shard
-    count changes re-run only the argmax — no data movement plan
-    needed for unaffected docs."""
+    Scale shape: ZERO shuffle — the argmax over the S driver-side
+    shard constants is one :func:`rendezvous_shard` projection fused
+    into the scan (no explode, no per-doc window exchange). Shard
+    count changes re-run only the projection — no data movement
+    plan needed for unaffected docs."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias("shard"),
-    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("shard").cast("long").alias("shard"))
-    )
+    return d.select("doc_id", rendezvous_shard("doc_id").alias("shard"))
 
 
 @register(
@@ -1779,30 +1801,21 @@ def l61_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end; the concatenation order is the explicit doc_id sort,
     so the digest is engine- and partitioning-independent.
 
-    Scale shape: assignment is the l60 map-side argmax; ONE shard
-    shuffle groups docs (exactly the placement shuffle the release
-    writer already pays); the in-group digest concat sorts
-    |shard|-sized digest lists (32 B each — the manifest input is
-    ~3000× smaller than the shard's text). At larger shards, chunk
-    the sorted digests and Merkle-fold the chunk digests — same
-    contract, bounded memory."""
+    Scale shape: assignment is the shuffle-free
+    :func:`rendezvous_shard` projection (no explode, no per-doc
+    window, no join back — the digest and shard come off the SAME
+    scan row); ONE shard shuffle groups docs (exactly the placement
+    shuffle the release writer already pays); the in-group digest
+    concat sorts |shard|-sized digest lists (32 B each — the
+    manifest input is ~3000× smaller than the shard's text). At
+    larger shards, chunk the sorted digests and Merkle-fold the
+    chunk digests — same contract, bounded memory."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    pairs = d.select(
+    assigned = d.select(
+        rendezvous_shard("doc_id").alias("shard"),
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias("shard"),
-    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
-    assigned = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "shard")
-        .join(d, "doc_id")
-        .select(
-            "shard",
-            "doc_id",
-            F.md5("text").alias("digest"),
-            F.col("n_chars").cast("long").alias("n_chars"),
-        )
+        F.md5("text").alias("digest"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
     return assigned.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2392,19 +2405,6 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < SPLIT_VAL_LT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    shp = kept.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_L60_SHARDS - 1))).alias(
-            "shard"
-        ),
-    ).withColumn("key", F.md5(F.concat_ws(":", "doc_id", "shard")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("key"), "shard")
-    shr = (
-        shp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("shard").cast("long").alias("shard"))
-    )
-
     def _nulls():
         return [
             F.lit(None).cast("string").alias("split"),
@@ -2433,14 +2433,16 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_nulls(),
     )
     kept_rows = (
-        kept.select("doc_id", split.alias("split"), "source")
-        .join(shr, "doc_id")
-        .select(
+        # split AND shard are both pure projections of the kept row
+        # (md5(source) bucket / rendezvous argmax), so the whole
+        # placement tail is shuffle-free — no explode, no per-doc
+        # window, no join (round-9 verdict item 3).
+        kept.select(
             "doc_id",
             F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("dup_of"),
-            "split",
-            "shard",
+            split.alias("split"),
+            rendezvous_shard("doc_id").alias("shard"),
         )
     )
     return (

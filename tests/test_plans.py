@@ -654,3 +654,20 @@ def test_l58_candidate_join_is_hash_not_broadcast_corpus(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_rendezvous_shard_stage_is_shuffle_free(spark, sf_dir):
+    """Round-10 rewrite pin (round-9 verdict item 3): the rendezvous
+    argmax over the S=8 driver-side shard constants is a pure
+    projection — no explode, no per-doc window exchange. l60 must
+    plan with ZERO exchanges/windows/generates; l61's only exchange
+    is the shard groupBy the release writer pays anyway (the per-doc
+    assignment join is gone). l70's placement tail shares the same
+    rendezvous_shard() helper, so these pins cover its construction
+    too (l70's own plan keeps its LSH-stage Generates)."""
+    plan60 = _plan(spark, sf_dir, "l60_rendezvous_sharding")
+    assert "Exchange" not in plan60, plan60
+    assert "Window" not in plan60 and "Generate" not in plan60, plan60
+    plan61 = _plan(spark, sf_dir, "l61_shard_manifest")
+    assert plan61.count("Exchange hashpartitioning") == 1, plan61
+    assert "Window" not in plan61 and "Generate" not in plan61, plan61

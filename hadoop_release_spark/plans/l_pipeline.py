@@ -2220,26 +2220,29 @@ def _o_l70() -> str:
     )
     SELECT m.doc_id, 'url_refetch_dup' AS status,
            CAST(m.u_surv AS BIGINT) AS dup_of,
-           CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard
+           CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+           FALSE AS semantic_examined
     FROM umap m WHERE m.doc_id <> m.u_surv
     UNION ALL
     SELECT m.doc_id, 'exact_dup', CAST(m.e_surv AS BIGINT),
-           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE
     FROM emap m WHERE m.doc_id <> m.e_surv
     UNION ALL
     SELECT n.doc_id, 'near_dup', n.dup_of,
-           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE
     FROM nkill n
     UNION ALL
     SELECT s.doc_id, 'semantic_dup', s.dup_of,
-           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE
     FROM skill s
     UNION ALL
     SELECT k.doc_id, 'kept', CAST(NULL AS BIGINT), sp.split,
-           CAST(sh.shard AS BIGINT)
+           CAST(sh.shard AS BIGINT),
+           (emb.vec_id IS NOT NULL) AS semantic_examined
     FROM kept k
     JOIN splits sp ON k.doc_id = sp.doc_id
     JOIN shr sh ON k.doc_id = sh.doc_id
+    LEFT JOIN embeddings emb ON k.doc_id = emb.vec_id
     """
 
 
@@ -2271,8 +2274,11 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
          Docs WITHOUT an embedding row pass through this stage
          unexamined (the fixture embeds a prefix of the corpus;
          both engines join on vec_id = doc_id, so coverage is
-         consistent) — production would embed everything or route
-         uncovered docs to a quarantine split.
+         consistent) — and the ledger SAYS so: kept rows carry
+         semantic_examined = false when no embedding existed, so
+         "kept" is never silently read as "passed semantic dedup".
+         Production would embed everything or route the
+         examined=false rows to a quarantine split.
       5. Leakage-safe split (l34): kept docs assigned train/val/test
          by md5(source) GROUP hash.
       6. Placement (l60/l61): kept docs assigned their rendezvous
@@ -2281,8 +2287,9 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per input doc — (doc_id, status ∈ {url_refetch_
     dup, exact_dup, near_dup, semantic_dup, kept}, dup_of = the
-    shadowing id for drops, split + shard for kept). Fully
-    md5-deterministic; the whole chain is hash-oracled end-to-end.
+    shadowing id for drops, split + shard + semantic_examined for
+    kept). Fully md5-deterministic; the whole chain is hash-oracled
+    end-to-end.
 
     Scale shape (the point of the exercise — every stage keeps its
     standalone op's posture, and the stages COMPOSE without any new
@@ -2405,44 +2412,64 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < SPLIT_VAL_LT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    def _nulls():
+    def _nulls(examined: bool):
+        # semantic_examined is deliberately NON-NULL on every row
+        # (url/exact/near drops never reached stage 4 → false; a
+        # semantic_dup was by construction examined → true): a pure
+        # boolean column dodges the engine-specific null-boolean
+        # renderings a nullable flag would expose to the comparator.
         return [
             F.lit(None).cast("string").alias("split"),
             F.lit(None).cast("long").alias("shard"),
+            F.lit(examined).alias("semantic_examined"),
         ]
 
     url_drop = umap.filter(F.col("doc_id") != F.col("u_surv")).select(
         "doc_id",
         F.lit("url_refetch_dup").alias("status"),
         F.col("u_surv").cast("long").alias("dup_of"),
-        *_nulls(),
+        *_nulls(False),
     )
     ex_drop = emap.filter(F.col("doc_id") != F.col("e_surv")).select(
         "doc_id",
         F.lit("exact_dup").alias("status"),
         F.col("e_surv").cast("long").alias("dup_of"),
-        *_nulls(),
+        *_nulls(False),
     )
     near_drop = nkill.select(
-        "doc_id", F.lit("near_dup").alias("status"), "dup_of", *_nulls()
+        "doc_id", F.lit("near_dup").alias("status"), "dup_of", *_nulls(False)
     )
     sem_drop = skill.select(
         "doc_id",
         F.lit("semantic_dup").alias("status"),
         "dup_of",
-        *_nulls(),
+        *_nulls(True),
+    )
+    # semantic_examined makes the ledger honest about stage 4's
+    # coverage (round-9 verdict item 6): a kept doc WITHOUT an
+    # embedding row was never compared — "kept" alone read as
+    # "passed semantic dedup" when it could mean "never examined".
+    # vec_id is the embeddings table's primary key (the same
+    # one-row-per-vector contract every l1x/l5x ANN op relies on),
+    # so the doc-keyed left join cannot fan out kept rows.
+    emb_ids = emb.select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("__emb")
     )
     kept_rows = (
         # split AND shard are both pure projections of the kept row
-        # (md5(source) bucket / rendezvous argmax), so the whole
-        # placement tail is shuffle-free — no explode, no per-doc
-        # window, no join (round-9 verdict item 3).
-        kept.select(
+        # (md5(source) bucket / rendezvous argmax), so the placement
+        # tail stays shuffle-free — no explode, no per-doc window
+        # (round-9 verdict item 3); the only join is the slim
+        # examined-flag lookup above.
+        kept.join(emb_ids, "doc_id", "left").select(
             "doc_id",
             F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("dup_of"),
             split.alias("split"),
             rendezvous_shard("doc_id").alias("shard"),
+            F.coalesce(F.col("__emb"), F.lit(False)).alias(
+                "semantic_examined"
+            ),
         )
     )
     return (

@@ -260,6 +260,26 @@ def test_l70_ledger_stage_invariants(spark, sf_dir):
     assert kept["dup_of"].isna().all()
     assert kept["split"].isin(["train", "val", "test"]).all()
     assert kept["shard"].between(0, 7).all()
+    # semantic_examined is non-null on EVERY row: stage-1/2/3 drops
+    # never reached the semantic stage (False), a semantic_dup was
+    # by construction examined (True), and a kept row is True
+    # exactly where an embedding row existed (the fixture embeds a
+    # prefix of the corpus, so both kept values occur at sf>=0.001)
+    assert out["semantic_examined"].notna().all()
+    assert (
+        dropped.loc[dropped["status"] != "semantic_dup", "semantic_examined"]
+        == False  # noqa: E712 - pandas elementwise
+    ).all()
+    assert (
+        dropped.loc[dropped["status"] == "semantic_dup", "semantic_examined"]
+        == True  # noqa: E712
+    ).all()
+    emb_ids = set(
+        r.vec_id
+        for r in table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    )
+    for _, r in kept.iterrows():
+        assert bool(r["semantic_examined"]) == (int(r["doc_id"]) in emb_ids)
     # a near/semantic shadow must itself have survived every EARLIER
     # stage (it may be dropped by its own or a later stage, but a doc
     # already removed by an earlier stage can never shadow anyone)

@@ -5054,7 +5054,9 @@ def test_corpus_pipeline_v2_matches_reference(spark, docs, tmp_path_factory):
     want = {}
     for d in range(n):
         if d in status:
-            want[d] = (status[d], dup_of[d], None, None)
+            # every drop in this fixture is stage 1-3 (the semantic
+            # stage is neutralized), hence semantic_examined False
+            want[d] = (status[d], dup_of[d], None, None, False)
     for d in kept:
         bucket = int(md5(f"s{d % 3}")[:4], 16) % 100
         split = (
@@ -5065,11 +5067,15 @@ def test_corpus_pipeline_v2_matches_reference(spark, docs, tmp_path_factory):
         shard = max(
             range(_L60_SHARDS), key=lambda s: (md5(f"{d}:{s}"), -s)
         )
-        want[d] = ("kept", None, split, shard)
+        # the embeddings table is EMPTY in this fixture, so every
+        # kept doc is honestly flagged semantic-unexamined
+        want[d] = ("kept", None, split, shard, False)
 
     try:
         got = {
-            r.doc_id: (r.status, r.dup_of, r.split, r.shard)
+            r.doc_id: (
+                r.status, r.dup_of, r.split, r.shard, r.semantic_examined
+            )
             for r in specs()["l70_corpus_pipeline_v2"]
             .fn(spark, str(tmp))
             .collect()

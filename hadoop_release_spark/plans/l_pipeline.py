@@ -2675,3 +2675,145 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("in_corpus") >= DECON_MIN_SHARED).alias("contaminated"),
         )
     )
+
+
+#: l74 — exact-substring dedup (the ExactSubstr method of Lee et
+#: al. 2021, "Deduplicating Training Data Makes Language Models
+#: Better"): a duplicated SPAN is any verbatim run of >= K tokens
+#: shared by two documents. K rides the corpus gram constant the
+#: decontamination ops already use; the boilerplate guard is the
+#: l66 precedent (a gram in > MAX_DF docs is template text, not a
+#: copied span, and unguarded it makes the gram join quadratic).
+L74_GRAM_K = DECON_NGRAM_K
+L74_MAX_DF = 50
+
+
+def _o_l74() -> str:
+    k = L74_GRAM_K
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(ts, i.i, i.i + {k} - 1), ' '))
+               AS h
+      FROM toks, unnest(range(1, len(ts) - {k} + 2)) AS i(i)
+      WHERE len(ts) >= {k}
+    ), keep AS (
+      SELECT h FROM g GROUP BY h
+      HAVING count(DISTINCT doc_id) <= {L74_MAX_DF}
+    ), gg AS (
+      SELECT g.* FROM g JOIN keep USING (h)
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM gg a JOIN gg b ON a.h = b.h AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b
+               ORDER BY pos_a) AS grp
+      FROM m
+    )
+    SELECT doc_b AS doc_id, doc_a AS dup_of,
+           min(pos_b) AS start_pos, min(pos_a) AS src_pos,
+           CAST(count(*) + {k} - 1 AS BIGINT) AS n_tokens
+    FROM r GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+    """
+
+
+@register("l74_exact_substring", oracle=_o_l74(), priority="P1")
+def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (ExactSubstr, Lee et al. 2021)
+    — the last member of the public training-data dedup taxonomy
+    (MinHash/LSH l02, SimHash l11, containment l66, semantic l56,
+    URL l35, block l39, prefix l40): find every maximal VERBATIM
+    token run of >= K tokens shared by two documents and emit the
+    removal plan under the min-id survivor rule — one row per
+    maximal run, coordinates in the higher-id doc (doc_id,
+    start_pos, n_tokens) plus where it came from (dup_of, src_pos).
+    Lee et al. remove the span and keep both docs' unique remainder
+    — exactly what this table drives.
+
+    DataFrame construction (the suffix array is the single-node
+    tool; this is its join-algebra equivalent): positional K-gram
+    emission per doc → document-frequency guard (> MAX_DF docs =
+    boilerplate, the l66 bound) → gram-hash equi-join (doc_a <
+    doc_b) → a shared span of L tokens is a run of L-K+1 gram
+    matches at CONSTANT diagonal pos_a - pos_b, so gaps-and-islands
+    (pos_a - row_number per (pair, diagonal)) merges adjacent
+    matches into maximal runs in one window pass. Deterministic
+    end-to-end: md5 gram keys, integer positions, no floats.
+
+    Scale shape: the gram explode is linear in corpus tokens and
+    fused into the scan (only (doc_id, pos, md5) longs shuffle —
+    text never does); the df-guard map-side-combines to one count
+    per distinct gram and bounds the equi-join at C(MAX_DF,2) per
+    bucket (the l66 argument — matches are Σ df² over
+    near-singleton buckets, never doc×doc); the run-merge window
+    partitions by (pair, diagonal) — cardinality ≤ matches, slim
+    integer rows. The 100 TB exits, documented in SCALE.md: larger
+    K (Lee et al. use 50 — fewer, rarer grams), gram-range
+    bucketing, and the suffix-array-per-shard + cross-shard gram
+    seam pass for the full published construction."""
+    k = L74_GRAM_K
+    toks = F.split(F.col("text"), " ")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = (
+        d.filter(F.size(toks) >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, i + 1, k), " ")
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    )
+    # Boilerplate guard: one map-side-combined distinct-doc count
+    # per gram; grams above the bound never enter the join. Persist
+    # the guarded gram table — it feeds BOTH join sides, and an
+    # unpersisted read would re-run the explode twice (registry-
+    # released, the lsh staging contract).
+    keep = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") <= L74_MAX_DF)
+        .select("h")
+    )
+    gg = g.join(keep, "h", "left_semi").persist()
+    a = gg.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = gg.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    runs = m.withColumn("diag", diag).withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_b").alias("start_pos"),
+            F.min("pos_a").alias("src_pos"),
+            (F.count("*") + k - 1).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("dup_of"),
+            "start_pos",
+            "src_pos",
+            "n_tokens",
+        )
+    )

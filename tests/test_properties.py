@@ -5091,3 +5091,94 @@ def test_corpus_pipeline_v2_matches_reference(spark, docs, tmp_path_factory):
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b"]), min_size=4, max_size=18
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_exact_substring_matches_reference(spark, docs, tmp_path_factory):
+    """l74 vs a pure-Python replay of the whole ExactSubstr chain
+    (positional K-grams, the df <= MAX_DF boilerplate guard, pair
+    matches, diagonal gaps-and-islands run merge): a 2-word vocab
+    makes every K-gram collide somewhere, and 60 docs can push a
+    gram's document frequency past the guard, so both the matching
+    AND the guard are exercised."""
+    from collections import defaultdict
+
+    from hadoop_release_spark.plans.l_pipeline import (
+        L74_GRAM_K,
+        L74_MAX_DF,
+        l74_exact_substring,
+    )
+
+    k = L74_GRAM_K
+    texts = [" ".join(ws) for ws in docs]
+    n = len(texts)
+    tmp = tmp_path_factory.mktemp("l74prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    # replay: positional grams -> df guard -> pair matches -> runs
+    pos_grams = {
+        d: [
+            " ".join(ws[i : i + k])
+            for i in range(len(ws) - k + 1)
+        ]
+        for d, ws in enumerate(docs)
+        if len(ws) >= k
+    }
+    docs_of = defaultdict(set)
+    for d, gs in pos_grams.items():
+        for g in gs:
+            docs_of[g].add(d)
+    kept = {g for g, ds in docs_of.items() if len(ds) <= L74_MAX_DF}
+    want = set()
+    ids = sorted(pos_grams)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            by_diag = defaultdict(list)
+            for pa_, ga in enumerate(pos_grams[a]):
+                if ga not in kept:
+                    continue
+                for pb, gb in enumerate(pos_grams[b]):
+                    if gb == ga:
+                        by_diag[pa_ - pb].append(pa_)
+            for diag, pas in by_diag.items():
+                pas = sorted(set(pas))
+                start = prev = pas[0]
+                for p in pas[1:] + [None]:
+                    if p is not None and p == prev + 1:
+                        prev = p
+                        continue
+                    run_len = prev - start + 1
+                    want.add(
+                        (b, a, start - diag, start, run_len + k - 1)
+                    )
+                    if p is not None:
+                        start = prev = p
+    try:
+        got = {
+            (r.doc_id, r.dup_of, r.start_pos, r.src_pos, r.n_tokens)
+            for r in l74_exact_substring(spark, str(tmp)).collect()
+        }
+        assert got == want, (got - want, want - got)
+    finally:
+        # l74 persists the guarded gram table past the call by
+        # contract (released by the registry wrapper in production);
+        # hypothesis reruns this body — release per example.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()

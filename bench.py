@@ -121,6 +121,9 @@ HEADLINE = [
     "e48_entity_seasonal_adjust",  # per-entity STL-lite decomposition
     "m13_video_dup_survivors",     # frame-set-equality video dedup closure
     "m14_audio_dup_survivors",     # shingle-set-equality audio dedup closure
+    # round-11 flagships (this session)
+    "l74_exact_substring",    # ExactSubstr verbatim-span removal plan
+    "l75_bloom_gated_ingest",  # bloom-gated exact-verify ingest gate
 ]
 
 

@@ -2755,7 +2755,21 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rows. The 100 TB exits, documented in SCALE.md: larger
     K (Lee et al. use 50 — fewer, rarer grams), gram-range
     bucketing, and the suffix-array-per-shard + cross-shard gram
-    seam pass for the full published construction."""
+    seam pass for the full published construction.
+
+    Two consumer-facing caveats (both shared with the oracle, so
+    hashes agree; they matter to DOWNSTREAM removal plans):
+    (1) guard splitting — a true maximal run that CONTAINS one
+    > MAX_DF boilerplate K-gram loses that gram before the join,
+    so the run is reported as two shorter runs whose summed
+    n_tokens undercounts the span by up to k-1 per guarded gap;
+    callers thresholding on n_tokens should treat the bound as
+    conservative (or merge same-diagonal runs with gaps <= k-1).
+    (2) overlapping diagonals — periodic/self-similar text (the
+    same K-gram repeated) yields one maximal run per (pair,
+    diagonal), and those runs can overlap on the SAME token range;
+    a removal consumer must union token intervals per doc before
+    cutting, never sum n_tokens across rows."""
     k = L74_GRAM_K
     toks = F.split(F.col("text"), " ")
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2816,4 +2830,211 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_pos",
             "n_tokens",
         )
+    )
+
+
+def _o_l75() -> str:
+    p1 = (
+        "CAST(('0x' || substring(md5(g), 1, 8))::UBIGINT"
+        f" % {L72_M_BITS} AS BIGINT)"
+    )
+    p2 = (
+        "CAST(('0x' || substring(md5(g), 9, 8))::UBIGINT"
+        f" % {L72_M_BITS} AS BIGINT)"
+    )
+    return f"""
+    WITH ctoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {NEW_MOD} != {NEW_REM}
+    ), cg0 AS (
+      SELECT doc_id, {o_word_shingles_case(DECON_NGRAM_K)} AS gs
+      FROM ctoks
+    ), cgrams AS (
+      SELECT DISTINCT g FROM (SELECT unnest(gs) AS g FROM cg0)
+    ), cpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {p1} AS pos FROM cgrams
+        UNION ALL
+        SELECT {p2} AS pos FROM cgrams)
+    ), words AS (
+      SELECT pos // {_L72_WORD} AS word,
+             bit_or(1::BIGINT << CAST(pos % {_L72_WORD} AS INT)) AS mask
+      FROM cpos GROUP BY 1
+    ), itoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {NEW_MOD} = {NEW_REM}
+    ), ig0 AS (
+      SELECT doc_id, {o_word_shingles_case(DECON_NGRAM_K)} AS gs
+      FROM itoks
+    ), igrams AS (
+      SELECT doc_id, unnest(gs) AS g FROM ig0
+    ), ipos AS (
+      SELECT doc_id, g, {p1} AS pos FROM igrams
+      UNION ALL
+      SELECT doc_id, g, {p2} AS pos FROM igrams
+    ), bits AS (
+      SELECT i.doc_id, i.g,
+             CASE WHEN w.mask IS NOT NULL
+                  AND (w.mask >> CAST(i.pos % {_L72_WORD} AS INT))
+                      & 1 = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM ipos i LEFT JOIN words w ON i.pos // {_L72_WORD} = w.word
+    ), gpass AS (
+      SELECT doc_id, g, min(hit) AS pass FROM bits GROUP BY doc_id, g
+    ), passg AS (
+      SELECT doc_id, g FROM gpass WHERE pass = 1
+    ), ver AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bloom_pass,
+             CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM passg p LEFT JOIN cgrams c ON p.g = c.g
+      GROUP BY p.doc_id
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM igrams GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_grams,
+           COALESCE(v.n_bloom_pass, 0::BIGINT) AS n_bloom_pass,
+           COALESCE(v.n_shared, 0::BIGINT) AS n_shared,
+           COALESCE(v.n_shared, 0::BIGINT) >= {DECON_MIN_SHARED}
+             AS contaminated
+    FROM perdoc d LEFT JOIN ver v ON d.doc_id = v.doc_id
+    """
+
+
+@register("l75_bloom_gated_ingest", oracle=_o_l75(), priority="P2")
+def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-GATED ingestion contamination check — the production
+    form l72's docstring promises, now registered: the expensive
+    exact-verify join against the corpus gram table runs ONLY over
+    grams the broadcast Bloom bitmap passes. l72 deliberately
+    verifies ALL shard grams so its oracle can score the realized
+    FPR; here the verify input is pre-shrunk by the bloom's
+    rejection rate — the whole point of carrying the sketch.
+
+    Correctness argument: a Bloom filter has NO false negatives
+    (every corpus-present gram passes both bit tests — pinned in
+    tests/test_pipeline_ops.py), so gating the verify join on
+    pass=1 provably loses no shared gram: n_shared here equals
+    l72's ungated n_shared doc-for-doc (equivalence pytest), and
+    the l28-threshold verdict is therefore identical. The bitmap is
+    the same PORTABLE md5-derived construction as l72 (shared
+    module constants), so the gate itself — which grams reach the
+    verify join — is inside the hash-oracle gate, not trusted.
+
+    Scale shape (what the gate buys at 100 TB): the only
+    corpus-sized join in the l28/l30 ingest path is shard-grams ×
+    corpus-grams; its probe side shrinks from |shard grams| to
+    |bloom-pass grams| = shared + FPR·(unique) — at the calibrated
+    ~1% FPR that is essentially the true-shared set, so a clean
+    shard costs ~zero join input instead of its full gram count.
+    Everything else is l72's rehearsed shape: ONE map-side-combined
+    bit_or agg to a constant ~1 MB broadcast bitmap, per-gram bit
+    tests against the broadcast, one (doc_id, g) partial agg. The
+    measured shrink on the fixture is asserted in pytest (sum
+    n_bloom_pass well under sum n_grams) and visible per doc in the
+    output columns."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % NEW_MOD != NEW_REM)
+    incoming = d.filter(F.col("doc_id") % NEW_MOD == NEW_REM)
+
+    def _grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias(
+                "g"
+            ),
+        )
+
+    def _pos(col: str) -> list[Column]:
+        return [
+            (
+                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+                % L72_M_BITS
+            ),
+            (
+                F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+                % L72_M_BITS
+            ),
+        ]
+
+    cgrams = _grams(corpus).select("g").distinct()
+    # Feeds the bitmap build AND the (gated) exact verify — persist
+    # so the corpus gram explode+distinct runs once.
+    cgrams = cgrams.persist()
+    cpos = cgrams.select(
+        F.explode(F.array(*_pos("g"))).alias("pos")
+    ).distinct()
+    words = cpos.groupBy(
+        (F.col("pos") / _L72_WORD).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {_L72_WORD} AS INT))"
+            )
+        ).alias("mask")
+    )
+    igrams = _grams(incoming)
+    ipos = igrams.select(
+        "doc_id", "g", F.explode(F.array(*_pos("g"))).alias("pos")
+    )
+    bits = ipos.join(
+        F.broadcast(words),
+        (F.col("pos") / _L72_WORD).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "doc_id",
+        "g",
+        F.when(
+            F.col("mask").isNotNull()
+            & (
+                F.expr(
+                    f"shiftright(mask, CAST(pos % {_L72_WORD} AS INT))"
+                ).bitwiseAND(1)
+                == 1
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    # THE GATE: only bloom-pass grams reach the corpus-sized verify
+    # join (l72 verifies all grams to score FPR; production doesn't).
+    passg = (
+        bits.groupBy("doc_id", "g")
+        .agg(F.min("hit").alias("pass"))
+        .filter(F.col("pass") == 1)
+        .select("doc_id", "g")
+    )
+    ver = (
+        passg.join(
+            cgrams.select(F.col("g").alias("cg")),
+            F.col("g") == F.col("cg"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bloom_pass"),
+            F.sum(
+                F.when(F.col("cg").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    perdoc = igrams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    return perdoc.join(ver, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_bloom_pass", F.lit(0)).cast("long").alias(
+            "n_bloom_pass"
+        ),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) >= DECON_MIN_SHARED).alias(
+            "contaminated"
+        ),
     )

@@ -1050,7 +1050,8 @@ def m14_audio_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collect_set IS the per-doc distinct — the shingle rows arrive
     # already doc-partitioned from the lead() window, so the digest
-    # agg is map-side local; no corpus-wide exchange at all.
+    # agg reuses that partitioning: no additional exchange beyond
+    # the window's doc-keyed one.
     digs = sh.groupBy("doc_id").agg(
         F.md5(F.concat_ws(";", F.sort_array(F.collect_set("key")))).alias(
             "dig"

@@ -98,6 +98,9 @@ HEAVY_TAIL = [
     "e48_entity_seasonal_adjust",
     "m13_video_dup_survivors",
     "m14_audio_dup_survivors",
+    # round-11 additions
+    "l74_exact_substring",
+    "l75_bloom_gated_ingest",
 ]
 
 SFS = [0.1, 1.0]

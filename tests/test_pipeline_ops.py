@@ -348,3 +348,36 @@ def test_l72_bloom_gate_invariants_vs_python_replay(spark, sf_dir):
     total_shared = sum(out[d].n_shared for d in incoming)
     assert total_shared < total_grams, "fixture degenerate: all shared"
     assert total_pass < total_grams
+
+
+def test_l75_gated_ingest_equals_l72_and_shrinks_verify_input(spark, sf_dir):
+    """l75 composition contract: because a Bloom filter has no false
+    negatives, gating the exact-verify join on bloom-pass loses no
+    shared gram — n_grams / n_bloom_pass / n_shared / contaminated
+    must equal l72's ungated values doc-for-doc. And the gate must
+    actually BUY something: the verify-join input (n_bloom_pass) is
+    well under the ungated input (n_grams) on a corpus where shards
+    carry unshared grams."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        l72_bloom_gram_gate,
+        l75_bloom_gated_ingest,
+    )
+
+    ungated = {r.doc_id: r for r in l72_bloom_gram_gate(spark, sf_dir).collect()}
+    gated = {r.doc_id: r for r in l75_bloom_gated_ingest(spark, sf_dir).collect()}
+    assert set(gated) == set(ungated)
+    for d, g in gated.items():
+        u = ungated[d]
+        assert (g.n_grams, g.n_bloom_pass, g.n_shared, g.contaminated) == (
+            u.n_grams,
+            u.n_bloom_pass,
+            u.n_shared,
+            u.contaminated,
+        ), d
+    total_pass = sum(g.n_bloom_pass for g in gated.values())
+    total_grams = sum(g.n_grams for g in gated.values())
+    # the measured shrink: the bloom rejects most non-shared grams,
+    # so the corpus-sized verify join probes far fewer rows than the
+    # ungated l28-style check would
+    assert total_pass < total_grams
+    assert total_pass <= 0.9 * total_grams, (total_pass, total_grams)

@@ -2583,7 +2583,8 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that broadcast; the only corpus-sized work is the
     distinct-gram agg the bitmap build shares with l28's index. The
     exact-verify join here covers ALL shard grams (so the oracle can
-    score the FPR); production gates it on pass=1, shrinking the
+    score the FPR); production gates it on pass=1 — REGISTERED as
+    l75_bloom_gated_ingest below — shrinking the
     expensive join by the bloom's rejection rate. M sizes at ~10
     bits per corpus gram (FPR ≈ 1%); beyond driver-broadcast scale
     the bitmap shards by word range — same dataflow."""

@@ -5182,3 +5182,87 @@ def test_exact_substring_matches_reference(spark, docs, tmp_path_factory):
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_bloom_gated_ingest_matches_reference(spark, docs, tmp_path_factory):
+    """l75 vs a pure-Python replay of the WHOLE gated pipeline,
+    bloom bits included: corpus 8-gram set → md5-slice bit
+    positions → per-gram two-bit test → gated intersection. A
+    3-word vocab forces shared grams (exercising the gate's
+    lossless path) while distinct word orders produce unshared
+    grams the bloom must mostly reject. Every output column is
+    replayed exactly — including n_bloom_pass, because the bitmap
+    is portable md5 arithmetic a pure-Python oracle can reproduce
+    bit-for-bit."""
+    import hashlib
+
+    from hadoop_release_spark.plans.l_pipeline import (
+        DECON_MIN_SHARED,
+        DECON_NGRAM_K,
+        L72_M_BITS,
+        NEW_MOD,
+        NEW_REM,
+        l75_bloom_gated_ingest,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    n = len(texts)
+    tmp = tmp_path_factory.mktemp("l75prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    def grams(ws):
+        if len(ws) >= DECON_NGRAM_K:
+            return {
+                " ".join(ws[i : i + DECON_NGRAM_K])
+                for i in range(len(ws) - DECON_NGRAM_K + 1)
+            }
+        return {" ".join(ws)}
+
+    def bits(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return (int(h[0:8], 16) % L72_M_BITS, int(h[8:16], 16) % L72_M_BITS)
+
+    corpus_grams = set()
+    for d, ws in enumerate(docs):
+        if d % NEW_MOD != NEW_REM:
+            corpus_grams |= grams(ws)
+    corpus_bits = set()
+    for g in corpus_grams:
+        corpus_bits.update(bits(g))
+
+    want = {}
+    for d, ws in enumerate(docs):
+        if d % NEW_MOD != NEW_REM:
+            continue
+        gs = grams(ws)
+        passing = {g for g in gs if set(bits(g)) <= corpus_bits}
+        shared = gs & corpus_grams
+        assert shared <= passing  # no false negatives, by construction
+        want[d] = (
+            len(gs),
+            len(passing),
+            len(shared),
+            len(shared) >= DECON_MIN_SHARED,
+        )
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_bloom_pass, r.n_shared, r.contaminated)
+        for r in l75_bloom_gated_ingest(spark, str(tmp)).collect()
+    }
+    assert got == want

@@ -276,6 +276,8 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "m14_audio_dup_survivors",
     "e48_entity_seasonal_adjust",
     "l73_perplexity_buckets",
+    # round 11
+    "l75_bloom_gated_ingest",
 })
 
 

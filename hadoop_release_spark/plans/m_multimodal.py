@@ -945,35 +945,27 @@ def m13_video_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive digest over empties would have merged them).
 
     Scale shape: one Arrow-batched decode pass (payloads never
-    shuffle — the m06/m09 invariant), then a doc-keyed exchange of
-    slim (doc_id, lo, hi) longs for the digest agg, one dig-keyed
-    window-min for the survivor, and one doc-keyed join back to the
-    corpus spine. No candidate pairs, no iteration — strictly less
-    work than m10 itself. m10's partial-overlap pairs (trimmed /
-    extended clips) remain its ANALYSIS product and never enter
-    grouping, same as before."""
+    shuffle — the m06/m09 invariant) that emits the per-clip set
+    digest DIRECTLY (all of a clip's frames arrive on one input
+    row, so the sorted-distinct fingerprint set never leaves
+    Python — round-11 profile: the former doc-keyed frame-row
+    exchange + collect_set was ~1 s of the 3.2 s wall), then one
+    dig-keyed window-min for the survivor and one doc-keyed join
+    back to the corpus spine. No candidate pairs, no iteration —
+    strictly less work than m10 itself. m10's partial-overlap pairs
+    (trimmed / extended clips) remain its ANALYSIS product and
+    never enter grouping, same as before."""
     from hadoop_release_spark.operators.multimodal import (
         attach_video_payload_canon,
-        video_frame_ahashes,
+        video_frame_set_digests,
     )
 
     d = attach_video_payload_canon(
         table(spark, sf_dir, "documents").select("doc_id")
     )
-    fps = video_frame_ahashes(d).select(
-        "doc_id",
-        F.col("ahash_lo").alias("lo"),
-        F.col("ahash_hi").alias("hi"),
-    )
-    # collect_set IS the per-doc distinct — one doc-keyed exchange
-    # total, where distinct() + collect_list would have cost two.
-    digs = fps.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(
-                ";", F.sort_array(F.collect_set(F.concat_ws(",", "lo", "hi")))
-            )
-        ).alias("dig")
-    )
+    # the digest IS computed inside the decode pass — bit-compatible
+    # with md5(concat_ws(";", sort_array(collect_set("lo,hi"))))
+    digs = video_frame_set_digests(d)
     digs = digs.withColumn(
         "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
     )

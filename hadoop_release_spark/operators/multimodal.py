@@ -452,6 +452,60 @@ def audio_zero_crossings(df: DataFrame, frame_samples: int = 64) -> DataFrame:
     )
 
 
+def audio_shingle_set_digests(
+    df: DataFrame, frame_samples: int = 64
+) -> DataFrame:
+    """One (doc_id, dig) row per WAV: md5 digest of the SORTED
+    DISTINCT 3-frame zero-crossing shingle set, computed INSIDE the
+    decode pass — the audio twin of ``video_frame_set_digests``.
+    All of a doc's frames come from one input row, so neither frame
+    rows nor shingle rows ever shuffle; this replaces
+    ``audio_zero_crossings`` + a doc-keyed lead() window + a
+    collect_set digest agg with zero exchanges before the dig
+    grouping. Bit-compatible with the expression plan it replaces:
+    shingle key = md5("zc,zc1,zc2"), digest = md5 of ";".join of
+    lexicographically sorted distinct keys. Docs with fewer than 3
+    whole frames emit NO row (the lead(…,2) filter left them out of
+    the old aggregation too — they must stay singletons)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(payload))
+                arr = np.sign(np.asarray(samples, dtype=np.int64))
+                zc = [
+                    int(
+                        np.sum(
+                            arr[k * frame_samples + 1 : (k + 1) * frame_samples]
+                            * arr[k * frame_samples : (k + 1) * frame_samples - 1]
+                            == -1
+                        )
+                    )
+                    for k in range(len(samples) // frame_samples)
+                ]
+                keys = {
+                    hashlib.md5(
+                        f"{zc[i]},{zc[i + 1]},{zc[i + 2]}".encode()
+                    ).hexdigest()
+                    for i in range(len(zc) - 2)
+                }
+                if keys:
+                    rows.append(
+                        (
+                            doc_id,
+                            hashlib.md5(
+                                ";".join(sorted(keys)).encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "dig"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, dig string"
+    )
+
+
 def video_scene_cuts(df: DataFrame) -> DataFrame:
     """mapInPandas scene-cut detection: container parse → REAL BMP
     decode of every frame → total absolute pixel difference between

@@ -1018,37 +1018,21 @@ def m14_audio_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     enter grouping.
 
     Scale shape: one Arrow-batched decode pass (payloads never
-    shuffle), per-doc shingle projection, ONE doc-keyed exchange
-    into collect_set + digest, a dig-keyed window-min, and the
-    doc-keyed spine join. No corpus self-join, no iteration."""
+    shuffle) that emits the per-doc shingle-set digest DIRECTLY —
+    a doc's frames all arrive on one input row, so the former
+    doc-keyed lead() window + collect_set exchange is gone
+    (round-11, the m13 treatment); what remains is a dig-keyed
+    window-min and the doc-keyed spine join over one slim row per
+    doc. No corpus self-join, no iteration."""
     from hadoop_release_spark.operators.multimodal import (
         attach_audio_payload,
-        audio_zero_crossings,
+        audio_shingle_set_digests,
     )
 
     d = attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
-    frames = audio_zero_crossings(d).select(
-        "doc_id", "frame_idx", F.col("zero_crossings").alias("zc")
-    )
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    sh = (
-        frames.withColumn("zc1", F.lead("zc", 1).over(w))
-        .withColumn("zc2", F.lead("zc", 2).over(w))
-        .filter(F.col("zc2").isNotNull())
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(",", "zc", "zc1", "zc2")).alias("key"),
-        )
-    )
-    # collect_set IS the per-doc distinct — the shingle rows arrive
-    # already doc-partitioned from the lead() window, so the digest
-    # agg reuses that partitioning: no additional exchange beyond
-    # the window's doc-keyed one.
-    digs = sh.groupBy("doc_id").agg(
-        F.md5(F.concat_ws(";", F.sort_array(F.collect_set("key")))).alias(
-            "dig"
-        )
-    )
+    # the digest IS computed inside the decode pass — bit-compatible
+    # with the lead()-window + collect_set expression it replaces
+    digs = audio_shingle_set_digests(d)
     digs = digs.withColumn(
         "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
     )

@@ -110,6 +110,12 @@ SFS = [0.1, 1.0]
 #: a 10× ratio can hide an N^1.3 term that only shows at 100×, so
 #: these get a second measured decade (1.0→10) via ``--decade2``.
 DEDUP_TAIL = [
+    # round-11 additions: the flagship pipeline and the two newest
+    # heavy ops (l74's gram join is quadratic inside df-buckets —
+    # the second decade is where a hidden N^1.3 term would show)
+    "l70_corpus_pipeline_v2",
+    "l74_exact_substring",
+    "l75_bloom_gated_ingest",
     "l02_dedup_near",
     "l22_dedup_survivors",
     "l28_decontaminate",

@@ -466,3 +466,30 @@ def test_m14_digest_plan_equals_pair_closure_plan(spark, sf_dir):
     assert new == want, {
         k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
     }
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_m13_m14_digest_in_decode_no_pre_digest_exchange(spark, sf_dir):
+    """Round-11 shuffle-shape pin: the per-doc set digest is computed
+    INSIDE the mapInPandas decode pass, so the only hash exchanges
+    left in either plan are the dig-keyed survivor window and the
+    doc-keyed spine join — the former frame/shingle-row exchange
+    (collect_set / lead-window) must never reappear. With one slim
+    (doc_id, dig) row per doc entering the plan, total hash
+    exchanges are bounded at 3 (dig window + two join sides) and no
+    aggregate over frame rows exists."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m13_video_dup_survivors,
+        m14_audio_dup_survivors,
+    )
+
+    for fn in (m13_video_dup_survivors, m14_audio_dup_survivors):
+        plan = _physical_plan(fn(spark, sf_dir))
+        # the digest agg was an ObjectHashAggregate over collect_set;
+        # in-UDF digests leave NO aggregate of any kind in the plan
+        assert "HashAggregate" not in plan, plan
+        assert "collect_set" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -874,32 +874,40 @@ def m12_image_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     only sound where the relation is a true equivalence — exact
     hash equality.
 
-    Scale shape: m09's posture end-to-end (one Arrow decode pass,
-    slim band shuffle, bucket-scoped candidates) + the l22
-    min-label + pointer-jump iteration over exact-dup edges — each
-    component is an equal-hash clique, so convergence takes 1-2
-    rounds; each round is two checkpointed joins + one min-agg over
-    (node, component) longs, only the changed-count reaching the
-    driver."""
-    from hadoop_release_spark.operators.dedup import (
-        connected_components_min_label,
+    And because the relation IS exact hash equality, the components
+    are computable with NO pair table and NO closure at all
+    (round-11 — the m13/m14 set-digest argument at radius 0): two
+    docs are linked iff their (lo, hi) aHashes are equal, equal-hash
+    pairs always share all four LSH bands so m09's candidate gate
+    never excludes one, and the connected components of an
+    equal-value relation are simply the value groups. A window-min
+    over the hash yields the identical partition the pair+union-find
+    plan computed, pinned old-vs-new by
+    tests/test_multimodal.py::test_m12_digest_plan_equals_pair_closure_plan.
+
+    Scale shape: ONE Arrow decode pass (payloads never shuffle),
+    then a single (lo, hi)-keyed window-min over one slim 3-long row
+    per image — the band self-join, the Hamming verify join, and the
+    iterative min-label rounds are all gone. The oracle keeps the
+    original m09-CTE + recursive-closure construction, so DuckDB
+    independently re-proves groups == closure components on every
+    grade."""
+    from hadoop_release_spark.operators.multimodal import (
+        attach_image_payload_canon,
+        image_ahash,
     )
 
-    pairs = (
-        m09_phash_near_dup(spark, sf_dir)
-        .filter(F.col("hamming") == 0)
-        .select(
-            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-        )
+    d = attach_image_payload_canon(
+        table(spark, sf_dir, "documents").select("doc_id")
     )
-    nodes = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("__id")
+    hashes = image_ahash(d).select("doc_id", "ahash_lo", "ahash_hi")
+    canonical = F.min("doc_id").over(
+        Window.partitionBy("ahash_lo", "ahash_hi")
     )
-    comps = connected_components_min_label(nodes, pairs, id_col="__id")
-    return comps.select(
-        F.col("__id").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        (F.col("__id") == F.col("component")).alias("is_survivor"),
+    return hashes.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_survivor"),
     )
 
 

@@ -493,3 +493,30 @@ def test_m13_m14_digest_in_decode_no_pre_digest_exchange(spark, sf_dir):
         assert "HashAggregate" not in plan, plan
         assert "collect_set" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_m12_digest_plan_equals_pair_closure_plan(spark, sf_dir):
+    """Round-11 rewrite pin: grouping images directly by their exact
+    aHash must yield the IDENTICAL partition the previous plan
+    computed via m09's Hamming-0 pairs + connected components (equal
+    hashes always share all four bands, so the candidate gate never
+    drops an equal pair, and equality is a true equivalence)."""
+    from hadoop_release_spark.plans.m_multimodal import (
+        m09_phash_near_dup,
+        m12_image_dup_survivors,
+    )
+
+    new = {
+        r.doc_id: (r.canonical_id, r.is_survivor)
+        for r in m12_image_dup_survivors(spark, sf_dir).collect()
+    }
+    eq_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in m09_phash_near_dup(spark, sf_dir).collect()
+        if r.hamming == 0
+    ]
+    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    want = {d: (c, d == c) for d, c in canon.items()}
+    assert new == want, {
+        k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
+    }

@@ -2142,8 +2142,14 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared :func:`_shingles3` / ``_O_SHINGLES3`` definition keeps
     l13 and l66 on one shingling rule."""
     d = table(spark, sf_dir, "documents")
+    # the key that shuffles is the exact 16-byte md5 VALUE of the
+    # shingle, not its text (injective, so every count is identical;
+    # fixed-width binary keys shrink all three exchanges — round 11)
     sh = d.select(
-        "doc_id", F.explode(_shingles3()).alias("s")
+        "doc_id",
+        F.explode(
+            F.transform(_shingles3(), lambda x: F.unhex(F.md5(x)))
+        ).alias("s"),
     )
     rare = (
         sh.groupBy("s")

@@ -2738,7 +2738,9 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DataFrame construction (the suffix array is the single-node
     tool; this is its join-algebra equivalent): positional K-gram
-    emission per doc → document-frequency guard (> MAX_DF docs =
+    emission per doc (keys are 16-byte md5 binaries via unhex — the
+    exact value, half the hex string's shuffle width) →
+    document-frequency guard (> MAX_DF docs =
     boilerplate, the l66 bound) → gram-hash equi-join (doc_a <
     doc_b) → a shared span of L tokens is a run of L-K+1 gram
     matches at CONSTANT diagonal pos_a - pos_b, so gaps-and-islands
@@ -2747,7 +2749,7 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end: md5 gram keys, integer positions, no floats.
 
     Scale shape: the gram explode is linear in corpus tokens and
-    fused into the scan (only (doc_id, pos, md5) longs shuffle —
+    fused into the scan (only (doc_id, pos, 16-byte md5) rows shuffle —
     text never does); the df-guard map-side-combines to one count
     per distinct gram and bounds the equi-join at C(MAX_DF,2) per
     bucket (the l66 argument — matches are Σ df² over
@@ -2781,8 +2783,13 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.md5(
-                        F.array_join(F.slice(toks, i + 1, k), " ")
+                    # unhex: the key that shuffles/joins is the exact
+                    # 16-byte md5 VALUE, not its 32-char hex spelling
+                    # — injective, so grouping/joining is identical,
+                    # and the gram exchange rows halve (measured ~2×
+                    # on the whole op, round 11)
+                    lambda i: F.unhex(
+                        F.md5(F.array_join(F.slice(toks, i + 1, k), " "))
                     ),
                 )
             ).alias("pos", "h"),

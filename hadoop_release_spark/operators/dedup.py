@@ -21,6 +21,8 @@ LCG — no runtime randomness (SURVEY.md §7 hard-part #4).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,9 +84,15 @@ def shingle_hashes(shingles: Column) -> Column:
     )
 
 
-def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
-    """MinHash signature from pre-bound shingle hashes: for each
-    permutation i, min over shingles of (a_i·h + b_i) mod P."""
+def minhash_from_hashes_expr(
+    hashes: Column, num_hashes: int = LSH_NUM_HASHES
+) -> Column:
+    """MinHash signature as a pure JVM expression: for each
+    permutation i, min over shingles of (a_i·h + b_i) mod P. This is
+    the REFERENCE form (and the literal transcription of the math);
+    the hot path uses :func:`minhash_from_hashes`, whose Arrow
+    kernel computes bit-identical values — pinned by
+    tests/test_llm_ops.py::test_minhash_arrow_kernel_equals_expression."""
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -97,6 +105,36 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Col
             F.transform(hashes, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_P)))
         ),
     )
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
+    """MinHash signature from pre-bound shingle hashes, as an
+    Arrow-batched numpy kernel: one (num_hashes × |shingles|)
+    broadcasted multiply-mod-min per doc. The 64-permutation
+    higher-order-lambda expression tree
+    (:func:`minhash_from_hashes_expr`) does NOT whole-stage-codegen
+    well — measured 2.1 s vs 0.5 s warm for the kernel on the sf0.1
+    corpus (round 11), and the arithmetic is exact int64 either way
+    (a < 2³¹, h < P < 2³¹ ⟹ a·h + b < 2⁶² — no overflow, so numpy
+    %, JVM pmod, and the DuckDB oracle all compute the identical
+    non-negative value). Null hash arrays pass through as null,
+    matching the expression form."""
+    params = _hash_params(num_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _mh(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None:
+                out.append(None)
+                continue
+            arr = np.asarray(h, dtype=np.int64)
+            out.append(((a * arr[None, :] + b) % _P).min(axis=1))
+        return pd.Series(out)
+
+    return _mh(hashes)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = LSH_NUM_HASHES) -> Column:
@@ -178,6 +216,10 @@ def lsh_candidate_pairs(
         ).alias("__band", "__bucket"),
     )
 
+    # The band table feeds BOTH self-join sides; persist the slim
+    # (id, band, bucket) rows so the signature kernel + explode run
+    # once, not twice (released with the base cache, same contract).
+    banded = banded.persist()
     left = banded.alias("a")
     right = banded.alias("b")
     candidate_ids = (
@@ -523,6 +565,10 @@ def lsh_pair_calibration(
             )
         ).alias("__band", "__bucket"),
     )
+    # The band table feeds BOTH self-join sides; persist the slim
+    # (id, band, bucket) rows so the signature kernel + explode run
+    # once, not twice (released with the base cache, same contract).
+    banded = banded.persist()
     left = banded.alias("a")
     right = banded.alias("b")
     candidate_ids = (

@@ -144,3 +144,35 @@ def test_l73_tiers_match_python_tercile_rule(spark, sf_dir):
         if len(set(vs)) >= 3:
             tiers = Counter(out[d2].tier for d2 in out if lang[d2] == lg)
             assert set(tiers) == {"head", "middle", "tail"}, (lg, tiers)
+
+
+def test_minhash_arrow_kernel_equals_expression(spark, sf_dir):
+    """Round-11 hot-path pin: the Arrow numpy MinHash kernel must
+    produce BIT-IDENTICAL signatures to the reference JVM expression
+    form on the real corpus (exact int64 arithmetic both sides — a
+    drift here would silently change every LSH candidate set)."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.dedup import (
+        minhash_from_hashes,
+        minhash_from_hashes_expr,
+        shingle_hashes,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        shingle_hashes(word_shingles(F.col("text"))).alias("__h"),
+    )
+    try:
+        mismatches = (
+            base.select(
+                "doc_id",
+                minhash_from_hashes(F.col("__h")).alias("ka"),
+                minhash_from_hashes_expr(F.col("__h")).alias("ke"),
+            )
+            .filter(F.col("ka") != F.col("ke"))
+            .count()
+        )
+        assert mismatches == 0
+    finally:
+        spark.catalog.clearCache()

@@ -2593,21 +2593,32 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % NEW_MOD == NEW_REM)
 
     def _grams(df: DataFrame) -> DataFrame:
+        # the gram key that shuffles is the exact 16-byte md5 VALUE
+        # (unhex) — injective, so every distinct/join/count is
+        # identical, rows are fixed-width, and the bit positions
+        # below read md5 bytes instead of re-hashing (round 11)
         return df.select(
             "doc_id",
-            F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias(
-                "g"
-            ),
+            F.explode(
+                F.transform(
+                    word_shingles(F.col("text"), DECON_NGRAM_K),
+                    lambda x: F.unhex(F.md5(x)),
+                )
+            ).alias("g"),
         )
 
     def _pos(col: str) -> list[Column]:
+        # bytes 1-4 / 5-8 of the digest == hex chars 1-8 / 9-16 of
+        # md5(gram): the same two bit positions as hashing the text
         return [
             (
-                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+                F.conv(F.hex(F.substring(F.col(col), 1, 4)), 16, 10)
+                .cast("long")
                 % L72_M_BITS
             ),
             (
-                F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+                F.conv(F.hex(F.substring(F.col(col), 5, 4)), 16, 10)
+                .cast("long")
                 % L72_M_BITS
             ),
         ]
@@ -2948,21 +2959,32 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % NEW_MOD == NEW_REM)
 
     def _grams(df: DataFrame) -> DataFrame:
+        # the gram key that shuffles is the exact 16-byte md5 VALUE
+        # (unhex) — injective, so every distinct/join/count is
+        # identical, rows are fixed-width, and the bit positions
+        # below read md5 bytes instead of re-hashing (round 11)
         return df.select(
             "doc_id",
-            F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias(
-                "g"
-            ),
+            F.explode(
+                F.transform(
+                    word_shingles(F.col("text"), DECON_NGRAM_K),
+                    lambda x: F.unhex(F.md5(x)),
+                )
+            ).alias("g"),
         )
 
     def _pos(col: str) -> list[Column]:
+        # bytes 1-4 / 5-8 of the digest == hex chars 1-8 / 9-16 of
+        # md5(gram): the same two bit positions as hashing the text
         return [
             (
-                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+                F.conv(F.hex(F.substring(F.col(col), 1, 4)), 16, 10)
+                .cast("long")
                 % L72_M_BITS
             ),
             (
-                F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+                F.conv(F.hex(F.substring(F.col(col), 5, 4)), 16, 10)
+                .cast("long")
                 % L72_M_BITS
             ),
         ]

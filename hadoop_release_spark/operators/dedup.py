@@ -117,20 +117,37 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Col
     corpus (round 11), and the arithmetic is exact int64 either way
     (a < 2³¹, h < P < 2³¹ ⟹ a·h + b < 2⁶² — no overflow, so numpy
     %, JVM pmod, and the DuckDB oracle all compute the identical
-    non-negative value). Null hash arrays pass through as null,
-    matching the expression form."""
+    non-negative value). Degenerate inputs follow the expression
+    form exactly (measured on Spark 4.1.2, pinned by the degenerate
+    rows in tests/test_llm_ops.py): a NULL or EMPTY hash array
+    yields an array of ``num_hashes`` nulls (the per-permutation
+    lambda sees no elements, so each array_min is NULL — the outer
+    transform still runs over the 64 literal params), and NULL
+    ELEMENTS are skipped (array_min ignores nulls; an all-null
+    array again yields the all-null signature). word_shingles never
+    emits any of these shapes, but the operator is public."""
     params = _hash_params(num_hashes)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    all_null = [None] * num_hashes
 
     @F.pandas_udf("array<long>")
     def _mh(hs: pd.Series) -> pd.Series:
         out = []
         for h in hs:
-            if h is None:
-                out.append(None)
+            if h is None or len(h) == 0:
+                out.append(all_null)
                 continue
-            arr = np.asarray(h, dtype=np.int64)
+            arr = np.asarray(h)
+            if arr.dtype.kind != "i":
+                # Null ELEMENTS: Arrow surfaces them as NaN (float
+                # batch) or None (object batch). Vectorized drop —
+                # the no-null hot path above never pays it.
+                arr = arr[~pd.isna(arr)]
+                if arr.size == 0:
+                    out.append(all_null)
+                    continue
+            arr = arr.astype(np.int64)
             out.append(((a * arr[None, :] + b) % _P).min(axis=1))
         return pd.Series(out)
 

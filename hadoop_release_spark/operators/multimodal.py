@@ -95,6 +95,19 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + row_size * height:
+        # Self-describing failure for external callers (advisor,
+        # round 12): np.frombuffer's own "buffer is smaller than
+        # requested size" names neither the file format nor the
+        # dimensions. (The round-10 per-row loop silently tolerated
+        # truncation; all in-repo payloads are generated well-formed,
+        # so raising is a tightening, not a behavior change in any
+        # shipped plan.)
+        raise ValueError(
+            f"truncated BMP: header declares {width}x{height}x24bpp "
+            f"pixel data ({row_size * height} bytes at offset "
+            f"{data_offset}) but payload is {len(payload)} bytes"
+        )
     # Vectorized inverse of encode_bmp (round-11): strip row padding,
     # swap BGR→RGB, un-flip bottom-up row order.
     rows = np.frombuffer(

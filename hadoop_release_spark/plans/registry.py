@@ -216,7 +216,20 @@ def grading_order(names: list[str]) -> list[str]:
     (measured grading cost, scripts/profile_sweep.py on a
     driver-shaped unconfigured session — see _GRADING_COST_TIERS) so
     that if the cap ever turns out to be partly time-based, the
-    expensive streaming tail costs the fewest slots."""
+    expensive streaming tail costs the fewest slots.
+
+    REWRITE-BUMP POLICY (round-12 verdict item 5): an op whose PLAN
+    was materially rewritten after its latest driver grade is not
+    "green as of round N" — it is green as of a plan that no longer
+    exists, and staleness-by-round would let the official
+    CORRECTNESS trail lag the rewrite by 3+ rounds (m12's round-11
+    window-min rewrite sat on an r8 grade). Every material plan
+    rewrite records its round in :data:`_PLAN_REWRITES`; an op whose
+    latest grade predates its rewrite round sorts AS IF ungraded-
+    but-after-never-graded ids — i.e. immediately behind the truly
+    never-graded front, ahead of every round-vintage re-grade — so
+    the driver re-grades it in the next window. Entries whose grade
+    has caught up are inert (and should be pruned when touched)."""
     history = _grade_history()
     tier = {name: t for t, tier_names in _GRADING_COST_TIERS for name in tier_names}
 
@@ -231,9 +244,37 @@ def grading_order(names: list[str]) -> list[str]:
             return 3
         return tier.get(n, 1)
 
+    def _staleness(n: str) -> int:
+        # Rewritten-after-grade → stalest possible (still behind the
+        # never-graded front via the `n in history` key).
+        if history.get(n, 0) < _PLAN_REWRITES.get(n, 0):
+            return -1
+        return history.get(n, 0)
+
     return sorted(
-        names, key=lambda n: (n in history, history.get(n, 0), _tier(n), n)
+        names, key=lambda n: (n in history, _staleness(n), _tier(n), n)
     )
+
+
+#: Op → round its plan was last MATERIALLY rewritten (new shuffle
+#: shape, new kernel, changed staging — not docstring/comment edits).
+#: Maintained by hand at rewrite time; see the rewrite-bump policy in
+#: :func:`grading_order`. Round-11 rewrites: m12 (pair+closure →
+#: window-min), m13/m14 (digest fused into decode), l02/l68/l70
+#: (Arrow MinHash kernel), l66/l72/l74/l75 (binary gram keys).
+#: l75's r11 grade is END-of-round-11, i.e. post-rewrite — kept out;
+#: the rest lag their rewrite (grades r6-r10).
+_PLAN_REWRITES: dict[str, int] = {
+    "m12_image_dup_survivors": 11,
+    "m13_video_dup_survivors": 11,
+    "m14_audio_dup_survivors": 11,
+    "l02_dedup_near": 11,
+    "l68_minhash_calibration": 11,
+    "l70_corpus_pipeline_v2": 11,
+    "l66_containment_dedup": 11,
+    "l72_bloom_gram_gate": 11,
+    "l74_exact_substring": 11,
+}
 
 
 #: Queries REGISTERED in round 8 or later: tier 5, behind every

@@ -109,12 +109,51 @@ def test_grading_order_stalest_first():
         specs,
     )
 
+    from hadoop_release_spark.plans.registry import _PLAN_REWRITES
+
     history = _grade_history()
     order = grading_order(list(specs()))
-    vintages = [history[n] for n in order if n in history]
+    # Effective staleness: an op rewritten AFTER its latest grade is
+    # stalest of all (round-12 rewrite-bump policy) — its recorded
+    # vintage describes a plan that no longer exists.
+    vintages = [
+        -1 if history[n] < _PLAN_REWRITES.get(n, 0) else history[n]
+        for n in order
+        if n in history
+    ]
     assert vintages == sorted(vintages), (
         "graded queries must sort stalest (earliest latest-green round) first"
     )
+
+
+def test_grading_order_rewrite_bump():
+    """Round-12 verdict item 5 pin: every op whose plan was rewritten
+    after its latest driver grade (_PLAN_REWRITES) must sort ahead of
+    every ordinarily-stale graded op, so the official CORRECTNESS
+    trail catches up with a rewrite within one window — but BEHIND
+    any never-graded id (a new op's first grade outranks a re-grade)."""
+    from hadoop_release_spark.plans.registry import (
+        _PLAN_REWRITES,
+        _grade_history,
+        grading_order,
+        specs,
+    )
+
+    history = _grade_history()
+    order = grading_order(list(specs()))
+    pending = [
+        n
+        for n in order
+        if n in history and history[n] < _PLAN_REWRITES.get(n, 0)
+    ]
+    if not pending:
+        return  # all rewrites caught up — the policy table is inert
+    last_pending = max(order.index(n) for n in pending)
+    for i, n in enumerate(order[: last_pending + 1]):
+        assert n in pending or n not in history, (
+            f"{n} (vintage r{history.get(n)}) sorts before rewrite-"
+            f"pending ops {pending} — the bump is not taking effect"
+        )
 
 
 def test_hash_mismatch_is_not_green(tmp_path, monkeypatch):

@@ -176,3 +176,43 @@ def test_minhash_arrow_kernel_equals_expression(spark, sf_dir):
         assert mismatches == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_minhash_arrow_kernel_degenerate_inputs(spark):
+    """Round-12 advisor fix: the numpy kernel must match the
+    expression form on inputs word_shingles never emits but a public
+    caller can — empty array, null array, null elements, all-null
+    array. The expression form yields [null]*num_hashes for
+    null/empty (each array_min sees no elements) and SKIPS null
+    elements (array_min null semantics); the kernel used to raise
+    ValueError/TypeError on these."""
+    from hadoop_release_spark.operators.dedup import (
+        minhash_from_hashes,
+        minhash_from_hashes_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [5, 7, 11]),
+            (2, []),
+            (3, None),
+            (4, [None, 9]),
+            (5, [None, None]),
+        ],
+        "id long, h array<long>",
+    )
+    rows = (
+        df.select(
+            "id",
+            minhash_from_hashes(F.col("h"), 8).alias("ka"),
+            minhash_from_hashes_expr(F.col("h"), 8).alias("ke"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in rows:
+        assert r["ka"] == r["ke"], f"id={r['id']}: {r['ka']} != {r['ke']}"
+    # The degenerate shapes specifically yield the all-null signature.
+    assert rows[1]["ka"] == [None] * 8
+    assert rows[2]["ka"] == [None] * 8
+    assert rows[4]["ka"] == [None] * 8

@@ -55,6 +55,17 @@ def test_bmp_rejects_non_bmp():
         decode_bmp(b"\x89PNG\r\n" + b"\x00" * 64)
 
 
+def test_bmp_truncated_raises_named_error():
+    """Round-12 advisor fix: a payload shorter than the header's
+    declared pixel data must fail with a message naming the format
+    and dimensions, not np.frombuffer's generic buffer error."""
+    import pytest
+
+    payload = encode_bmp(3, 2, bytes(range(3 * 2 * 3)))
+    with pytest.raises(ValueError, match="truncated BMP.*3x2"):
+        decode_bmp(payload[:-5])
+
+
 def test_wav_roundtrip_exact():
     samples = [int(10000 * math.sin(i / 5)) for i in range(300)]
     payload = encode_wav_pcm16(samples, 8000)
@@ -400,6 +411,20 @@ def test_m14_audio_survivors_group_tone_classes(spark, sf_dir):
         assert r.canonical_id <= d
 
 
+def _all_doc_ids(spark, sf_dir):
+    """The FULL node set for the closure-equivalence pins, taken from
+    the documents table itself — deriving it from the plan under
+    test's own output keys (the round-11 form) would let a plan that
+    silently DROPPED singleton docs still pass (advisor finding,
+    round 12)."""
+    from hadoop_release_spark.catalog import table
+
+    return sorted(
+        r.doc_id
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+
+
 def _pairs_closure_survivors(docs, pairs):
     """The ROUND-9 m13/m14 construction, replayed in pure Python:
     set-equality pairs -> union-find -> min-id canonical. Kept as
@@ -438,7 +463,7 @@ def test_m13_digest_plan_equals_pair_closure_plan(spark, sf_dir):
         for r in m10_video_near_dup(spark, sf_dir).collect()
         if r.shared_frames == r.n_a and r.shared_frames == r.n_b
     ]
-    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    canon = _pairs_closure_survivors(_all_doc_ids(spark, sf_dir), eq_pairs)
     want = {d: (c, d == c) for d, c in canon.items()}
     assert new == want, {
         k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
@@ -461,7 +486,7 @@ def test_m14_digest_plan_equals_pair_closure_plan(spark, sf_dir):
         for r in m11_audio_near_dup(spark, sf_dir).collect()
         if r.shared_shingles == r.n_a and r.shared_shingles == r.n_b
     ]
-    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    canon = _pairs_closure_survivors(_all_doc_ids(spark, sf_dir), eq_pairs)
     want = {d: (c, d == c) for d, c in canon.items()}
     assert new == want, {
         k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)
@@ -515,7 +540,7 @@ def test_m12_digest_plan_equals_pair_closure_plan(spark, sf_dir):
         for r in m09_phash_near_dup(spark, sf_dir).collect()
         if r.hamming == 0
     ]
-    canon = _pairs_closure_survivors(sorted(new), eq_pairs)
+    canon = _pairs_closure_survivors(_all_doc_ids(spark, sf_dir), eq_pairs)
     want = {d: (c, d == c) for d, c in canon.items()}
     assert new == want, {
         k: (new.get(k), want.get(k)) for k in new if new[k] != want.get(k)

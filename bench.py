@@ -121,9 +121,11 @@ HEADLINE = [
     "e48_entity_seasonal_adjust",  # per-entity STL-lite decomposition
     "m13_video_dup_survivors",     # frame-set-equality video dedup closure
     "m14_audio_dup_survivors",     # shingle-set-equality audio dedup closure
-    # round-11 flagships (this session)
+    # round-11 flagships
     "l74_exact_substring",    # ExactSubstr verbatim-span removal plan
     "l75_bloom_gated_ingest",  # bloom-gated exact-verify ingest gate
+    # round-12 flagship
+    "l76_knn_self_bucketed",  # cluster-bucketed co-located IVF self-kNN
 ]
 
 

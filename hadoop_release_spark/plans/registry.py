@@ -319,6 +319,8 @@ _ROUND9_PLUS_ADDITIONS: frozenset[str] = frozenset({
     "l73_perplexity_buckets",
     # round 11
     "l75_bloom_gated_ingest",
+    # round 12
+    "l76_knn_self_bucketed",
 })
 
 

@@ -101,6 +101,8 @@ HEAVY_TAIL = [
     # round-11 additions
     "l74_exact_substring",
     "l75_bloom_gated_ingest",
+    # round-12 addition
+    "l76_knn_self_bucketed",
 ]
 
 SFS = [0.1, 1.0]
@@ -123,6 +125,10 @@ DEDUP_TAIL = [
     "l58_knn_self_join",
     "l66_containment_dedup",
     "l68_minhash_calibration",
+    # round-12 addition: the bucketed l58 variant must be read against
+    # the same O(N^1.5) design bar as l58 — and materially under
+    # l58's measured slope, or the staging isn't buying anything.
+    "l76_knn_self_bucketed",
 ]
 
 SFS_DECADE2 = [1.0, 10.0]

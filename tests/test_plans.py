@@ -164,6 +164,8 @@ _AUDIT_SKIP_PREFIXES = (
     "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
     "a12", "a13", "j0", "j1", "c15", "s04", "s05", "s07",
     "c26",  # partitioned scratch write (the DPP layout) — pinned below
+    "l76",  # bucketed-index scratch write (c15 pattern) — pinned by
+            # test_l76_bucketed_cogroup_has_no_cluster_exchange
 )
 
 @dataclasses.dataclass(frozen=True)
@@ -652,6 +654,24 @@ def test_l58_candidate_join_is_hash_not_broadcast_corpus(spark, sf_dir):
     # round-8: centroid ranking moved into the Arrow kernel — the
     # N×K fan-out (and its BNLJ) must stay gone.
     assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_l76_bucketed_cogroup_has_no_cluster_exchange(spark, sf_dir):
+    """l76's reason to exist, pinned (round 12): with the ranked IVF
+    index written bucketed by cluster, BOTH cogroup children must
+    arrive hash-distributed straight off the bucketed files — the
+    cluster-keyed Exchange l58 pays under its cogroup must be absent,
+    and the only exchange left is the slim per-query top-k window.
+    If a cluster exchange reappears, the bucketed staging is dead
+    weight (paying the index write AND the shuffle)."""
+    plan = _plan(spark, sf_dir, "l76_knn_self_bucketed")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "query_id" in line and "cluster" not in line, line
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
 

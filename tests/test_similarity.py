@@ -304,13 +304,22 @@ def test_hard_negative_mining_excludes_same_label(spark):
     assert got == [(101, 1), (102, 2), (103, 3)], got
 
 
-def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir):
-    """Corpus-wide self-kNN (l58) recall against exact brute force —
+@pytest.mark.parametrize("op", ["l58", "l76"])
+def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir, op):
+    """Corpus-wide self-kNN recall against exact brute force —
     the same conservative bound as the bounded-query IVF test; a
-    broken probe or candidate stage collapses recall toward 0."""
-    from hadoop_release_spark.plans.l_llm_ext import _L58_K, l58_knn_self_join
+    broken probe or candidate stage collapses recall toward 0.
+    Parametrized over l58 AND its cluster-bucketed staging variant
+    l76 (round 12): the bucketed index must not change what the
+    search finds."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L58_K,
+        l58_knn_self_join,
+        l76_knn_self_bucketed,
+    )
 
-    approx = l58_knn_self_join(spark, sf_dir).toPandas()
+    fn = l58_knn_self_join if op == "l58" else l76_knn_self_bucketed
+    approx = fn(spark, sf_dir).toPandas()
     e = table(spark, sf_dir, "embeddings")
     q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     w = Window.partitionBy("query_id").orderBy(
@@ -338,6 +347,25 @@ def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir):
         assert len(got) <= _L58_K
         recalls.append(len(truth & got) / min(_L58_K, len(truth)))
     assert sum(recalls) / len(recalls) >= 0.2, sum(recalls) / len(recalls)
+
+
+def test_l76_bucketed_variant_equals_l58(spark, sf_dir):
+    """Round-12 pin: l76 (cluster-bucketed staging) must be
+    row-for-row identical to l58 — same centroids, same kernels,
+    same rounding; the parquet round-trip through the bucketed index
+    is exact for float32 arrays and float64 norms. A drift here
+    means the staging changed the search, which it must never do."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        l58_knn_self_join,
+        l76_knn_self_bucketed,
+    )
+
+    a = l58_knn_self_join(spark, sf_dir).toPandas()
+    b = l76_knn_self_bucketed(spark, sf_dir).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["query_id", "vec_id", "score"]].itertuples(index=False))
+    )
+    assert key(a) == key(b)
 
 
 def test_rank_clusters_arrow_bitwise_equals_declarative(spark, sf_dir):

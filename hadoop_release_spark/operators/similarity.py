@@ -544,6 +544,7 @@ def score_candidates_arrow(
     k: int,
     dim: int,
     margin: float = 0.002,
+    packed: bool = False,
 ) -> DataFrame:
     """Vectorized IVF candidate scoring: per CLUSTER, the members ×
     probes cosine block runs as ONE numpy kernel inside an Arrow
@@ -581,11 +582,28 @@ def score_candidates_arrow(
     instead of the full member×probe product; the final global
     window ranks ~N·nprobe·k slim rows. Degenerate corpora (all
     vectors within margin of each other) fall back to emitting the
-    full cluster — the join version's volume, never more."""
+    full cluster — the join version's volume, never more.
+
+    ``packed=True`` (round 12, the l76 transport): the member
+    ``embedding`` / probe ``qe`` columns are float32 LITTLE-ENDIAN
+    BINARY (dim·4 bytes) instead of array<float> — one Arrow buffer
+    per row instead of a per-element list, decoded with ONE
+    frombuffer+reshape per batch. Identical float32 bits → identical
+    float64 widening → identical scores (the l76==l58 pin covers it
+    end-to-end); only the serialization cost changes."""
     import numpy as np
     import pandas as pd
 
     schema = "query_id long, vec_id long, __raw double"
+
+    def _stack(col: pd.Series) -> "np.ndarray":
+        if packed:
+            return np.frombuffer(
+                b"".join(col), dtype=np.float32
+            ).reshape(-1, dim).astype(np.float64)
+        return np.stack(
+            [np.asarray(v, dtype=np.float32) for v in col]
+        ).astype(np.float64)
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -594,48 +612,80 @@ def score_candidates_arrow(
                  "vec_id": pd.Series([], dtype="int64"),
                  "__raw": pd.Series([], dtype="float64")}
             )
-        M = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in left["embedding"]]
-        ).astype(np.float64)
-        Q = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in right["qe"]]
-        ).astype(np.float64)
+        M = _stack(left["embedding"])
+        Q = _stack(right["qe"])
         mids = left["vec_id"].to_numpy()
         qids = right["query_id"].to_numpy()
         mn = left["__nrm"].to_numpy()
         qn = right["__qnrm"].to_numpy()
-        S = np.zeros((len(mids), len(qids)))
-        for i in range(dim):
-            S += M[:, i][:, None] * Q[:, i][None, :]
-        S /= mn[:, None] * qn[None, :]
-        out_q, out_v, out_s = [], [], []
-        for j in range(len(qids)):
-            col = S[:, j]
-            keep = mids != qids[j]
-            if not keep.any():
-                continue
-            vals = col[keep]
-            vids = mids[keep]
-            if len(vals) > k:
-                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
-                sel = vals >= kth - margin
-                vals, vids = vals[sel], vids[sel]
-            out_q.append(np.full(len(vids), qids[j], dtype=np.int64))
-            out_v.append(vids.astype(np.int64))
-            out_s.append(vals)
-        if not out_q:
+        m, q = len(mids), len(qids)
+        # Probe axis processed in CHUNKS so per-group working memory
+        # is bounded at ~4M cells (two ≤32 MB float64 blocks)
+        # REGARDLESS of cluster heat — the sf10 profile found one
+        # cluster at 6 116 members × 13 317 probes (81M cells): the
+        # whole-matrix form allocated ~2 GB of temporaries for that
+        # single group and its straggler task WAS the cogroup wall
+        # (75 s → 24 s measured on the hot shape, identical output —
+        # columns are selected independently, so chunking the probe
+        # axis changes no value and no per-probe decision; at a
+        # sufficiently hot 100 TB cluster the unchunked form would
+        # OOM the executor, not just straggle).
+        chunk = max(64, 4_000_000 // max(m, 1))
+        tmp = np.empty((m, min(q, chunk)))
+        out_frames = []
+        for s in range(0, q, chunk):
+            e = min(q, s + chunk)
+            Qc, qc, qnc, w = Q[s:e], qids[s:e], qn[s:e], e - s
+            S = np.zeros((m, w))
+            t = tmp[:, :w]
+            # Rank-1 updates into one preallocated temporary — same
+            # per-cell elementwise ops in the same left-to-right
+            # dimension order as the reference per-column form →
+            # identical IEEE values.
+            for i in range(dim):
+                np.multiply(M[:, i][:, None], Qc[:, i][None, :], out=t)
+                S += t
+            S /= mn[:, None] * qnc[None, :]
+            # Per-probe top-k-with-margin selection, whole-block form
+            # (round 12 — the per-column Python loop was ~q numpy-call
+            # overheads per cluster). Semantics identical to the
+            # per-column form, pinned by
+            # test_score_candidates_vectorized_equals_reference:
+            #   * self rows (member == probe) are masked to -inf so
+            #     they neither rank nor emit;
+            #   * the k-th best VALID value per column sits at
+            #     ascending index m-k of the masked column regardless
+            #     of whether a -inf self entry is present (it sorts
+            #     below every valid value);
+            #   * columns with ≤ k valid members keep everything
+            #     (kth = -inf), the per-column len(vals) > k rule.
+            self_mask = mids[:, None] == qc[None, :]
+            S2 = np.where(self_mask, -np.inf, S)
+            if m > k:
+                kth = np.partition(S2, m - k, axis=0)[m - k, :]
+                valid = m - self_mask.sum(axis=0)
+                kth = np.where(valid > k, kth, -np.inf)
+                keep = (S2 >= kth[None, :] - margin) & ~self_mask
+            else:
+                keep = ~self_mask
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qc[cols].astype(np.int64),
+                            "vec_id": mids[rows].astype(np.int64),
+                            "__raw": S[rows, cols],
+                        }
+                    )
+                )
+        if not out_frames:
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int64"),
                  "vec_id": pd.Series([], dtype="int64"),
                  "__raw": pd.Series([], dtype="float64")}
             )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_v),
-                "__raw": np.concatenate(out_s),
-            }
-        )
+        return pd.concat(out_frames, ignore_index=True)
 
     return (
         assigned.select("cluster", "vec_id", "embedding", "__nrm")
@@ -657,6 +707,7 @@ def rank_clusters_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = ARROW_KERNEL_MAX_CENTROIDS,
+    pack_vectors: bool = False,
 ) -> DataFrame:
     """Rank the ``nprobe`` nearest centroids per vector in ONE Arrow
     pass — the centroid-assignment kernel for corpus-scale IVF
@@ -701,7 +752,17 @@ def rank_clusters_arrow(
     regardless of K — a separate count() would recompute the
     uncached derived centroid frame twice), and an overflow raises
     loudly instead of degrading — the same tripwire discipline as
-    the rank primitives' stale-cache guards."""
+    the rank primitives' stale-cache guards.
+
+    ``pack_vectors=True`` (round 12, the l76 index transport): the
+    emitted vec column is float32 LITTLE-ENDIAN BINARY (dim·4 bytes
+    per row) instead of array<float> — the rank fan-out duplicates
+    every vector nprobe×, and a per-row BUFFER crosses the Arrow
+    boundary (and parquet) far cheaper than a per-element list. The
+    packed bytes are the IDENTICAL float32 values the array form
+    carries (same np.float32 cast), so any consumer decoding with
+    frombuffer computes identical results
+    (score_candidates_arrow(packed=True); l76==l58 pinned)."""
     import numpy as np
     import pandas as pd
 
@@ -726,7 +787,12 @@ def rank_clusters_arrow(
         # (and the SQL oracle) yield an empty result, not a crash —
         # mirror that (review finding: np.stack([]) raised at
         # plan-build time).
-        return embeddings.select(id_col, vec_col).limit(0).select(
+        empty = embeddings.select(id_col, vec_col).limit(0)
+        if pack_vectors:
+            empty = empty.select(
+                id_col, F.lit(None).cast("binary").alias(vec_col)
+            )
+        return empty.select(
             "*",
             F.lit(None).cast("double").alias("__nrm"),
             F.lit(None).cast("long").alias("cluster"),
@@ -744,8 +810,9 @@ def rank_clusters_arrow(
     cn = np.sqrt(cn)
     npb = min(nprobe, K)
 
+    vec_type = "binary" if pack_vectors else "array<float>"
     schema = (
-        f"{id_col} long, {vec_col} array<float>, __nrm double,"
+        f"{id_col} long, {vec_col} {vec_type}, __nrm double,"
         " cluster long, __rn int"
     )
 
@@ -754,12 +821,13 @@ def rank_clusters_arrow(
             n = len(pdf)
             if n == 0:
                 continue
-            V = np.stack(
+            V32 = np.stack(
                 [
                     np.asarray(v, dtype=np.float32)
                     for v in pdf[vec_col]
                 ]
-            ).astype(np.float64)
+            )
+            V = V32.astype(np.float64)
             S = np.zeros((n, K))
             vn = np.zeros(n)
             for i in range(dim):
@@ -772,10 +840,14 @@ def rank_clusters_arrow(
             # to the LOWER centroid id — the window's tie rule.
             sel = np.argsort(-S, axis=1, kind="stable")[:, :npb]
             idx = np.repeat(np.arange(n), npb)
+            if pack_vectors:
+                vecs_out = [V32[i].tobytes() for i in idx]
+            else:
+                vecs_out = pdf[vec_col].to_numpy()[idx]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[idx],
-                    vec_col: pdf[vec_col].to_numpy()[idx],
+                    vec_col: vecs_out,
                     "__nrm": vn[idx],
                     "cluster": cids[sel.reshape(-1)],
                     "__rn": np.tile(

@@ -2006,7 +2006,14 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     centroids = systematic_centroids(e)
-    ranked = rank_clusters_arrow(e, centroids, _L58_NPROBE, _DIM)
+    # pack_vectors: the index stores each vector as one dim·4-byte
+    # float32 buffer — the rank fan-out duplicates every vector
+    # nprobe×, and the buffer form crosses parquet and BOTH Arrow
+    # boundaries below as one buffer per row instead of a
+    # per-element list (identical float32 bits; l76==l58 pinned).
+    ranked = rank_clusters_arrow(
+        e, centroids, _L58_NPROBE, _DIM, pack_vectors=True
+    )
     base = fixed_scratch_dir("l76bucketed", sf_dir)
     (
         ranked.write.bucketBy(_L76_BUCKETS, "cluster")
@@ -2024,7 +2031,7 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("__nrm").alias("__qnrm"),
     )
-    cand = score_candidates_arrow(assigned, probes, _L58_K, _DIM)
+    cand = score_candidates_arrow(assigned, probes, _L58_K, _DIM, packed=True)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )

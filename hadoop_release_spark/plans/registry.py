@@ -274,6 +274,10 @@ _PLAN_REWRITES: dict[str, int] = {
     "l66_containment_dedup": 11,
     "l72_bloom_gram_gate": 11,
     "l74_exact_substring": 11,
+    # round-12 rewrite: score_candidates_arrow's per-probe selection
+    # vectorized (whole-matrix partition+mask; bit-parity pinned by
+    # test_score_candidates_vectorized_equals_reference).
+    "l58_knn_self_join": 12,
 }
 
 

@@ -349,6 +349,72 @@ def test_l58_self_knn_recall_vs_brute_force(spark, sf_dir, op):
     assert sum(recalls) / len(recalls) >= 0.2, sum(recalls) / len(recalls)
 
 
+def test_score_candidates_vectorized_equals_reference(spark, sf_dir):
+    """Round-12 kernel-rewrite pin: the whole-matrix top-k-with-
+    margin selection in score_candidates_arrow must emit the
+    IDENTICAL (query_id, vec_id, raw) set as the per-probe-column
+    reference form it replaced (the round-9 loop, replayed here in
+    pure numpy on the same inputs) — including the self-exclusion
+    rule, the len(valid) > k branch, and bit-identical raw cosines."""
+    import numpy as np
+
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        score_candidates_arrow,
+        systematic_centroids,
+    )
+
+    k, dim = 5, 64
+    e = table(spark, sf_dir, "embeddings")
+    centroids = systematic_centroids(e)
+    ranked = rank_clusters_arrow(e, centroids, 4, dim)
+    assigned = ranked.filter(F.col("__rn") == 1).select(
+        "cluster", "vec_id", "embedding", "__nrm"
+    )
+    probes = ranked.select(
+        "cluster",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("__nrm").alias("__qnrm"),
+    )
+    got = {
+        (r["query_id"], r["vec_id"], r["__raw"])
+        for r in score_candidates_arrow(assigned, probes, k, dim).collect()
+    }
+
+    # Reference: the per-column loop, cluster by cluster.
+    margin = 0.002
+    adf = assigned.toPandas()
+    pdf = probes.toPandas()
+    want = set()
+    for cluster in set(adf.cluster):
+        left = adf[adf.cluster == cluster]
+        right = pdf[pdf.cluster == cluster]
+        if not len(left) or not len(right):
+            continue
+        M = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in left["embedding"]]
+        ).astype(np.float64)
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in right["qe"]]
+        ).astype(np.float64)
+        mids = left["vec_id"].to_numpy()
+        qids = right["query_id"].to_numpy()
+        S = np.zeros((len(mids), len(qids)))
+        for i in range(dim):
+            S += M[:, i][:, None] * Q[:, i][None, :]
+        S /= left["__nrm"].to_numpy()[:, None] * right["__qnrm"].to_numpy()[None, :]
+        for j in range(len(qids)):
+            col, keep = S[:, j], mids != qids[j]
+            vals, vids = col[keep], mids[keep]
+            if len(vals) > k:
+                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                sel = vals >= kth - margin
+                vals, vids = vals[sel], vids[sel]
+            want.update(zip([qids[j]] * len(vids), vids, vals))
+    assert got == want
+
+
 def test_l76_bucketed_variant_equals_l58(spark, sf_dir):
     """Round-12 pin: l76 (cluster-bucketed staging) must be
     row-for-row identical to l58 — same centroids, same kernels,

@@ -699,6 +699,106 @@ def score_candidates_arrow(
     )
 
 
+def semdedup_pairs_arrow(
+    assigned: DataFrame,
+    tau: float,
+    dim: int,
+    guard: float = 0.0006,
+) -> DataFrame:
+    """Within-cluster CANDIDATE pair generation for SemDeDup (l56),
+    vectorized: per cluster, the lower-triangle pairwise cosine block
+    runs as one chunked numpy kernel inside an Arrow group, emitting
+    only pairs whose RAW cosine is ≥ tau − guard — the round-12 fix
+    for l56's pair stage, which was the one corpus-scale stage still
+    paying interpreted JVM array folds per pair (~7 µs each;
+    Σ|cluster|² pairs ≈ 185M at gen_sf sf10, >570 s wall — the same
+    constraint score_candidates_arrow removed from l58 in round 9).
+
+    ``assigned``: (cluster, vec_id, embedding, __nrm). Returns
+    (id_a, id_b, __raw) with id_a < id_b, both in the same cluster.
+
+    Correctness argument (oracle unchanged, results bit-identical):
+    * __raw accumulates with the explicit per-dimension loop —
+      identical IEEE addition order to the JVM ``dot`` fold the join
+      form evaluated — over the same float32→float64 widened values,
+      divided once by the carried norm product. The CONTRACT value
+      round(__raw, 3) and the ≥ τ filter are computed by Spark on
+      the emitted raws, so no rounding/threshold is re-implemented
+      in Python.
+    * guard = 6e-4 over-covers the HALF_UP boundary: round(x,3) ≥ τ
+      requires x ≥ τ − 5e-4 exactly, so every pair the join form
+      kept is emitted; the few over-selected pairs in
+      [τ−6e-4, τ−5e-4) are dropped by the same Spark filter the
+      join form used. No false negatives, bit-identical survivors
+      (pinned by test_semdedup_pairs_arrow_equals_join_form).
+
+    Scale shape: the groupBy IS the cluster-keyed shuffle the hinted
+    pair join paid (same exchange class, corpus-sized, never
+    broadcast), but each cluster's m×m block runs SIMD and only
+    threshold-passing pairs reach the JVM (≈ the true duplicate
+    count, not Σ|cluster|²). The column axis is chunked at ~4M cells
+    so per-group memory is bounded (~two ≤32 MB blocks) at any
+    cluster heat — the score_candidates_arrow rule; the measured
+    sf10 hot cluster (6 116 members → 18.7M pairs) can neither
+    straggle unboundedly nor OOM a task."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "id_a long, id_b long, __raw double"
+    bound = tau - guard
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        M = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+        ).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["__nrm"].to_numpy()
+        chunk = max(64, 4_000_000 // m)
+        tmp = np.empty((m, min(m, chunk)))
+        out = []
+        for s in range(0, m, chunk):
+            e = min(m, s + chunk)
+            w = e - s
+            S = np.zeros((m, w))
+            t = tmp[:, :w]
+            for i in range(dim):
+                np.multiply(M[:, i][:, None], M[s:e, i][None, :], out=t)
+                S += t
+            S /= nrm[:, None] * nrm[s:e][None, :]
+            keep = (ids[:, None] < ids[s:e][None, :]) & (S >= bound)
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows].astype(np.int64),
+                            "id_b": ids[s:e][cols].astype(np.int64),
+                            "__raw": S[rows, cols],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        assigned.select("cluster", "vec_id", "embedding", "__nrm")
+        .groupBy("cluster")
+        .applyInPandas(kernel, schema)
+    )
+
+
 def rank_clusters_arrow(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -1733,14 +1733,18 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, max_sim).
 
     Scale shape: centroid set broadcasts (assign_clusters — per-row
-    argmin, corpus never shuffles for assignment); the ONLY join is
-    cluster-keyed, so pair work is Σ|cluster|² — with k-means K ≈
-    √N clusters this is the SemDeDup contract (the paper's K=50k on
-    LAION); the adaptive-stride systematic centroid sample (K =
-    ⌊√N⌋, systematic_centroids — the paper's own sizing rule) stands
-    in for the l21 k-means trainer exactly as in l19. No transitive
-    closure pass (l22 covers that); the min-id rule is one
-    group-agg over threshold pairs."""
+    argmin, corpus never shuffles for assignment); the pair stage is
+    ONE cluster-keyed exchange (the applyInPandas groupBy — round-12
+    form: the per-cluster lower-triangle cosine block runs inside
+    the chunked semdedup_pairs_arrow kernel, replacing the hinted
+    pair self-join whose Σ|cluster|² interpreted folds measured
+    >570 s at gen_sf sf10), so pair work is Σ|cluster|² SIMD flops —
+    with k-means K ≈ √N clusters this is the SemDeDup contract (the
+    paper's K=50k on LAION); the adaptive-stride systematic centroid
+    sample (K = ⌊√N⌋, systematic_centroids — the paper's own sizing
+    rule) stands in for the l21 k-means trainer exactly as in l19.
+    No transitive closure pass (l22 covers that); the min-id rule is
+    one group-agg over threshold pairs."""
     from hadoop_release_spark.operators.similarity import (
         rank_clusters_arrow,
         systematic_centroids,
@@ -1763,33 +1767,28 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast-argmin assignment runs once (released by the
     # registry wrapper before the next query).
     assigned = assigned.persist()
-    a = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("__nrm").alias("__na"),
+    # Pair stage as the per-cluster Arrow kernel (round 12 —
+    # semdedup_pairs_arrow): the groupBy IS the cluster-keyed
+    # corpus shuffle the hinted pair join paid (same exchange,
+    # nothing broadcast — the l58 rule, pinned in test_plans.py),
+    # but the lower-triangle m×m cosine block runs SIMD-chunked and
+    # only raw ≥ τ−6e-4 candidates reach the JVM. The join form
+    # evaluated Σ|cluster|² interpreted array folds (~7 µs each —
+    # measured >570 s at gen_sf sf10, vs ~60 s kerneled). The
+    # CONTRACT sim (HALF_UP 3dp round) and the ≥ τ cut are computed
+    # by Spark on the bit-identical raws, exactly as before —
+    # survivors pinned pair-for-pair vs the join form in
+    # tests/test_similarity.py.
+    from hadoop_release_spark.operators.similarity import (
+        semdedup_pairs_arrow,
     )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("__nrm").alias("__nb"),
-    )
-    # Both pair sides are the corpus — force the cluster-keyed
-    # SHUFFLE join (without the hint the planner broadcasts the
-    # stat-less kernel output; fine at test SF, fatal at corpus
-    # scale — the l58 rule, pinned in test_plans.py).
+
     pairs = (
-        a.join(b.hint("shuffle_hash"), "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        semdedup_pairs_arrow(assigned, float(_L56_TAU), _DIM)
         .select(
             "id_b",
             "id_a",
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.col("__na") * F.col("__nb")),
-                3,
-            ).alias("sim"),
+            F.round(F.col("__raw"), 3).alias("sim"),
         )
         .filter(F.col("sim") >= F.expr(_L56_TAU))
     )
@@ -1797,9 +1796,14 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").cast("long").alias("dup_of"),
         F.max("sim").alias("max_sim"),
     )
+    # The killer table is corpus-sized in the worst case (every
+    # shadowed vector) and stat-less — force the shuffle join so the
+    # spine attach never broadcasts it at scale (the l58 rule).
     return (
         assigned.join(
-            killers, assigned.vec_id == killers.id_b, "left"
+            killers.hint("shuffle_hash"),
+            assigned.vec_id == killers.id_b,
+            "left",
         )
         .select(
             "vec_id",

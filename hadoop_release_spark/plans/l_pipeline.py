@@ -2365,33 +2365,24 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nkept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
     assigned = rank_clusters_arrow(sv, centroids, 1, _DIM).select(
-        "vec_id", "embedding", "__nrm", "cluster"
+        "cluster", "vec_id", "embedding", "__nrm"
     )
-    a = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("__nrm").alias("__na"),
+    # Pair stage as the per-cluster Arrow kernel (round 12, the l56
+    # rewrite shared verbatim): the groupBy IS the cluster-keyed
+    # corpus shuffle (nothing broadcast — the l56/l58 rule), the
+    # lower-triangle cosine block runs SIMD-chunked, and Spark
+    # applies the identical round+τ cut on the bit-identical raws
+    # (kernel-vs-join parity pinned in tests/test_similarity.py).
+    from hadoop_release_spark.operators.similarity import (
+        semdedup_pairs_arrow,
     )
-    b = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("__nrm").alias("__nb"),
-    )
-    # Corpus-side pair join must SHUFFLE on cluster, never broadcast
-    # the stat-less kernel output (the l56/l58 rule).
+
     spairs = (
-        a.join(b.hint("shuffle_hash"), "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        semdedup_pairs_arrow(assigned, float(_L56_TAU), _DIM)
         .select(
             "id_b",
             "id_a",
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.col("__na") * F.col("__nb")),
-                3,
-            ).alias("sim"),
+            F.round(F.col("__raw"), 3).alias("sim"),
         )
         .filter(F.col("sim") >= F.expr(_L56_TAU))
     )

@@ -270,14 +270,19 @@ _PLAN_REWRITES: dict[str, int] = {
     "m14_audio_dup_survivors": 11,
     "l02_dedup_near": 11,
     "l68_minhash_calibration": 11,
-    "l70_corpus_pipeline_v2": 11,
+    "l70_corpus_pipeline_v2": 12,
     "l66_containment_dedup": 11,
     "l72_bloom_gram_gate": 11,
     "l74_exact_substring": 11,
-    # round-12 rewrite: score_candidates_arrow's per-probe selection
+    # round-12 rewrites: score_candidates_arrow's per-probe selection
     # vectorized (whole-matrix partition+mask; bit-parity pinned by
-    # test_score_candidates_vectorized_equals_reference).
+    # test_score_candidates_vectorized_equals_reference), and the
+    # l56/l70 SemDeDup pair stage moved into semdedup_pairs_arrow
+    # (per-cluster chunked kernel; parity pinned by
+    # test_semdedup_pairs_arrow_equals_join_form). l70 was already
+    # pending at 11; 12 extends the same pending state.
     "l58_knn_self_join": 12,
+    "l56_semdedup": 12,
 }
 
 

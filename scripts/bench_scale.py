@@ -129,6 +129,12 @@ DEDUP_TAIL = [
     # the same O(N^1.5) design bar as l58 — and materially under
     # l58's measured slope, or the staging isn't buying anything.
     "l76_knn_self_bucketed",
+    # round-12 addition: the SemDeDup pair stage is the OTHER
+    # documented N^1.5 class (Σ|cluster|² within-cluster pairs) —
+    # unmeasured at decade 2 until round 12, when a direct sf10 run
+    # found the interpreted-fold pair join >570 s and the kernel
+    # rewrite brought it to ~120-160 s; keep the row measured.
+    "l56_semdedup",
 ]
 
 SFS_DECADE2 = [1.0, 10.0]

@@ -612,19 +612,25 @@ def test_l54_statistics_reaggregate_the_bigram_table(spark, sf_dir):
 
 
 def test_l56_assignment_is_arrow_kernel(spark, sf_dir):
-    """l56's SemDeDup contract, pinned (round-8 form): cluster
+    """l56's SemDeDup contract, pinned (round-12 form): cluster
     assignment runs inside the ONE MapInPandas Arrow kernel
     (rank_clusters_arrow — the corpus never fans out to N×K rows and
     never shuffles to be assigned; the old BNLJ-over-broadcast-
     centroids form measured 36× superlinear wall growth at the 10×
-    rehearsal), and the pair stage is a cluster-keyed join — never a
-    corpus-level cartesian or nested loop."""
+    rehearsal), the pair stage is the cluster-GROUPED Arrow kernel
+    (semdedup_pairs_arrow — one cluster-keyed exchange feeding
+    FlatMapGroupsInPandas; the round-8 hinted pair self-join's
+    interpreted folds measured >570 s at gen_sf sf10), and the
+    killer spine attach is a SHUFFLE join — nothing corpus-sized
+    broadcasts, no cartesian or nested loop anywhere."""
     plan = _plan(spark, sf_dir, "l56_semdedup")
     assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # the corpus×corpus pair stage must be a SHUFFLE join on the
-    # cluster key — broadcasting either side dies at corpus scale.
+    assert "BroadcastHashJoin" not in plan, plan
+    # the killers→spine attach must be a SHUFFLE join — the killer
+    # table is corpus-sized in the worst case and stat-less.
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 

@@ -415,6 +415,71 @@ def test_score_candidates_vectorized_equals_reference(spark, sf_dir):
     assert got == want
 
 
+def test_semdedup_pairs_arrow_equals_join_form(spark, sf_dir):
+    """Round-12 l56 pair-stage rewrite pin: the per-cluster Arrow
+    pair kernel, after Spark applies the SAME round(·,3) ≥ τ cut the
+    join form applied, must yield the IDENTICAL (id_a, id_b, sim)
+    survivor set as the declarative cluster self-join it replaced —
+    including the id_a < id_b rule and bit-identical rounded sims
+    (the kernel's 6e-4 over-selection guard must add nothing and
+    drop nothing after the Spark-side cut)."""
+    from hadoop_release_spark.functions.vectors import dot
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        semdedup_pairs_arrow,
+        systematic_centroids,
+    )
+
+    tau = 0.3
+    e = table(spark, sf_dir, "embeddings")
+    centroids = systematic_centroids(e)
+    assigned = (
+        rank_clusters_arrow(e, centroids, 1, 64)
+        .select("cluster", "vec_id", "embedding", "__nrm")
+        .persist()
+    )
+    try:
+        got = {
+            (r.id_a, r.id_b, r.sim)
+            for r in semdedup_pairs_arrow(assigned, tau, 64)
+            .select("id_a", "id_b", F.round(F.col("__raw"), 3).alias("sim"))
+            .filter(F.col("sim") >= tau)
+            .collect()
+        }
+        a = assigned.select(
+            "cluster",
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            F.col("__nrm").alias("__na"),
+        )
+        b = assigned.select(
+            "cluster",
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.col("__nrm").alias("__nb"),
+        )
+        want = {
+            (r.id_a, r.id_b, r.sim)
+            for r in a.join(b.hint("shuffle_hash"), "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    3,
+                ).alias("sim"),
+            )
+            .filter(F.col("sim") >= tau)
+            .collect()
+        }
+        assert got == want
+        assert got, "fixture yields no threshold pairs — test is vacuous"
+    finally:
+        assigned.unpersist()
+
+
 def test_l76_bucketed_variant_equals_l58(spark, sf_dir):
     """Round-12 pin: l76 (cluster-bucketed staging) must be
     row-for-row identical to l58 — same centroids, same kernels,

@@ -620,8 +620,12 @@ def score_candidates_arrow(
         qn = right["__qnrm"].to_numpy()
         m, q = len(mids), len(qids)
         # Probe axis processed in CHUNKS so per-group working memory
-        # is bounded at ~4M cells (two ≤32 MB float64 blocks)
-        # REGARDLESS of cluster heat — the sf10 profile found one
+        # is bounded at ~4M cells (two ≤32 MB float64 blocks) for any
+        # cluster up to m ≈ 62.5k members; past that the 64-column
+        # chunk floor makes the two blocks scale as 64·m cells —
+        # comparable to the m×dim member matrix itself, so never an
+        # INDEPENDENT OOM risk, but not a fixed bound. The sf10
+        # profile found one
         # cluster at 6 116 members × 13 317 probes (81M cells): the
         # whole-matrix form allocated ~2 GB of temporaries for that
         # single group and its straggler task WAS the cogroup wall
@@ -737,10 +741,13 @@ def semdedup_pairs_arrow(
     broadcast), but each cluster's m×m block runs SIMD and only
     threshold-passing pairs reach the JVM (≈ the true duplicate
     count, not Σ|cluster|²). The column axis is chunked at ~4M cells
-    so per-group memory is bounded (~two ≤32 MB blocks) at any
-    cluster heat — the score_candidates_arrow rule; the measured
-    sf10 hot cluster (6 116 members → 18.7M pairs) can neither
-    straggle unboundedly nor OOM a task."""
+    so per-group memory is bounded (~two ≤32 MB blocks) for clusters
+    up to m ≈ 62.5k members — past that the 64-column chunk floor
+    scales the blocks as 64·m cells, comparable to the member matrix
+    itself (no independent OOM risk, but not a fixed bound) — the
+    score_candidates_arrow rule; the measured sf10 hot cluster
+    (6 116 members → 18.7M pairs) can neither straggle unboundedly
+    nor OOM a task."""
     import numpy as np
     import pandas as pd
 

@@ -1960,6 +1960,91 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L76_BUCKETS = 32
 
 
+def _l76_index_table(key: str) -> str:
+    """Catalog name for the l76 bucketed index, keyed on the source
+    dir exactly like ``fixed_scratch_dir`` keys its path (md5[:8]) —
+    a FIXED name would let a concurrent session grading a different
+    sf silently re-point an already-built-but-not-yet-collected
+    DataFrame at the wrong index, since ``spark.table()`` is lazy
+    (advisor find, round 12)."""
+    import hashlib
+
+    return f"l76_ranked_idx_{hashlib.md5(key.encode()).hexdigest()[:8]}"
+
+
+def ingest_bucketed_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Build (or rebuild) the l76 standing index: run the assignment
+    kernel ONCE over ``embeddings`` against ``centroids`` and write
+    the ranked rows (vec packed float32, norm, cluster, __rn ≤
+    nprobe) as a table BUCKETED by cluster, so every later probe
+    cogroups Exchange-free. Returns the lazy table DataFrame.
+    Overwrite-safe per ``key`` — distinct scales get distinct table
+    names AND distinct paths, so they cannot alias."""
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
+
+    # pack_vectors: the index stores each vector as one dim·4-byte
+    # float32 buffer — the rank fan-out duplicates every vector
+    # nprobe×, and the buffer form crosses parquet and BOTH Arrow
+    # boundaries as one buffer per row instead of a per-element
+    # list (identical float32 bits; l76==l58 pinned).
+    ranked = rank_clusters_arrow(
+        embeddings, centroids, _L58_NPROBE, _DIM, pack_vectors=True
+    )
+    name = _l76_index_table(key)
+    base = fixed_scratch_dir("l76bucketed", key)
+    (
+        ranked.write.bucketBy(_L76_BUCKETS, "cluster")
+        .option("path", f"{base}/ranked")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def append_to_bucketed_index(
+    spark: SparkSession,
+    delta: DataFrame,
+    centroids: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Incremental-append ingest — the nightly 100 TB shape: a
+    slowly-growing corpus re-probes a STANDING index, and only the
+    day's delta should pay assignment. The delta alone passes
+    ``rank_clusters_arrow`` against the index's FROZEN centroids
+    (an IVF index's quantizer is immutable between rebuilds — that
+    is what makes delta-assignment ≡ full re-assignment row-for-row)
+    and is appended into the existing buckets; Spark validates the
+    bucket spec matches, so bucket-pruned Exchange-free probes keep
+    working on the grown table. Pinned in tests/test_similarity.py:
+    base-ingest + delta-append == one-shot full ingest on a planted
+    split, row for row. Returns the lazy (grown) table DataFrame."""
+    from hadoop_release_spark.operators.similarity import rank_clusters_arrow
+
+    name = _l76_index_table(key)
+    if not spark.catalog.tableExists(name):
+        raise RuntimeError(
+            f"append_to_bucketed_index: no standing index table"
+            f" {name!r} for key={key!r} — run ingest_bucketed_index"
+            " first (append without a base would silently create an"
+            " unbucketed table)."
+        )
+    ranked = rank_clusters_arrow(
+        delta, centroids, _L58_NPROBE, _DIM, pack_vectors=True
+    )
+    (
+        ranked.write.bucketBy(_L76_BUCKETS, "cluster")
+        .mode("append")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 @register("l76_knn_self_bucketed", oracle=_o_l58(), priority="P2")
 def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l58's corpus-wide IVF self-kNN with the CLUSTER-BUCKETED
@@ -1988,7 +2073,10 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     * Repeated / incremental workloads (the actual 100 TB shape:
       nightly self-join over a slowly-growing corpus) re-read the
       standing index and pay ONLY scoring; appended vectors are
-      assigned incrementally and appended to their buckets.
+      assigned incrementally and appended to their buckets via
+      :func:`append_to_bucketed_index` (delta-only assignment
+      against the frozen quantizer; pinned delta-append == full
+      re-ingest in tests/test_similarity.py).
 
     COMPLEXITY: scoring work is unchanged — N·nprobe·√N kernel flops
     by the same √N-list IVF contract as l58, O(N^1.5) BY DESIGN (the
@@ -2013,26 +2101,9 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_candidates_arrow,
         systematic_centroids,
     )
-    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
-
     e = table(spark, sf_dir, "embeddings")
     centroids = systematic_centroids(e)
-    # pack_vectors: the index stores each vector as one dim·4-byte
-    # float32 buffer — the rank fan-out duplicates every vector
-    # nprobe×, and the buffer form crosses parquet and BOTH Arrow
-    # boundaries below as one buffer per row instead of a
-    # per-element list (identical float32 bits; l76==l58 pinned).
-    ranked = rank_clusters_arrow(
-        e, centroids, _L58_NPROBE, _DIM, pack_vectors=True
-    )
-    base = fixed_scratch_dir("l76bucketed", sf_dir)
-    (
-        ranked.write.bucketBy(_L76_BUCKETS, "cluster")
-        .option("path", f"{base}/ranked")
-        .mode("overwrite")
-        .saveAsTable("l76_ranked_idx")
-    )
-    idx = spark.table("l76_ranked_idx")
+    idx = ingest_bucketed_index(spark, e, centroids, sf_dir)
     assigned = idx.filter(F.col("__rn") == 1).select(
         "cluster", "vec_id", "embedding", "__nrm"
     )

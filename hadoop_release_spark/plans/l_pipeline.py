@@ -2303,7 +2303,6 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stages see the least data. ekept is persisted once
     (spine of three consumers; released by the registry wrapper at
     the next query — the lsh_pair_calibration contract)."""
-    from hadoop_release_spark.functions.vectors import dot
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
     from hadoop_release_spark.operators.similarity import (
         rank_clusters_arrow,

@@ -256,34 +256,30 @@ def grading_order(names: list[str]) -> list[str]:
     )
 
 
-#: Op → round its plan was last MATERIALLY rewritten (new shuffle
-#: shape, new kernel, changed staging — not docstring/comment edits).
-#: Maintained by hand at rewrite time; see the rewrite-bump policy in
-#: :func:`grading_order`. Round-11 rewrites: m12 (pair+closure →
-#: window-min), m13/m14 (digest fused into decode), l02/l68/l70
-#: (Arrow MinHash kernel), l66/l72/l74/l75 (binary gram keys).
-#: l75's r11 grade is END-of-round-11, i.e. post-rewrite — kept out;
-#: the rest lag their rewrite (grades r6-r10).
-_PLAN_REWRITES: dict[str, int] = {
-    "m12_image_dup_survivors": 11,
-    "m13_video_dup_survivors": 11,
-    "m14_audio_dup_survivors": 11,
-    "l02_dedup_near": 11,
-    "l68_minhash_calibration": 11,
-    "l70_corpus_pipeline_v2": 12,
-    "l66_containment_dedup": 11,
-    "l72_bloom_gram_gate": 11,
-    "l74_exact_substring": 11,
-    # round-12 rewrites: score_candidates_arrow's per-probe selection
-    # vectorized (whole-matrix partition+mask; bit-parity pinned by
-    # test_score_candidates_vectorized_equals_reference), and the
-    # l56/l70 SemDeDup pair stage moved into semdedup_pairs_arrow
-    # (per-cluster chunked kernel; parity pinned by
-    # test_semdedup_pairs_arrow_equals_join_form). l70 was already
-    # pending at 11; 12 extends the same pending state.
-    "l58_knn_self_join": 12,
-    "l56_semdedup": 12,
-}
+#: Op → the earliest round whose driver grade counts as POST-rewrite
+#: for that op's last material rewrite (new shuffle shape, new
+#: kernel, changed staging — not docstring/comment edits). Maintained
+#: by hand at rewrite time; see the rewrite-bump policy in
+#: :func:`grading_order`.
+#:
+#: RECORDING CONVENTION (closes the same-round granularity hole the
+#: round-12 advisor flagged — `history[n] < value` is round-granular,
+#: so a grade recorded EARLIER in the same round as a late rewrite
+#: would wrongly count as caught up): at rewrite time record the
+#: CURRENT round if this op has no grade from the current round yet
+#: (the usual case — rewrites land mid-round, driver grades at round
+#: end), else record current round + 1 so the stale same-round grade
+#: cannot satisfy the test. The l75 case (grade at end-of-r11 was
+#: already post-rewrite) is the inverse and needs no entry at all.
+#:
+#: Entries whose grade has caught up are inert and are PRUNED when
+#: the table is touched. History of pruned entries: r11 rewrites
+#: m12/m13/m14 (digest fusion / window-min), l02/l68/l70 (Arrow
+#: MinHash kernel), l66/l72/l74 (binary gram keys); r12 rewrites
+#: l56/l58/l70 (vectorized scoring + semdedup_pairs_arrow). All
+#: regraded hash-green by the r12 driver run, post-rewrite
+#: (CORRECTNESS_r12.json) — pruned round 13.
+_PLAN_REWRITES: dict[str, int] = {}
 
 
 #: Queries REGISTERED in round 8 or later: tier 5, behind every

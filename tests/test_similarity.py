@@ -499,6 +499,66 @@ def test_l76_bucketed_variant_equals_l58(spark, sf_dir):
     assert key(a) == key(b)
 
 
+def test_l76_append_to_bucketed_index_equals_full_ingest(spark, sf_dir):
+    """Round-13 pin for the l76 docstring promise: incremental-append
+    ingest. On a planted split (vec_id % 10 carves a ~10% delta),
+    base-ingest + delta-append against the SAME frozen centroids must
+    produce the identical index table, row for row, as one-shot full
+    ingest — the quantizer is immutable between rebuilds, so
+    delta-assignment ≡ full re-assignment by construction, and the
+    append must land in matching buckets (Spark validates the bucket
+    spec; the table stays 32-bucketed after the append). Also pins
+    the no-standing-index guard: append without a prior ingest raises
+    instead of silently creating an unbucketed table."""
+    import pytest as _pytest
+
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L76_BUCKETS,
+        _l76_index_table,
+        append_to_bucketed_index,
+        ingest_bucketed_index,
+    )
+    from hadoop_release_spark.operators.similarity import (
+        systematic_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    # Frozen quantizer shared by BOTH paths — the standing-index
+    # contract (rebuilds refresh centroids; appends never do).
+    centroids = systematic_centroids(e)
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+
+    full = ingest_bucketed_index(
+        spark, e, centroids, f"{sf_dir}#l76-append-full"
+    ).toPandas()
+    ingest_bucketed_index(spark, base, centroids, f"{sf_dir}#l76-append-incr")
+    grown = append_to_bucketed_index(
+        spark, delta, centroids, f"{sf_dir}#l76-append-incr"
+    ).toPandas()
+
+    cols = ["vec_id", "embedding", "__nrm", "cluster", "__rn"]
+    key = lambda df: sorted(  # noqa: E731
+        (int(v), bytes(emb), float(nrm), int(c), int(rn))
+        for v, emb, nrm, c, rn in zip(*(df[c] for c in cols))
+    )
+    assert key(grown) == key(full)
+
+    # The append must not have degraded the physical layout — the
+    # catalog still reports the 32-bucket cluster spec, so probe
+    # plans stay Exchange-free on the grown table.
+    name = _l76_index_table(f"{sf_dir}#l76-append-incr")
+    desc = spark.sql(f"DESCRIBE EXTENDED {name}").toPandas()
+    info = dict(zip(desc["col_name"], desc["data_type"]))
+    assert info.get("Num Buckets") == str(_L76_BUCKETS), info
+    assert "cluster" in info.get("Bucket Columns", ""), info
+
+    with _pytest.raises(RuntimeError, match="no standing index"):
+        append_to_bucketed_index(
+            spark, delta, centroids, f"{sf_dir}#l76-append-missing"
+        )
+
+
 def test_rank_clusters_arrow_bitwise_equals_declarative(spark, sf_dir):
     """The Arrow assignment kernel (rank_clusters_arrow) must be
     BIT-identical to the declarative crossJoin + cosine-fold +

@@ -815,6 +815,7 @@ def rank_clusters_arrow(
     vec_col: str = "embedding",
     max_centroids: int = ARROW_KERNEL_MAX_CENTROIDS,
     pack_vectors: bool = False,
+    emit_sim_3dp: bool = False,
 ) -> DataFrame:
     """Rank the ``nprobe`` nearest centroids per vector in ONE Arrow
     pass — the centroid-assignment kernel for corpus-scale IVF
@@ -869,7 +870,24 @@ def rank_clusters_arrow(
     packed bytes are the IDENTICAL float32 values the array form
     carries (same np.float32 cast), so any consumer decoding with
     frombuffer computes identical results
-    (score_candidates_arrow(packed=True); l76==l58 pinned)."""
+    (score_candidates_arrow(packed=True); l76==l58 pinned).
+
+    ``emit_sim_3dp=True`` (round 13, the l48 decontamination shape):
+    sims are rounded to 3dp BEFORE ranking and emitted as a
+    ``__sim`` double column — this reproduces the declarative form
+    that rounds (r3) and THEN ranks (sim DESC, centroid_id ASC), so
+    3dp TIES break to the lower centroid id exactly as the SQL
+    window does (raw-sim ranking would pick the raw-larger of two
+    rounded-equal sims and silently disagree with the oracle on
+    nearest-id; pinned by the planted rounded-tie test in
+    tests/test_similarity.py). Rounding-mode note: np.round is
+    half-to-even while Spark/DuckDB round half away from zero — the
+    contract's standing argument applies (float noise ~1e-11 ≪ the
+    5e-4 half-grid; cosines of data vectors never land exactly on a
+    boundary), and the l48 kernel==declarative parity pin would
+    catch a boundary value on the fixture. The DEFAULT path is
+    untouched: ranking stays raw-sim and no column is added, so
+    every existing consumer's plan and values are unchanged."""
     import numpy as np
     import pandas as pd
 
@@ -899,12 +917,17 @@ def rank_clusters_arrow(
             empty = empty.select(
                 id_col, F.lit(None).cast("binary").alias(vec_col)
             )
-        return empty.select(
+        empty = empty.select(
             "*",
             F.lit(None).cast("double").alias("__nrm"),
             F.lit(None).cast("long").alias("cluster"),
             F.lit(None).cast("int").alias("__rn"),
         )
+        if emit_sim_3dp:
+            empty = empty.select(
+                "*", F.lit(None).cast("double").alias("__sim")
+            )
+        return empty
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     C = np.stack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
@@ -922,6 +945,8 @@ def rank_clusters_arrow(
         f"{id_col} long, {vec_col} {vec_type}, __nrm double,"
         " cluster long, __rn int"
     )
+    if emit_sim_3dp:
+        schema += ", __sim double"
 
     def kernel(batches):
         for pdf in batches:
@@ -943,6 +968,10 @@ def rank_clusters_arrow(
                 S += vi[:, None] * C[:, i][None, :]
             vn = np.sqrt(vn)
             S /= vn[:, None] * cn[None, :]
+            if emit_sim_3dp:
+                # Round BEFORE ranking — the declarative r3-then-rank
+                # rule, so 3dp ties break on centroid id, not raw sim.
+                S = np.round(S, 3)
             # stable sort on -sim; C is cid-ascending, so ties break
             # to the LOWER centroid id — the window's tie rule.
             sel = np.argsort(-S, axis=1, kind="stable")[:, :npb]
@@ -951,17 +980,20 @@ def rank_clusters_arrow(
                 vecs_out = [V32[i].tobytes() for i in idx]
             else:
                 vecs_out = pdf[vec_col].to_numpy()[idx]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[idx],
-                    vec_col: vecs_out,
-                    "__nrm": vn[idx],
-                    "cluster": cids[sel.reshape(-1)],
-                    "__rn": np.tile(
-                        np.arange(1, npb + 1, dtype=np.int32), n
-                    ),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy()[idx],
+                vec_col: vecs_out,
+                "__nrm": vn[idx],
+                "cluster": cids[sel.reshape(-1)],
+                "__rn": np.tile(
+                    np.arange(1, npb + 1, dtype=np.int32), n
+                ),
+            }
+            if emit_sim_3dp:
+                out["__sim"] = np.take_along_axis(
+                    S, sel, axis=1
+                ).reshape(-1)
+            yield pd.DataFrame(out)
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema=schema

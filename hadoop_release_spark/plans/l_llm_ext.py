@@ -1347,36 +1347,49 @@ def l48_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the full table, not just hits, so threshold tuning reruns are
     free).
 
-    Scale shape: the EVAL side is the bounded broadcast (benchmarks
-    are thousands of rows, not corpus-scale) — corpus × small
-    broadcast with per-corpus-row argmax, never a corpus shuffle;
-    the rank window partitions by corpus id (parallel). If the eval
-    set ever scales with the corpus, the candidate generator moves
-    to l14's sign-LSH bands or l19's IVF probes — same tripwire
-    discipline as l09 (test_plans.py allowlist)."""
+    Scale shape (round-13 rewrite): the EVAL side is bounded
+    (benchmarks are thousands of rows, not corpus-scale) and rides
+    the SAME Arrow assignment kernel as l56/l58 —
+    ``rank_clusters_arrow`` with the eval set as the "centroid"
+    table, ``nprobe=1`` (nearest eval IS the argmax), and
+    ``emit_sim_3dp`` (sims rounded to 3dp before ranking, exactly
+    the declarative r3-then-rank rule, then emitted). The plan is
+    scan → mapInPandas → project: ZERO exchanges, no window, no
+    |eval|·N row fan-out — the previous rank-window form shuffled
+    and sorted 80M slim fan-out rows at gen_sf sf10 and measured
+    10.55×/decade (the only row over the linear envelope, r12), and
+    even the grouped-max repair left 80M interpreted cosine folds as
+    the wall (~93 s sf10). Why Python: same reason as l56/l58 — the
+    N×|eval| similarity stage has no codegen path (higher-order
+    array folds run interpreted, ~7 µs/cosine), while the kernel
+    runs the identical IEEE accumulation ~50× faster and only N
+    rows cross the Arrow boundary. Parity: kernel == the r3+window
+    declarative form row-for-row on the fixture, and a planted
+    rounded-tie pytest pins the tie rule (tests/test_similarity.py).
+    If the eval set ever scales with the corpus, the candidate
+    generator moves to l14's sign-LSH bands or l19's IVF probes —
+    same tripwire discipline as l09 (test_plans.py allowlist)."""
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+    )
+
     e = table(spark, sf_dir, "embeddings")
     ev = e.filter(F.col("vec_id") < _L48_EVAL_BOUND).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
     )
-    sims = (
-        e.filter(F.col("vec_id") >= _L48_EVAL_BOUND)
-        .crossJoin(F.broadcast(ev))
-        .select(
-            "vec_id",
-            "eval_id",
-            r3(cosine(F.col("embedding"), F.col("ee"))).alias("sim"),
-        )
+    best = rank_clusters_arrow(
+        e.filter(F.col("vec_id") >= _L48_EVAL_BOUND),
+        ev,
+        nprobe=1,
+        dim=_DIM,
+        emit_sim_3dp=True,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("eval_id"))
-    return (
-        sims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "vec_id",
-            F.col("sim").alias("max_sim"),
-            F.col("eval_id").alias("nearest_eval_id"),
-            (F.col("sim") >= _L48_THRESHOLD).alias("contaminated"),
-        )
+    return best.select(
+        "vec_id",
+        F.col("__sim").alias("max_sim"),
+        F.col("cluster").alias("nearest_eval_id"),
+        (F.col("__sim") >= _L48_THRESHOLD).alias("contaminated"),
     )
 
 

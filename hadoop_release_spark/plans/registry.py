@@ -279,7 +279,14 @@ def grading_order(names: list[str]) -> list[str]:
 #: l56/l58/l70 (vectorized scoring + semdedup_pairs_arrow). All
 #: regraded hash-green by the r12 driver run, post-rewrite
 #: (CORRECTNESS_r12.json) — pruned round 13.
-_PLAN_REWRITES: dict[str, int] = {}
+_PLAN_REWRITES: dict[str, int] = {
+    # round-13 rewrite: the per-vector argmax window (shuffled+sorted
+    # the full |eval|·N fan-out; measured 10.55×/decade at gen_sf
+    # sf10, the only row over the linear envelope) became a grouped
+    # struct-max with map-side partial aggregation. No r13 grade yet
+    # at rewrite time → recorded as 13 per the convention above.
+    "l48_semantic_decontaminate": 13,
+}
 
 
 #: Queries REGISTERED in round 8 or later: tier 5, behind every

@@ -135,6 +135,12 @@ DEDUP_TAIL = [
     # found the interpreted-fold pair join >570 s and the kernel
     # rewrite brought it to ~120-160 s; keep the row measured.
     "l56_semdedup",
+    # round-13 additions (round-12 verdict item 4): m13/m14 had only
+    # decade-1 rows — their dedup closures share the set-digest
+    # equality shape, and group-equality closures are exactly where
+    # a hidden superlinear term would surface at the second decade.
+    "m13_video_dup_survivors",
+    "m14_audio_dup_survivors",
 ]
 
 SFS_DECADE2 = [1.0, 10.0]

@@ -682,6 +682,24 @@ def test_l76_bucketed_cogroup_has_no_cluster_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_l48_argmax_is_kernel_no_exchange(spark, sf_dir):
+    """Round-13 rewrite pin: l48's per-vector best-eval argmax rides
+    the Arrow assignment kernel (nprobe=1, eval set as centroids) —
+    the plan must be scan → MapInPandas → project with ZERO
+    exchanges, no window, and no |eval|·N fan-out join. The old
+    rank-window form shuffled AND sorted the whole 80M-row fan-out
+    at gen_sf sf10 and measured 10.55×/decade (the only row over
+    the linear envelope, SCALE_REHEARSAL.json r12); a grouped-max
+    repair still left 80M interpreted cosine folds as the wall. If
+    a Window, Exchange, or join reappears here, the fan-out is
+    back."""
+    plan = _plan(spark, sf_dir, "l48_semantic_decontaminate")
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_rendezvous_shard_stage_is_shuffle_free(spark, sf_dir):
     """Round-10 rewrite pin (round-9 verdict item 3): the rendezvous
     argmax over the S=8 driver-side shard constants is a pure

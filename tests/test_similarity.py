@@ -499,6 +499,102 @@ def test_l76_bucketed_variant_equals_l58(spark, sf_dir):
     assert key(a) == key(b)
 
 
+def test_l48_kernel_equals_declarative_window_form(spark, sf_dir):
+    """Round-13 l48 rewrite pin: the emit_sim_3dp kernel path must
+    equal the declarative form it replaced — crossJoin(broadcast) +
+    r3(cosine) + (sim DESC, eval_id ASC) rank window — row for row
+    on the fixture, every column. Guards BOTH the IEEE accumulation
+    parity (the standing rank_clusters_arrow argument) and the
+    round-THEN-rank rule (np.round(S,3) before argsort); a
+    rounding-boundary value or a raw-sim ranking regression shows
+    up here as a max_sim or nearest_eval_id drift."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L48_EVAL_BOUND,
+        _L48_THRESHOLD,
+        l48_semantic_decontaminate,
+    )
+
+    got = l48_semantic_decontaminate(spark, sf_dir).toPandas()
+
+    e = table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < _L48_EVAL_BOUND).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+    )
+    sims = (
+        e.filter(F.col("vec_id") >= _L48_EVAL_BOUND)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(cosine(F.col("embedding"), F.col("ee")), 3).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id")
+    )
+    ref = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("sim").alias("max_sim"),
+            F.col("eval_id").alias("nearest_eval_id"),
+            (F.col("sim") >= _L48_THRESHOLD).alias("contaminated"),
+        )
+        .toPandas()
+    )
+    cols = ["vec_id", "max_sim", "nearest_eval_id", "contaminated"]
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[cols].itertuples(index=False, name=None))
+    )
+    assert key(got) == key(ref)
+
+
+def test_rank_clusters_rounded_tie_breaks_to_lower_centroid_id():
+    """emit_sim_3dp's reason to round BEFORE ranking, pinned on a
+    planted tie the fixture can't produce: two eval vectors whose
+    raw cosines to the probe DIFFER (0.70004 vs 0.70046) but round
+    to the same 3dp value (0.700) — the declarative form (and the
+    SQL oracle) rank on the ROUNDED sim and break the tie to the
+    LOWER eval id, so the kernel must pick eval 3 even though eval
+    7 has the larger raw sim. Raw-sim ranking would return 7 and
+    silently diverge from the oracle on nearest-id."""
+    import math
+
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+    )
+    from hadoop_release_spark.session import get_session
+
+    spark = get_session("hadoop-release-spark-tests", cpus=8,
+                        shuffle_partitions=8)
+    dim = 2
+    lo, hi = 0.70004, 0.70046
+    ev_rows = [
+        (7, [hi, math.sqrt(1 - hi * hi)]),   # larger RAW sim
+        (3, [lo, math.sqrt(1 - lo * lo)]),   # lower id, same 3dp sim
+    ]
+    probe = [(100, [1.0, 0.0])]
+    ev = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in ev_rows],
+        "centroid_id long, centroid array<float>",
+    )
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in probe],
+        "vec_id long, embedding array<float>",
+    )
+    out = rank_clusters_arrow(
+        e, ev, nprobe=1, dim=dim, emit_sim_3dp=True
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["cluster"] == 3, out
+    assert out[0]["__sim"] == 0.7, out
+    # Control: WITHOUT the flag, ranking is raw-sim (default path
+    # unchanged) — the raw-larger eval 7 wins.
+    raw = rank_clusters_arrow(e, ev, nprobe=1, dim=dim).collect()
+    assert raw[0]["cluster"] == 7, raw
+
+
 def test_l76_append_to_bucketed_index_equals_full_ingest(spark, sf_dir):
     """Round-13 pin for the l76 docstring promise: incremental-append
     ingest. On a planted split (vec_id % 10 carves a ~10% delta),

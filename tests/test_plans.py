@@ -231,11 +231,9 @@ _BNLJ_ALLOWLIST: dict[str, _BnljGrant] = {
         "query set scales with the corpus → batch the probe ranking "
         "through the Arrow kernel / cluster-keyed equi-join",
     ),
-    "l48_semantic_decontaminate": _BnljGrant(
-        "corpus × broadcast eval suite (thousands of rows, fixed)",
-        "eval suite scales with the corpus → l14 LSH / l19 IVF "
-        "candidate generator (tripwire test)",
-    ),
+    # l48's grant removed round 13: the kernel rewrite made its plan
+    # scan → MapInPandas → project (no join of any kind; see
+    # test_l48_argmax_is_kernel_no_exchange).
     "l49_hard_negative_mining": _BnljGrant(
         "corpus × broadcast anchor batch (bounded per docstring)",
         "anchor batch scales with the corpus → l19 IVF candidate "

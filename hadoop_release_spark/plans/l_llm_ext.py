@@ -2089,7 +2089,9 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       assigned incrementally and appended to their buckets via
       :func:`append_to_bucketed_index` (delta-only assignment
       against the frozen quantizer; pinned delta-append == full
-      re-ingest in tests/test_similarity.py).
+      re-ingest in tests/test_similarity.py; measured at gen_sf
+      sf10: a 10% delta appends in 6.0 s vs 48.3 s full re-ingest,
+      append/full = 0.124 ≈ the delta fraction — L76_APPEND.json).
 
     COMPLEXITY: scoring work is unchanged — N·nprobe·√N kernel flops
     by the same √N-list IVF contract as l58, O(N^1.5) BY DESIGN (the

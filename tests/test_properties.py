@@ -5266,3 +5266,72 @@ def test_bloom_gated_ingest_matches_reference(spark, docs, tmp_path_factory):
         for r in l75_bloom_gated_ingest(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=1, max_value=12),
+    n_cents=st.integers(min_value=1, max_value=6),
+)
+def test_rank_clusters_emit_sim_3dp_matches_reference(
+    spark, data, n_vecs, n_cents
+):
+    """emit_sim_3dp property (round-13 l48 kernel mode): for ANY
+    small vector/centroid set, the kernel's (cluster, __sim) must
+    equal a pure-Python replay of the declarative rule — float32
+    cast, float64 cosine accumulated dimension-by-dimension, round
+    to 3dp, THEN rank (sim DESC, centroid_id ASC). Values are drawn
+    from a coarse grid plus near-ties so rounded-equal-but-raw-
+    different sims (the case raw-sim ranking gets wrong) occur
+    often, not just in the planted test."""
+    import math
+
+    import numpy as np
+
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+    )
+
+    dim = 4
+    # Coarse component grid → many exact and near 3dp ties.
+    comp = st.sampled_from([-1.0, -0.5, 0.1, 0.25, 0.5, 0.7, 1.0])
+    vec = st.lists(comp, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+    vecs = [data.draw(vec) for _ in range(n_vecs)]
+    cents = [data.draw(vec) for _ in range(n_cents)]
+
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    c = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(cents)],
+        "centroid_id long, centroid array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["__sim"])
+        for r in rank_clusters_arrow(
+            e, c, nprobe=1, dim=dim, emit_sim_3dp=True
+        ).collect()
+    }
+
+    want = {}
+    for i, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]
+        vn = math.sqrt(sum(x * x for x in v32))
+        best = None
+        for j, cv in enumerate(cents):
+            c32 = [float(np.float32(x)) for x in cv]
+            cn = math.sqrt(sum(x * x for x in c32))
+            s = 0.0
+            for k in range(dim):
+                s += v32[k] * c32[k]
+            sim = float(np.round(s / (vn * cn), 3))
+            # rank rule: rounded sim DESC, centroid_id ASC
+            if best is None or sim > best[1]:
+                best = (j, sim)
+        want[i] = best and (best[0], best[1])
+
+    assert got == want

@@ -816,6 +816,7 @@ def rank_clusters_arrow(
     max_centroids: int = ARROW_KERNEL_MAX_CENTROIDS,
     pack_vectors: bool = False,
     emit_sim_3dp: bool = False,
+    emit_vectors: bool = True,
 ) -> DataFrame:
     """Rank the ``nprobe`` nearest centroids per vector in ONE Arrow
     pass — the centroid-assignment kernel for corpus-scale IVF
@@ -887,7 +888,22 @@ def rank_clusters_arrow(
     boundary), and the l48 kernel==declarative parity pin would
     catch a boundary value on the fixture. The DEFAULT path is
     untouched: ranking stays raw-sim and no column is added, so
-    every existing consumer's plan and values are unchanged."""
+    every existing consumer's plan and values are unchanged.
+
+    ``emit_vectors=False`` (round 13): omit the vector and ``__nrm``
+    columns from the output — Spark cannot prune columns out of a
+    Python-side Arrow transfer, so a consumer that only wants the
+    assignment (l48 keeps just id/cluster/__sim) would otherwise
+    ship N×dim floats across the boundary only to drop them at the
+    next projection. The IVF consumers (l56/l58/l76) need the
+    vectors downstream and keep the default.
+
+    NULL/ragged vectors raise a loud ValueError naming the first
+    offending id (the tripwire discipline — np.stack would otherwise
+    throw an anonymous TypeError from inside the worker): a missing
+    embedding is an upstream data-quality fault, and every consumer
+    of this kernel treats vectors as NOT NULL by contract. Filter
+    nulls before calling if the source can contain them."""
     import numpy as np
     import pandas as pd
 
@@ -923,6 +939,8 @@ def rank_clusters_arrow(
             F.lit(None).cast("long").alias("cluster"),
             F.lit(None).cast("int").alias("__rn"),
         )
+        if not emit_vectors:
+            empty = empty.drop(vec_col, "__nrm")
         if emit_sim_3dp:
             empty = empty.select(
                 "*", F.lit(None).cast("double").alias("__sim")
@@ -941,10 +959,13 @@ def rank_clusters_arrow(
     npb = min(nprobe, K)
 
     vec_type = "binary" if pack_vectors else "array<float>"
-    schema = (
-        f"{id_col} long, {vec_col} {vec_type}, __nrm double,"
-        " cluster long, __rn int"
-    )
+    if emit_vectors:
+        schema = (
+            f"{id_col} long, {vec_col} {vec_type}, __nrm double,"
+            " cluster long, __rn int"
+        )
+    else:
+        schema = f"{id_col} long, cluster long, __rn int"
     if emit_sim_3dp:
         schema += ", __sim double"
 
@@ -953,6 +974,15 @@ def rank_clusters_arrow(
             n = len(pdf)
             if n == 0:
                 continue
+            bad = pdf[vec_col].isna()
+            if bad.any():
+                raise ValueError(
+                    "rank_clusters_arrow: NULL vector at"
+                    f" {id_col}={pdf[id_col][bad].iloc[0]} — vectors"
+                    " are NOT NULL by kernel contract; filter nulls"
+                    " upstream (data-quality fault, not a kernel"
+                    " input)."
+                )
             V32 = np.stack(
                 [
                     np.asarray(v, dtype=np.float32)
@@ -976,19 +1006,17 @@ def rank_clusters_arrow(
             # to the LOWER centroid id — the window's tie rule.
             sel = np.argsort(-S, axis=1, kind="stable")[:, :npb]
             idx = np.repeat(np.arange(n), npb)
-            if pack_vectors:
-                vecs_out = [V32[i].tobytes() for i in idx]
-            else:
-                vecs_out = pdf[vec_col].to_numpy()[idx]
-            out = {
-                id_col: pdf[id_col].to_numpy()[idx],
-                vec_col: vecs_out,
-                "__nrm": vn[idx],
-                "cluster": cids[sel.reshape(-1)],
-                "__rn": np.tile(
-                    np.arange(1, npb + 1, dtype=np.int32), n
-                ),
-            }
+            out = {id_col: pdf[id_col].to_numpy()[idx]}
+            if emit_vectors:
+                if pack_vectors:
+                    out[vec_col] = [V32[i].tobytes() for i in idx]
+                else:
+                    out[vec_col] = pdf[vec_col].to_numpy()[idx]
+                out["__nrm"] = vn[idx]
+            out["cluster"] = cids[sel.reshape(-1)]
+            out["__rn"] = np.tile(
+                np.arange(1, npb + 1, dtype=np.int32), n
+            )
             if emit_sim_3dp:
                 out["__sim"] = np.take_along_axis(
                     S, sel, axis=1

@@ -1378,12 +1378,17 @@ def l48_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
+    # emit_vectors=False: l48 keeps only (id, cluster, __sim), so the
+    # kernel must not ship N×64-float vectors back across the Arrow
+    # boundary for the next projection to drop (Spark cannot prune
+    # columns out of a Python stage's output).
     best = rank_clusters_arrow(
         e.filter(F.col("vec_id") >= _L48_EVAL_BOUND),
         ev,
         nprobe=1,
         dim=_DIM,
         emit_sim_3dp=True,
+        emit_vectors=False,
     )
     return best.select(
         "vec_id",
@@ -1985,6 +1990,43 @@ def _l76_index_table(key: str) -> str:
     return f"l76_ranked_idx_{hashlib.md5(key.encode()).hexdigest()[:8]}"
 
 
+def _quantizer_digest(centroids: DataFrame) -> str:
+    """md5 over the sorted (centroid_id, float32 bytes) rows — the
+    identity of an IVF index's FROZEN quantizer. Collected under the
+    same bounded-collect tripwire as the assignment kernel (the
+    quantizer is √N-ish by contract; an oversized one must fail
+    loudly here exactly as it would inside rank_clusters_arrow)."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_release_spark.operators.similarity import (
+        ARROW_KERNEL_MAX_CENTROIDS,
+    )
+
+    rows = (
+        centroids.select("centroid_id", "centroid")
+        .limit(ARROW_KERNEL_MAX_CENTROIDS + 1)
+        .collect()
+    )
+    if len(rows) > ARROW_KERNEL_MAX_CENTROIDS:
+        raise RuntimeError(
+            "quantizer digest: centroid table exceeds the bounded-"
+            "collect ceiling — same exit as rank_clusters_arrow."
+        )
+    h = hashlib.md5()
+    for r in sorted(rows, key=lambda r: r["centroid_id"]):
+        h.update(int(r["centroid_id"]).to_bytes(8, "little", signed=True))
+        h.update(np.asarray(r["centroid"], dtype=np.float32).tobytes())
+    return h.hexdigest()
+
+
+def _l76_sidecar(key: str) -> str:
+    from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
+
+    return f"{fixed_scratch_dir('l76bucketed', key)}/quantizer.json"
+
+
 def ingest_bucketed_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -1997,7 +2039,18 @@ def ingest_bucketed_index(
     nprobe) as a table BUCKETED by cluster, so every later probe
     cogroups Exchange-free. Returns the lazy table DataFrame.
     Overwrite-safe per ``key`` — distinct scales get distinct table
-    names AND distinct paths, so they cannot alias."""
+    names AND distinct paths, so they cannot alias.
+
+    Alongside the data, a ``quantizer.json`` sidecar records the
+    frozen quantizer's digest plus the table's DDL and bucket spec —
+    the durable half of the standing-index contract: appends verify
+    the digest (a drifted quantizer corrupts the index silently),
+    and a FRESH session re-registers the catalog entry from the
+    sidecar (saveAsTable metadata lives in the in-memory catalog and
+    dies with the session; the parquet + sidecar are what persist,
+    exactly like a metastore-less deployment restarting)."""
+    import json
+
     from hadoop_release_spark.operators.similarity import rank_clusters_arrow
     from hadoop_release_spark.sources.roundtrip import fixed_scratch_dir
 
@@ -2011,12 +2064,26 @@ def ingest_bucketed_index(
     )
     name = _l76_index_table(key)
     base = fixed_scratch_dir("l76bucketed", key)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         ranked.write.bucketBy(_L76_BUCKETS, "cluster")
         .option("path", f"{base}/ranked")
         .mode("overwrite")
         .saveAsTable(name)
     )
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranked.schema.fields
+    )
+    with open(_l76_sidecar(key), "w") as fh:
+        json.dump(
+            {
+                "quantizer_digest": _quantizer_digest(centroids),
+                "buckets": _L76_BUCKETS,
+                "ddl": ddl,
+                "path": f"{base}/ranked",
+            },
+            fh,
+        )
     return spark.table(name)
 
 
@@ -2034,19 +2101,62 @@ def append_to_bucketed_index(
     is what makes delta-assignment ≡ full re-assignment row-for-row)
     and is appended into the existing buckets; Spark validates the
     bucket spec matches, so bucket-pruned Exchange-free probes keep
-    working on the grown table. Pinned in tests/test_similarity.py:
-    base-ingest + delta-append == one-shot full ingest on a planted
-    split, row for row. Returns the lazy (grown) table DataFrame."""
+    working on the grown table.
+
+    Two tripwires guard the standing-index contract (review finds,
+    round 13):
+    * QUANTIZER FREEZE — the passed centroids' digest must equal the
+      sidecar's ingest-time digest. A caller that recomputes
+      centroids over the grown corpus (the natural mistake) would
+      append rows assigned under a DIFFERENT quantizer and corrupt
+      every subsequent probe silently; this raises instead.
+    * CROSS-SESSION — if the catalog lacks the table (fresh session;
+      saveAsTable metadata is session-scoped) but the sidecar and
+      bucketed parquet persist, the table is RE-REGISTERED from the
+      sidecar's DDL + bucket spec + path, so the advertised nightly
+      shape actually works across sessions. Only when neither the
+      catalog entry nor the sidecar exists is there genuinely no
+      standing index, and that raises.
+
+    Pinned in tests/test_similarity.py: base-ingest + delta-append
+    == one-shot full ingest on a planted split, row for row, plus
+    both tripwires. Returns the lazy (grown) table DataFrame."""
+    import json
+    import os
+
     from hadoop_release_spark.operators.similarity import rank_clusters_arrow
 
     name = _l76_index_table(key)
+    sidecar = _l76_sidecar(key)
+    meta = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            meta = json.load(fh)
     if not spark.catalog.tableExists(name):
-        raise RuntimeError(
-            f"append_to_bucketed_index: no standing index table"
-            f" {name!r} for key={key!r} — run ingest_bucketed_index"
-            " first (append without a base would silently create an"
-            " unbucketed table)."
+        if meta is None or not os.path.isdir(meta["path"]):
+            raise RuntimeError(
+                f"append_to_bucketed_index: no standing index table"
+                f" {name!r} for key={key!r} — run ingest_bucketed_index"
+                " first (append without a base would silently create"
+                " an unbucketed table)."
+            )
+        spark.sql(
+            f"CREATE TABLE {name} ({meta['ddl']}) USING parquet"
+            f" CLUSTERED BY (cluster) INTO {meta['buckets']} BUCKETS"
+            f" LOCATION '{meta['path']}'"
         )
+    if meta is not None:
+        got = _quantizer_digest(centroids)
+        if got != meta["quantizer_digest"]:
+            raise RuntimeError(
+                "append_to_bucketed_index: quantizer digest mismatch"
+                f" ({got} != ingest-time {meta['quantizer_digest']})"
+                " — the standing index's centroids are FROZEN between"
+                " rebuilds; assigning a delta under different"
+                " centroids would corrupt every subsequent probe."
+                " Pass the ingest-time centroids, or rebuild with"
+                " ingest_bucketed_index."
+            )
     ranked = rank_clusters_arrow(
         delta, centroids, _L58_NPROBE, _DIM, pack_vectors=True
     )
@@ -2112,10 +2222,10 @@ def l76_knn_self_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Local staging writes to a fixed scratch dir (overwrite-safe); at
     scale the bucketed table IS the stored index layout."""
     from hadoop_release_spark.operators.similarity import (
-        rank_clusters_arrow,
         score_candidates_arrow,
         systematic_centroids,
     )
+
     e = table(spark, sf_dir, "embeddings")
     centroids = systematic_centroids(e)
     idx = ingest_bucketed_index(spark, e, centroids, sf_dir)

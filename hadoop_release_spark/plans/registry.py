@@ -282,10 +282,18 @@ def grading_order(names: list[str]) -> list[str]:
 _PLAN_REWRITES: dict[str, int] = {
     # round-13 rewrite: the per-vector argmax window (shuffled+sorted
     # the full |eval|·N fan-out; measured 10.55×/decade at gen_sf
-    # sf10, the only row over the linear envelope) became a grouped
-    # struct-max with map-side partial aggregation. No r13 grade yet
-    # at rewrite time → recorded as 13 per the convention above.
+    # sf10, the only row over the linear envelope) now rides the
+    # rank_clusters_arrow kernel (nprobe=1, emit_sim_3dp,
+    # emit_vectors=False) — scan → MapInPandas → project, zero
+    # exchanges (plan-pinned). No r13 grade yet at rewrite time →
+    # recorded as 13 per the convention above.
     "l48_semantic_decontaminate": 13,
+    # round-13 staging change: the bucketed index write moved into
+    # ingest_bucketed_index with a per-key catalog name + quantizer
+    # sidecar (was a fixed table name inline in the plan). Output
+    # pinned identical (l76 == l58), but the policy counts changed
+    # staging as material — recorded as 13.
+    "l76_knn_self_bucketed": 13,
 }
 
 

@@ -595,6 +595,35 @@ def test_rank_clusters_rounded_tie_breaks_to_lower_centroid_id():
     assert raw[0]["cluster"] == 7, raw
 
 
+def test_rank_clusters_null_vector_raises_loudly():
+    """Round-13 review find: a NULL embedding reaching the kernel
+    used to die as an anonymous TypeError inside np.stack in the
+    Python worker; the contract is a loud ValueError naming the
+    offending id (vectors are NOT NULL by kernel contract — a
+    missing embedding is an upstream data-quality fault, and the
+    job must say so rather than emit junk or a cryptic stack)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+    )
+    from hadoop_release_spark.session import get_session
+
+    spark = get_session("hadoop-release-spark-tests", cpus=8,
+                        shuffle_partitions=8)
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, centroid array<float>"
+    )
+    with _pytest.raises(PythonException) as exc:
+        rank_clusters_arrow(e, ev, nprobe=1, dim=2).collect()
+    assert "NULL vector at vec_id=2" in str(exc.value)
+
+
 def test_l76_append_to_bucketed_index_equals_full_ingest(spark, sf_dir):
     """Round-13 pin for the l76 docstring promise: incremental-append
     ingest. On a planted split (vec_id % 10 carves a ~10% delta),
@@ -653,6 +682,33 @@ def test_l76_append_to_bucketed_index_equals_full_ingest(spark, sf_dir):
         append_to_bucketed_index(
             spark, delta, centroids, f"{sf_dir}#l76-append-missing"
         )
+
+    # Tripwire 2 (round-13 review find): the quantizer is FROZEN —
+    # appending under recomputed/drifted centroids must raise, not
+    # silently corrupt the index.
+    drifted = systematic_centroids(base)
+    with _pytest.raises(RuntimeError, match="quantizer digest mismatch"):
+        append_to_bucketed_index(
+            spark, delta, drifted, f"{sf_dir}#l76-append-incr"
+        )
+
+    # Cross-session append (round-13 review find): saveAsTable
+    # metadata is session-scoped, but the bucketed parquet + sidecar
+    # persist. Simulate a fresh session by dropping the catalog
+    # entry (external table — files stay): append must re-register
+    # from the sidecar and produce the same grown index.
+    key2 = f"{sf_dir}#l76-append-xsession"
+    ingest_bucketed_index(spark, base, centroids, key2)
+    name2 = _l76_index_table(key2)
+    spark.sql(f"DROP TABLE {name2}")
+    assert not spark.catalog.tableExists(name2)
+    regrown = append_to_bucketed_index(
+        spark, delta, centroids, key2
+    ).toPandas()
+    assert key(regrown) == key(full)
+    desc2 = spark.sql(f"DESCRIBE EXTENDED {name2}").toPandas()
+    info2 = dict(zip(desc2["col_name"], desc2["data_type"]))
+    assert info2.get("Num Buckets") == str(_L76_BUCKETS), info2
 
 
 def test_rank_clusters_arrow_bitwise_equals_declarative(spark, sf_dir):

@@ -68,6 +68,125 @@ def word_shingles(text: Column, k: int = LSH_SHINGLE_K) -> Column:
     )
 
 
+#: Odd 64-bit multiplier (golden-ratio constant) for the gram_keys
+#: rolling polynomial — any odd constant gives a permutation of
+#: Z/2^64 per Horner step, so the combined key is a 64-bit
+#: universal-style hash of the token-hash window.
+_GRAM_C = 0x9E3779B97F4A7C15
+
+
+def gram_keys(text: Column, k: int) -> Column:
+    """64-bit keys of the distinct k-word grams of ``text`` — the
+    Arrow-kernel hot form of ``explode(word_shingles(text, k))``
+    for consumers that join/aggregate on gram EQUALITY only.
+
+    :func:`word_shingles` builds every gram as a string
+    (array_join over a slice, per position, per doc) inside an
+    interpreted higher-order lambda — no whole-stage codegen, and
+    the gram strings then need a hash projection anyway before they
+    can shuffle. Profiled on gen_sf sf1 (round 13): the shingle
+    explode alone was ~26 s of l28's ~32 s wall. This kernel
+    replaces string-building with integer math: per Arrow batch,
+    tokens are factorized once (pd.factorize, C hash table), each
+    UNIQUE token md5-hashed to 64 bits (Zipf: the batch vocabulary
+    is tiny next to the token stream), and every gram key is the
+    Horner-rolling combine key(i) = Σ_j h[i+j]·C^(k-1-j) (mod 2⁶⁴,
+    odd C) over the flat token-hash array — k vectorized
+    shifted-multiply-adds, no per-gram allocation. Per doc the keys
+    are DISTINCT (np.unique — word_shingles' array_distinct), and a
+    doc shorter than k tokens yields the single whole-text key
+    (same Horner over all its tokens), mirroring word_shingles'
+    fallback branch. Output order within a doc is ASCENDING key
+    order, not word_shingles' first-occurrence order — equality
+    consumers (explode → join/agg) cannot observe the difference.
+
+    CONTRACT — injectivity only, NOT portability: use this ONLY
+    where the gram key never reaches the output and the oracle
+    replays gram EQUALITY with its own keys (l28: keys exist to be
+    joined and counted). Ops whose oracle must replay the VALUE
+    (l72/l75 bloom bit positions, l02's minhash math) stay on the
+    md5 forms — contract rule 6 binds there. Collisions merge two
+    gram classes at ~n²/2⁶⁴ — the same accepted class as l28's
+    previous 64-bit md5-prefix key (collision pairs ≈ 27k at 10¹²
+    grams, each perturbing one df count; no different from the
+    hex-prefix form it replaces).
+
+    Parity with the expression form is pinned as a per-doc
+    BIJECTION between word_shingles' gram strings and these keys
+    (tests/test_pipeline_ops.py::test_gram_keys_bijects_with_word_shingles
+    + a hypothesis property) — value equality is impossible by
+    design, equality-class equality is the whole contract."""
+    import hashlib
+    from itertools import chain
+
+    kk = int(k)
+    _MASK = (1 << 64) - 1
+    # powers[j] = C^(k-1-j) mod 2^64, via python ints (explicit mod —
+    # numpy scalar uint64 wraparound is the same value but warns)
+    powers = np.array(
+        [pow(_GRAM_C, kk - 1 - j, 1 << 64) for j in range(kk)],
+        dtype=np.uint64,
+    )
+
+    def _tok_hash_unique(uniques) -> np.ndarray:
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            uh[i] = int.from_bytes(
+                hashlib.md5(u.encode("utf-8")).digest()[:8], "little"
+            )
+        return uh
+
+    @F.pandas_udf("array<long>")
+    def _gk(texts: pd.Series) -> pd.Series:
+        vals = texts.tolist()
+        tok_lists = [None if t is None else t.split(" ") for t in vals]
+        flat = list(
+            chain.from_iterable(tl for tl in tok_lists if tl is not None)
+        )
+        if not flat:
+            # Only reachable when EVERY doc in the batch is null
+            # (a non-null text always yields ≥ 1 token, "" included).
+            return pd.Series([[None]] * len(tok_lists), dtype=object)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        h = _tok_hash_unique(uniques)[codes]
+        m = len(h)
+        nwin = m - kk + 1
+        if nwin > 0:
+            with np.errstate(over="ignore"):
+                acc = np.zeros(nwin, dtype=np.uint64)
+                for j in range(kk):
+                    acc += h[j : j + nwin] * powers[j]
+        else:
+            acc = np.empty(0, dtype=np.uint64)
+        out: list = []
+        pos = 0
+        for tl in tok_lists:
+            if tl is None:
+                # word_shingles(NULL) → [NULL] after the otherwise
+                # branch (array_join(NULL) is NULL); explode then
+                # yields one null gram. Mirror with a one-null list.
+                out.append([None])
+                continue
+            n = len(tl)
+            if n >= kk:
+                keys = np.unique(acc[pos : pos + n - kk + 1])
+            else:
+                # whole-text fallback: Horner over all n tokens —
+                # for n == k this EQUALS the single window key.
+                # Python-int arithmetic with an explicit 2^64 mask
+                # (same wraparound as the vectorized path, no
+                # numpy scalar-overflow warnings).
+                key = 0
+                for x in h[pos : pos + n]:
+                    key = (key * _GRAM_C + int(x)) & _MASK
+                keys = np.array([key], dtype=np.uint64)
+            out.append(keys.view(np.int64))
+            pos += n
+        return pd.Series(out, dtype=object)
+
+    return _gk(text)
+
+
 def shingle_hashes(shingles: Column) -> Column:
     """One 60-bit integer per shingle: first 15 md5 hex digits mod P.
     md5 is the PORTABLE content hash (contract rule 6): any engine

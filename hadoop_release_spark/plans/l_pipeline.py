@@ -38,7 +38,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
-from hadoop_release_spark.operators.dedup import o_word_shingles_case, word_shingles
+from hadoop_release_spark.operators.dedup import (
+    gram_keys,
+    o_word_shingles_case,
+    word_shingles,
+)
 from hadoop_release_spark.operators.similarity import o_systematic_centroids
 from hadoop_release_spark.operators.rank import global_prefix_sum
 from hadoop_release_spark.plans.registry import register
@@ -158,42 +162,71 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never doc×doc. The document-frequency pre-filter is the
     load-bearing skew guard: a boilerplate gram appearing in F train
     docs fans out F rows per eval occurrence, so grams with
-    df > DECON_MAX_GRAM_DF (a tiny, broadcastable set by definition)
-    are excluded from matching before the join — they carry no
-    contamination signal and they are exactly the hot keys that would
-    skew it. Emits one row per eval doc (zero-filled), so the result
-    is never vacuously empty."""
+    df > DECON_MAX_GRAM_DF are excluded from matching before the
+    join — they carry no contamination signal and they are exactly
+    the hot keys that would skew it. Emits one row per eval doc
+    (zero-filled), so the result is never vacuously empty.
+
+    TOPOLOGY (round-13 rewrite, measured): everything downstream
+    hangs off ONE gram-keyed exchange whose map stage runs the gram
+    kernel exactly once. The round-12 form persisted the gram table
+    for its three consumers (train side, eval side, df guard) — but
+    the consumers' leaf stages are independent, Spark schedules
+    them concurrently, and they RACE the cache population, each
+    recomputing the kernel ("Block already exists" churn; the
+    composed sf10 query measured ~3× the sum of its
+    pre-materialized stages). A plain repartition narrowed but did
+    not close the hole: Catalyst pushes the train/eval doc_id
+    filters below the kernel and the df guard's anti-join splits
+    the train subtree, so the train slice still ran the kernel
+    twice. The fix is the WINDOW form: the per-gram train-df rides
+    a window over the one exchange (a filter on a window output
+    cannot push below the window, and the eval-flag filter cannot
+    either — it is not the partition key — so the exchange subtree
+    stays byte-identical across branches and AQE reuses the ONE
+    shuffle stage), the heavy-gram drop is a filter instead of an
+    anti-join, and the pair join's two sides arrive co-partitioned
+    (sorts only, no further exchange). Trade documented: a
+    hotter-than-the-cap gram buffers df rows in its window group
+    before the filter drops it (WindowExec spills; the df>cap agg
+    of the old form shrank map-side instead) — accepted for the
+    whole removed kernel pass; the exit at pathological heat is the
+    two-pass agg form this replaced."""
     d = table(spark, sf_dir, "documents")
-    # Join on the 16-hex-char md5 prefix of the gram, not the gram
-    # text: an 8-word gram is ~60-100 bytes and the gram column is
-    # the whole shuffle payload, so hashing slims every exchange
-    # ~5× (the thing that matters at 100 TB). md5 is the portable
-    # hash (contract rule 6) so the oracle replays the same keys;
-    # 64-bit collisions are ~n²/2⁶⁵ — nonexistent at corpus scale.
+    # Grams travel as 64-bit LONG keys from gram_keys (the Arrow
+    # kernel form of explode(word_shingles)+hash): the keys exist
+    # only to be joined and counted, never output, and the oracle
+    # replays gram EQUALITY with its own md5 keys — so injectivity
+    # is the whole contract and the portable-hash rule (rule 6)
+    # does not bind. Collision math unchanged vs the previous
+    # 16-hex-char md5-prefix key (both 64-bit). What changed is the
+    # COST: the interpreted word_shingles lambda built every gram
+    # as a string (profiled ~26 s of l28's ~32 s gen_sf-sf1 wall,
+    # round 13) where the kernel does factorize-once + k
+    # shifted-multiply-adds, and an 8-byte primitive key shuffles
+    # slimmer than a 16-char string through every exchange below.
     grams = d.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias("__g"),
-    ).select("doc_id", F.substring(F.md5(F.col("__g")), 1, 16).alias("gram"))
-    # grams feeds THREE consumers (train side, eval side, df-heavy
-    # set) — unpersisted, the shingle+md5 explosion re-runs per
-    # branch. Persist the slim (doc_id, 16-char gram) rows once
-    # (released by the registry wrapper; at 100 TB this is the
-    # standard materialize-the-gram-table step of a decontamination
-    # run, DISK_ONLY if executor memory is tight).
-    grams = grams.persist()
+        F.explode(gram_keys(F.col("text"), DECON_NGRAM_K)).alias("gram"),
+    )
+    # ONE gram-keyed exchange (see TOPOLOGY in the docstring); the
+    # single-kernel-pass shape is pinned in test_plans.py.
+    grams = grams.repartition("gram")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    train = grams.filter(~is_eval)
-    ev = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), "gram"
-    )
 
-    # word_shingles emits DISTINCT grams per doc, so count(*) per gram
-    # is its document frequency. The heavy set is bounded (≤ corpus
-    # vocabulary of boilerplate), broadcast anti-join removes it.
-    heavy = (
-        train.groupBy("gram").count().filter(F.col("count") > DECON_MAX_GRAM_DF)
-    )
-    train = train.join(F.broadcast(heavy.select("gram")), "gram", "left_anti")
+    # gram_keys emits DISTINCT grams per doc, so the per-gram count
+    # of train rows is the gram's train document frequency. Computed
+    # as a window over the one exchange — no second corpus pass, no
+    # anti-join split; the df filter then drops heavy grams' rows on
+    # BOTH sides (an eval row of a heavy gram had nothing to match
+    # anyway, so this equals the oracle's train-side-only exclusion).
+    w = Window.partitionBy("gram")
+    g2 = grams.withColumn(
+        "__train_df",
+        F.sum(F.when(is_eval, F.lit(0)).otherwise(F.lit(1))).over(w),
+    ).filter(F.col("__train_df") <= DECON_MAX_GRAM_DF)
+    train = g2.filter(~is_eval).select("doc_id", "gram")
+    ev = g2.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
 
     pairs = (
         train.join(ev, "gram")

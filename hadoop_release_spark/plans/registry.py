@@ -294,6 +294,12 @@ _PLAN_REWRITES: dict[str, int] = {
     # pinned identical (l76 == l58), but the policy counts changed
     # staging as material — recorded as 13.
     "l76_knn_self_bucketed": 13,
+    # round-13 rewrite: gram construction moved from the interpreted
+    # word_shingles+md5-prefix expression (profiled ~26 s of the
+    # ~32 s gen_sf-sf1 wall) to the gram_keys Arrow kernel — 64-bit
+    # long keys, equality classes pinned bijective with the
+    # expression form. No r13 grade yet at rewrite time → 13.
+    "l28_decontaminate": 13,
 }
 
 

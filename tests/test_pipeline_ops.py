@@ -381,3 +381,134 @@ def test_l75_gated_ingest_equals_l72_and_shrinks_verify_input(spark, sf_dir):
     # ungated l28-style check would
     assert total_pass < total_grams
     assert total_pass <= 0.9 * total_grams, (total_pass, total_grams)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_GK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+_GK_GIVEN = given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "x", ""]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+
+
+def _doc_set_profile(pairs):
+    """Multiset of per-gram doc-sets: [(sorted doc ids...), ...] sorted.
+    Invariant under any INJECTIVE re-keying of the grams; any key
+    collision merges two doc-sets and breaks it."""
+    by_gram: dict = {}
+    for doc_id, g in pairs:
+        by_gram.setdefault(g, set()).add(doc_id)
+    return sorted(tuple(sorted(s)) for s in by_gram.values())
+
+
+def test_gram_keys_bijects_with_word_shingles(spark, sf_dir):
+    """gram_keys (the l28 Arrow kernel) must induce EXACTLY the
+    equality classes of explode(word_shingles): per doc the distinct
+    counts match, and globally the multiset of per-gram doc-sets
+    matches — a bijection gram-text ↔ key over the fixture corpus.
+    Key VALUES are untestable by design (different hash family);
+    equality classes are the whole contract l28 consumes."""
+    from hadoop_release_spark.operators.dedup import gram_keys, word_shingles
+    from hadoop_release_spark.plans.l_pipeline import DECON_NGRAM_K
+
+    d = table(spark, sf_dir, "documents")
+    expr = [
+        (r["doc_id"], r["g"])
+        for r in d.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), DECON_NGRAM_K)).alias("g"),
+        ).collect()
+    ]
+    kern = [
+        (r["doc_id"], r["g"])
+        for r in d.select(
+            "doc_id",
+            F.explode(gram_keys(F.col("text"), DECON_NGRAM_K)).alias("g"),
+        ).collect()
+    ]
+    # per-doc distinct counts
+    from collections import Counter
+
+    assert Counter(x[0] for x in expr) == Counter(x[0] for x in kern)
+    # global equality-class structure
+    assert _doc_set_profile(expr) == _doc_set_profile(kern)
+
+
+def test_gram_keys_planted_shapes(spark):
+    """Structural cases the bijection test can't isolate: cross-doc
+    gram equality (the join property l28 lives on), the short-doc
+    whole-text fallback, per-doc distinctness, and null/empty text."""
+    from hadoop_release_spark.operators.dedup import gram_keys
+
+    rows = [
+        (1, "a b c d e f g h i"),   # two 8-gram windows
+        (2, "a b c d e f g h"),     # exactly k: one gram == doc 1's first
+        (3, "b c d e f g h i"),     # == doc 1's second window
+        (4, "a b c d e f g"),       # k-1 tokens: whole-text fallback
+        (5, "a b c d e f g h a b c d e f g h"),  # windows incl. repeats
+        (6, ""),                    # one empty-string token
+        (7, None),                  # null text -> [null] gram
+        (8, "a b c d e f g h i"),   # identical to doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in df.select(
+        "doc_id", gram_keys(F.col("text"), 8).alias("ks")
+    ).collect():
+        out[r["doc_id"]] = r["ks"]
+    assert len(out[1]) == 2 and len(set(out[1])) == 2
+    assert len(out[2]) == 1 and out[2][0] in out[1]
+    assert len(out[3]) == 1 and out[3][0] in out[1]
+    assert set(out[2]) | set(out[3]) == set(out[1])
+    assert len(out[4]) == 1 and out[4][0] not in out[1]
+    # doc 5: 9 windows over 16 tokens, many duplicates; every window
+    # that equals "a..h" collapses — distinctness per doc
+    assert len(out[5]) == len(set(out[5]))
+    # doc 5's windows at offsets 0 and 8 are both "a..h" == doc 2's gram
+    assert out[2][0] in out[5]
+    assert len(out[6]) == 1
+    assert out[7] == [None]
+    assert sorted(out[8]) == sorted(out[1])
+
+
+@_GK_SETTINGS
+@_GK_GIVEN
+def test_gram_keys_property_matches_word_shingles(spark, docs):
+    """Hypothesis: for ANY token soup (tiny alphabet, heavy repeats,
+    lengths straddling k), gram_keys induces word_shingles' equality
+    classes — per-doc counts and the global doc-set profile."""
+    from collections import Counter
+
+    from hadoop_release_spark.operators.dedup import gram_keys, word_shingles
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = [
+        (r["doc_id"], r["g"])
+        for r in df.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), k)).alias("g"),
+        ).collect()
+    ]
+    kern = [
+        (r["doc_id"], r["g"])
+        for r in df.select(
+            "doc_id", F.explode(gram_keys(F.col("text"), k)).alias("g")
+        ).collect()
+    ]
+    assert Counter(x[0] for x in expr) == Counter(x[0] for x in kern)
+    assert _doc_set_profile(expr) == _doc_set_profile(kern)

@@ -713,3 +713,54 @@ def test_rendezvous_shard_stage_is_shuffle_free(spark, sf_dir):
     plan61 = _plan(spark, sf_dir, "l61_shard_manifest")
     assert plan61.count("Exchange hashpartitioning") == 1, plan61
     assert "Window" not in plan61 and "Generate" not in plan61, plan61
+
+
+def test_l28_single_kernel_pass_reused_exchange(spark, sf_dir):
+    """Round-13 topology pin: l28's gram kernel must run as the map
+    stage of ONE gram-keyed exchange that every consumer reuses.
+    The persisted round-12 form let the three consumers' concurrent
+    leaf stages race the cache and re-run the kernel (~3× the
+    pre-materialized stage sum at gen_sf sf10); a plain repartition
+    still split the train subtree through the df-guard anti-join.
+    The window form pins: after execution, the FINAL adaptive plan
+    holds exactly one ArrowEvalPython, a ReusedExchange for the
+    second window branch, no InMemoryRelation (no cache to race),
+    and the pair join arrives co-partitioned (no exchange between
+    the windows and the SortMergeJoin)."""
+    import re
+
+    # At fixture scale AQE flips the pair join to broadcast, whose
+    # exchange subtree defeats reuse — force the AT-SCALE shape (the
+    # one the sf10 measurements run, where both sides exceed any
+    # broadcast threshold) so the pin guards the plan that matters.
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = specs()["l28_decontaminate"].fn(spark, sf_dir)
+        df.collect()
+        jvm = spark._jvm
+        final = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the formatted explain prints the FINAL plan tree, then the
+    # initial (pre-AQE) tree and the node dictionary; count kernels
+    # in the final tree only — the initial tree legitimately shows
+    # the un-reused branches AQE collapses at runtime
+    tree = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
+    assert "ReusedExchange" in tree, tree
+    assert "InMemoryRelation" not in tree, tree
+    assert "Window" in tree, tree

@@ -75,10 +75,21 @@ def word_shingles(text: Column, k: int = LSH_SHINGLE_K) -> Column:
 _GRAM_C = 0x9E3779B97F4A7C15
 
 
-def gram_keys(text: Column, k: int) -> Column:
+def gram_keys(text: Column, k: int, short_doc: str = "whole_text") -> Column:
     """64-bit keys of the distinct k-word grams of ``text`` — the
     Arrow-kernel hot form of ``explode(word_shingles(text, k))``
     for consumers that join/aggregate on gram EQUALITY only.
+
+    ``short_doc`` picks the under-k-tokens branch: ``"whole_text"``
+    mirrors :func:`word_shingles` (one whole-text gram);
+    ``"empty"`` mirrors the l13/l66 ``_shingles3`` ORACLE (zero
+    grams — `range(1, len-1)` is empty in DuckDB). NOTE the Spark
+    ``_shingles3`` EXPRESSION does not implement its own oracle
+    there: ``sequence(1, size-2)`` runs DESCENDING when size < 3
+    and the out-of-bounds element_at throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (verified on Spark 4.1.2) —
+    a latent crash no fixture doc triggers; the kernel's "empty"
+    mode is the oracle-faithful behavior.
 
     :func:`word_shingles` builds every gram as a string
     (array_join over a slice, per position, per doc) inside an
@@ -119,6 +130,9 @@ def gram_keys(text: Column, k: int) -> Column:
     import hashlib
     from itertools import chain
 
+    if short_doc not in ("whole_text", "empty"):
+        raise ValueError(f"short_doc must be whole_text|empty, got {short_doc!r}")
+    whole_text_fallback = short_doc == "whole_text"
     kk = int(k)
     _MASK = (1 << 64) - 1
     # powers[j] = C^(k-1-j) mod 2^64, via python ints (explicit mod —
@@ -170,7 +184,7 @@ def gram_keys(text: Column, k: int) -> Column:
             n = len(tl)
             if n >= kk:
                 keys = np.unique(acc[pos : pos + n - kk + 1])
-            else:
+            elif whole_text_fallback:
                 # whole-text fallback: Horner over all n tokens —
                 # for n == k this EQUALS the single window key.
                 # Python-int arithmetic with an explicit 2^64 mask
@@ -180,11 +194,179 @@ def gram_keys(text: Column, k: int) -> Column:
                 for x in h[pos : pos + n]:
                     key = (key * _GRAM_C + int(x)) & _MASK
                 keys = np.array([key], dtype=np.uint64)
+            else:
+                keys = np.empty(0, dtype=np.uint64)
             out.append(keys.view(np.int64))
             pos += n
         return pd.Series(out, dtype=object)
 
     return _gk(text)
+
+
+def shingle_sketch(text: Column, k: int = LSH_SHINGLE_K) -> Column:
+    """``struct<shingles: array<string>, hashes: array<long>>`` —
+    the Arrow-kernel hot form of
+    ``word_shingles(text, k)`` + ``shingle_hashes(...)`` producing
+    BIT-IDENTICAL values (unlike :func:`gram_keys`, these values
+    are oracle-replayed: the hashes feed the MinHash math and the
+    shingle strings feed exact-Jaccard verification, so contract
+    rule 6 binds and the kernel must reproduce the md5 numbers
+    exactly — ``int(md5(gram)[:15 hex], 16) % P``, first-occurrence
+    distinct order, whole-text fallback under k tokens, [NULL] for
+    null text).
+
+    Why: profiled on gen_sf sf1 (round 13), the interpreted
+    word_shingles string-building lambda was ~18 s of l02's ~30 s
+    wall (the md5+conv projection itself is cheap JVM-side; the
+    per-position array_join/slice interpretation is not). The
+    kernel builds the same strings with python slicing and
+    memoizes the md5 per distinct gram per batch. Value parity is
+    pinned array-for-array against the expression forms
+    (tests/test_llm_ops.py::test_shingle_sketch_equals_expression
+    + a hypothesis property)."""
+    import hashlib
+
+    kk = int(k)
+
+    @F.pandas_udf("struct<shingles: array<string>, hashes: array<long>>")
+    def _sk(texts: pd.Series) -> pd.DataFrame:
+        sh_out: list = []
+        h_out: list = []
+        memo: dict = {}
+
+        def hv(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % _P
+                )
+                memo[g] = v
+            return v
+
+        for t in texts:
+            if t is None:
+                # word_shingles(NULL) → [NULL]; shingle_hashes([NULL])
+                # → [NULL] (md5 of a null element is null).
+                sh_out.append([None])
+                h_out.append([None])
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            if n >= kk:
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + kk]) for i in range(n - kk + 1)
+                    )
+                )
+            else:
+                grams = [" ".join(toks)]
+            sh_out.append(grams)
+            h_out.append([hv(g) for g in grams])
+        return pd.DataFrame({"shingles": sh_out, "hashes": h_out})
+
+    return _sk(text)
+
+
+def positional_gram_md5(text: Column, k: int) -> Column:
+    """``array<binary>`` of the md5 digests of EVERY k-gram of
+    ``text`` in position order (no dedup — index i is the gram at
+    token offset i), bit-identical to the expression form
+    ``transform(sequence(0, size-k), i -> unhex(md5(array_join(
+    slice(toks, i+1, k), ' '))))`` that l74 shipped through
+    round 12. Docs shorter than k tokens yield an EMPTY array
+    (l74 filters them out before exploding anyway); null text
+    yields null (split(NULL) → sequence over null sizes → NULL in
+    the expression form).
+
+    Why a kernel: the per-position array_join + md5 runs in the
+    interpreted higher-order-lambda path (no codegen) — the same
+    tax measured at ~60-80%% of the l28/l02 walls (round 13). The
+    16-BYTE value is kept (not a 64-bit key): l74 is a REMOVAL
+    plan, and a key collision fabricates a verbatim-span match, so
+    the wider hash stays worth its shuffle bytes there; parity is
+    therefore pinned on VALUES
+    (tests/test_pipeline_ops.py::test_positional_gram_md5_equals_expression)."""
+    import hashlib
+
+    kk = int(k)
+
+    @F.pandas_udf("array<binary>")
+    def _pg(texts: pd.Series) -> pd.Series:
+        out: list = []
+        memo: dict = {}
+
+        def hv(g: str) -> bytes:
+            v = memo.get(g)
+            if v is None:
+                v = hashlib.md5(g.encode("utf-8")).digest()
+                memo[g] = v
+            return v
+
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            if n < kk:
+                out.append([])
+                continue
+            out.append(
+                [
+                    hv(" ".join(toks[i : i + kk]))
+                    for i in range(n - kk + 1)
+                ]
+            )
+        return pd.Series(out, dtype=object)
+
+    return _pg(text)
+
+
+def word_gram_digests(text: Column, k: int) -> Column:
+    """``array<binary>`` of the md5 DIGESTS of the distinct k-word
+    grams of ``text`` — bit-identical to
+    ``transform(word_shingles(text, k), x -> unhex(md5(x)))`` (the
+    l72/l75 gram form: first-occurrence distinct order, whole-text
+    fallback under k tokens, [NULL] for null text). The digest
+    bytes are VALUE-BEARING there (bloom bit positions read digest
+    bytes 1-4/5-8 and the oracle replays them), so this kernel
+    reproduces the exact bytes; parity pinned in
+    tests/test_pipeline_ops.py::test_word_gram_digests_equals_expression.
+    Same motivation as :func:`shingle_sketch`: the interpreted
+    string-building lambda is the measured tax, the md5 is cheap."""
+    import hashlib
+
+    kk = int(k)
+
+    @F.pandas_udf("array<binary>")
+    def _gd(texts: pd.Series) -> pd.Series:
+        out: list = []
+        memo: dict = {}
+
+        def hv(g: str) -> bytes:
+            v = memo.get(g)
+            if v is None:
+                v = hashlib.md5(g.encode("utf-8")).digest()
+                memo[g] = v
+            return v
+
+        for t in texts:
+            if t is None:
+                out.append([None])
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            if n >= kk:
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + kk]) for i in range(n - kk + 1)
+                )
+            else:
+                grams = {" ".join(toks): None}
+            out.append([hv(g) for g in grams])
+        return pd.Series(out, dtype=object)
+
+    return _gd(text)
 
 
 def shingle_hashes(shingles: Column) -> Column:
@@ -298,31 +480,29 @@ def lsh_candidate_pairs(
     Returns columns: id_a, id_b, jaccard (rounded 3dp).
     """
     rows_per_band = num_hashes // bands
-    # Staged signature: shingle hashes bound to a column FIRST, the
-    # 64 permutations then reference it — one md5+conv per shingle
-    # instead of one per (shingle, permutation). A mere projection
-    # boundary is NOT enough: CollapseProject inlines single-use
-    # aliases back into the per-permutation lambda (verified on
-    # Spark 4.1.2 — the optimized plan showed md5 nested inside
-    # array_min's lambda; advisor finding, round 7), so the stage is
-    # pinned with a PHYSICAL barrier: the persisted frame carries
-    # __h, and everything downstream (signature, banding) reads the
-    # cached hashes. tests/test_plans.py::
-    # test_lsh_md5_staged_outside_permutation_lambda pins this so a
-    # Spark upgrade can't silently regress it.
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
-        )
-        .select(
-            "__id",
-            "__shingles",
-            shingle_hashes(F.col("__shingles")).alias("__h"),
-        )
+    # Sketch stage: shingles AND their 60-bit hashes come from the
+    # shingle_sketch Arrow kernel in one pass (round 13 — the
+    # interpreted word_shingles string-building lambda was ~60% of
+    # l02's wall; values bit-parity-pinned vs the expression forms).
+    # This also retires the round-7 CollapseProject hazard (md5
+    # re-nesting inside the per-permutation array_min lambda): no
+    # md5/conv expression exists in the JVM plan at all, pinned by
+    # tests/test_plans.py::
+    # test_lsh_hashing_lives_in_kernel_not_jvm_lambdas. The persist
+    # below still serves banding (__h) and verification
+    # (__shingles) from one kernel pass.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_sketch(F.col(text_col), shingle_k).alias("__sk"),
+    ).select(
+        "__id",
+        F.col("__sk.shingles").alias("__shingles"),
+        F.col("__sk.hashes").alias("__h"),
     )
     # The persisted sketch table serves banding (via __h) AND
-    # verification (via __shingles): the shingle+md5 pass runs once.
+    # verification (via __shingles): the shingle+md5 kernel pass
+    # (bit-identical to the word_shingles/shingle_hashes expression
+    # forms — see shingle_sketch) runs once.
     base = base.persist()
 
     # Candidate generation on SLIM rows only — (id, band, bucket).
@@ -352,10 +532,17 @@ def lsh_candidate_pairs(
         ).alias("__band", "__bucket"),
     )
 
-    # The band table feeds BOTH self-join sides; persist the slim
-    # (id, band, bucket) rows so the signature kernel + explode run
-    # once, not twice (released with the base cache, same contract).
-    banded = banded.persist()
+    # The band table feeds BOTH self-join sides. A persist here (the
+    # round-11 form) RACES: the join's two child stages are scheduled
+    # concurrently and each recomputes the unmaterialized cache — the
+    # signature kernel + explode ran twice anyway ("Block already
+    # exists" churn; the l28 topology find, round 13). One explicit
+    # exchange on the join keys fixes it: both sides read the REUSED
+    # shuffle stage (identical subtree — alias-only divergence), the
+    # join arrives co-partitioned, and the banding pipeline runs
+    # exactly once as the exchange's map stage (which also populates
+    # the base cache for the verification joins below, sequentially).
+    banded = banded.repartition("__band", "__bucket")
     left = banded.alias("a")
     right = banded.alias("b")
     candidate_ids = (
@@ -669,16 +856,13 @@ def lsh_pair_calibration(
     (e.g. hypothesis running hundreds of examples) accumulates one
     cached shingle pass per call until LRU eviction kicks in."""
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_k).alias("__shingles"),
-        )
-        .select(
-            "__id",
-            "__shingles",
-            shingle_hashes(F.col("__shingles")).alias("__h"),
-        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_sketch(F.col(text_col), shingle_k).alias("__sk"),
+    ).select(
+        "__id",
+        F.col("__sk.shingles").alias("__shingles"),
+        F.col("__sk.hashes").alias("__h"),
     )
     base = base.persist()
     sigs = base.select(
@@ -701,10 +885,11 @@ def lsh_pair_calibration(
             )
         ).alias("__band", "__bucket"),
     )
-    # The band table feeds BOTH self-join sides; persist the slim
-    # (id, band, bucket) rows so the signature kernel + explode run
-    # once, not twice (released with the base cache, same contract).
-    banded = banded.persist()
+    # Same band-join topology fix as lsh_candidate_pairs: an explicit
+    # exchange on the join keys instead of a persist the concurrent
+    # self-join sides would race (each side recomputing the signature
+    # pipeline) — both sides read the ONE reused shuffle stage.
+    banded = banded.repartition("__band", "__bucket")
     left = banded.alias("a")
     right = banded.alias("b")
     candidate_ids = (

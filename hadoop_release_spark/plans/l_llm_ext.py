@@ -2440,51 +2440,72 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the l28 boilerplate-gram precedent, and ALSO the right
     semantics: shared boilerplate is not containment, so sizes and
     intersections both live on the rare-shingle universe), then one
-    shingle-keyed self-join + pair agg counts intersections. Sizes
-    re-attach by doc_id as slim shuffle-hash joins (hinted — at
-    corpus scale nothing here is broadcastable). Text never
-    shuffles: only (shingle, id) and (id, count) rows move. The
-    shared :func:`_shingles3` / ``_O_SHINGLES3`` definition keeps
-    l13 and l66 on one shingling rule."""
+    shingle-keyed self-join + pair agg counts intersections. Text
+    never shuffles: only (shingle, id, size) rows move. The shared
+    ``_O_SHINGLES3`` definition keeps l13 and l66 on one shingling
+    rule; the Spark side rides the ``gram_keys`` Arrow kernel (k=3,
+    short_doc="empty" — the oracle's range() branch) whose equality
+    classes are pinned bijective with the expression form.
+
+    TOPOLOGY (round-13, the l28 rewrite applied here): the posting
+    list used to be persisted for its three consumers (sizes + both
+    self-join sides) — whose independent leaf stages RACE the cache
+    and re-run the shingle explode concurrently — and the df guard
+    was a separate agg + join costing one more pass. Now the WHOLE
+    query is one chain off ONE shingle-keyed exchange whose map
+    stage runs the kernel once: the df guard rides a window over it
+    (window-output filters cannot push below the window, so the
+    exchange subtree stays identical across branches and AQE reuses
+    the single shuffle stage — pinned in test_plans.py), per-doc
+    sizes ride a second window (doc_id) so every posting carries
+    its doc's nsh and the pair agg takes min() of the constant —
+    the old size-reattach joins (whose separate corpus consumer was
+    a kernel pass the reuse cache missed) are gone, and the
+    self-join's two sides arrive from the reused stage. Keys are
+    64-bit longs (join-internal — the oracle replays shingle
+    equality with its own text keys; the kernel key replaced the
+    16-byte md5 VALUE of round 11, same injectivity contract, half
+    the shuffle payload, collisions ~n²/2⁶⁴ as documented on
+    gram_keys). Trade: a hotter-than-cap shingle buffers df rows in
+    its window group before the filter drops it (WindowExec spills;
+    the old agg form shrank map-side) — accepted for the removed
+    explode passes."""
+    from hadoop_release_spark.operators.dedup import gram_keys
+
     d = table(spark, sf_dir, "documents")
-    # the key that shuffles is the exact 16-byte md5 VALUE of the
-    # shingle, not its text (injective, so every count is identical;
-    # fixed-width binary keys shrink all three exchanges — round 11)
     sh = d.select(
         "doc_id",
-        F.explode(
-            F.transform(_shingles3(), lambda x: F.unhex(F.md5(x)))
-        ).alias("s"),
+        F.explode(gram_keys(F.col("text"), 3, short_doc="empty")).alias("s"),
+    ).repartition("s")
+    wdf = Window.partitionBy("s")
+    shr = sh.withColumn("__dfreq", F.count("*").over(wdf)).filter(
+        F.col("__dfreq") <= _L66_MAX_DF
     )
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("dfreq"))
-        .filter(F.col("dfreq") <= _L66_MAX_DF)
-        .select("s")
-    )
-    # The rare-shingle posting list feeds THREE consumers (sizes and
-    # both join sides); persist it so the explode + df-guard join run
-    # once, not three times (the l02 sketch-table precedent — the
-    # registry wrapper releases the cache at the next query).
-    shr = sh.join(rare.hint("shuffle_hash"), "s").persist()
-    sz = shr.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nsh"))
-    a = shr.select(F.col("doc_id").alias("ia"), "s")
-    b = shr.select(F.col("doc_id").alias("ib"), "s")
+    # Per-doc rare-shingle count as a SECOND window (doc_id) in the
+    # same chain: every posting row carries its doc's size, so the
+    # pair join's output already holds n_a/n_b and the old two
+    # size-reattach joins (plus their own corpus consumer — a THIRD
+    # kernel pass the reuse cache missed) disappear. n is constant
+    # within a (doc) group, so min() over the pair group is exact.
+    wsz = Window.partitionBy("doc_id")
+    g3 = shr.withColumn("nsh", F.count("*").over(wsz).cast("bigint"))
+    a = g3.select(F.col("doc_id").alias("ia"), "s", F.col("nsh").alias("n_a"))
+    b = g3.select(F.col("doc_id").alias("ib"), "s", F.col("nsh").alias("n_b"))
     pairs = (
-        a.join(b.hint("shuffle_hash"), ["s"])
+        a.join(b, ["s"])
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
-        .agg(F.count("*").cast("bigint").alias("inter"))
+        .agg(
+            F.count("*").cast("bigint").alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sa = sz.select(F.col("doc_id").alias("ia"), F.col("nsh").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("ib"), F.col("nsh").alias("n_b"))
     cont = F.col("inter").cast("double") / F.least("n_a", "n_b").cast(
         "double"
     )
     return (
-        pairs.join(sa.hint("shuffle_hash"), "ia")
-        .join(sb.hint("shuffle_hash"), "ib")
-        .filter(cont >= _L66_MIN_CONTAINMENT)
+        pairs.filter(cont >= _L66_MIN_CONTAINMENT)
         .select(
             F.col("ia").alias("id_a"),
             F.col("ib").alias("id_b"),

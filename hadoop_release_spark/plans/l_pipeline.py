@@ -41,6 +41,8 @@ from hadoop_release_spark.catalog import table
 from hadoop_release_spark.operators.dedup import (
     gram_keys,
     o_word_shingles_case,
+    positional_gram_md5,
+    word_gram_digests,
     word_shingles,
 )
 from hadoop_release_spark.operators.similarity import o_systematic_centroids
@@ -2617,16 +2619,17 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _grams(df: DataFrame) -> DataFrame:
         # the gram key that shuffles is the exact 16-byte md5 VALUE
-        # (unhex) — injective, so every distinct/join/count is
-        # identical, rows are fixed-width, and the bit positions
-        # below read md5 bytes instead of re-hashing (round 11)
+        # — injective, so every distinct/join/count is identical,
+        # rows are fixed-width, and the bit positions below read md5
+        # bytes instead of re-hashing (round 11). Round 13: the
+        # digests come from the word_gram_digests Arrow kernel
+        # (bit-parity-pinned vs the word_shingles+unhex(md5)
+        # expression) — the interpreted string-building lambda was
+        # the measured tax on every gram op this round.
         return df.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    word_shingles(F.col("text"), DECON_NGRAM_K),
-                    lambda x: F.unhex(F.md5(x)),
-                )
+                word_gram_digests(F.col("text"), DECON_NGRAM_K)
             ).alias("g"),
         )
 
@@ -2782,14 +2785,18 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches into maximal runs in one window pass. Deterministic
     end-to-end: md5 gram keys, integer positions, no floats.
 
-    Scale shape: the gram explode is linear in corpus tokens and
-    fused into the scan (only (doc_id, pos, 16-byte md5) rows shuffle —
-    text never does); the df-guard map-side-combines to one count
-    per distinct gram and bounds the equi-join at C(MAX_DF,2) per
-    bucket (the l66 argument — matches are Σ df² over
-    near-singleton buckets, never doc×doc); the run-merge window
-    partitions by (pair, diagonal) — cardinality ≤ matches, slim
-    integer rows. The 100 TB exits, documented in SCALE.md: larger
+    Scale shape: the gram kernel is linear in corpus tokens and
+    runs ONCE as the map stage of the one gram-keyed exchange (only
+    (doc_id, pos, 16-byte md5) rows shuffle — text never does); the
+    df-guard rides two stacked windows over that exchange (the
+    window trade vs the old map-side-combined agg: a hot gram
+    buffers its postings in the window group before the filter
+    drops it, WindowExec spills — accepted for the removed
+    duplicate kernel pass, exit = the two-pass agg form) and bounds
+    the equi-join at C(MAX_DF,2) per bucket (the l66 argument —
+    matches are Σ df² over near-singleton buckets, never doc×doc);
+    the run-merge window partitions by (pair, diagonal) —
+    cardinality ≤ matches, slim integer rows. The 100 TB exits, documented in SCALE.md: larger
     K (Lee et al. use 50 — fewer, rarer grams), gram-range
     bucketing, and the suffix-array-per-shard + cross-shard gram
     seam pass for the full published construction.
@@ -2810,38 +2817,45 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = L74_GRAM_K
     toks = F.split(F.col("text"), " ")
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # positional_gram_md5: the 16-byte md5 VALUES of the expression
+    # form (unhex(md5(array_join(slice)))), bit-parity-pinned, built
+    # in the Arrow kernel instead of the interpreted per-position
+    # lambda (the l28/l02 tax, round 13). The 16-byte width is kept
+    # on purpose: l74 emits a REMOVAL plan, and a narrower key's
+    # collision fabricates a verbatim match.
     g = (
         d.filter(F.size(toks) >= k)
         .select(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    # unhex: the key that shuffles/joins is the exact
-                    # 16-byte md5 VALUE, not its 32-char hex spelling
-                    # — injective, so grouping/joining is identical,
-                    # and the gram exchange rows halve (measured ~2×
-                    # on the whole op, round 11)
-                    lambda i: F.unhex(
-                        F.md5(F.array_join(F.slice(toks, i + 1, k), " "))
-                    ),
-                )
-            ).alias("pos", "h"),
+            F.posexplode(positional_gram_md5(F.col("text"), k)).alias(
+                "pos", "h"
+            ),
         )
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
     )
-    # Boilerplate guard: one map-side-combined distinct-doc count
-    # per gram; grams above the bound never enter the join. Persist
-    # the guarded gram table — it feeds BOTH join sides, and an
-    # unpersisted read would re-run the explode twice (registry-
-    # released, the lsh staging contract).
-    keep = (
-        g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("dfreq"))
-        .filter(F.col("dfreq") <= L74_MAX_DF)
-        .select("h")
+    # TOPOLOGY (round 13, the l28 treatment): the old form computed
+    # the df guard as a separate agg + semi-join and persisted the
+    # result for the self-join sides — the guard branch and the
+    # semi-join's left raced the explode (two concurrent kernel
+    # passes). One gram-keyed exchange now feeds everything: the
+    # distinct-doc frequency rides two stacked windows over it (a
+    # first-occurrence flag per (h, doc) summed per h — both windows
+    # cluster by h, so ONE exchange serves them), the guard is a
+    # filter, and the self-join's sides read the reused stage
+    # co-partitioned (pinned in test_plans.py).
+    g = g.repartition("h")
+    w_hd = Window.partitionBy("h", "doc_id").orderBy("pos")
+    w_h = Window.partitionBy("h")
+    gg = (
+        g.withColumn(
+            "__first",
+            F.when(F.row_number().over(w_hd) == 1, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("__dfreq", F.sum("__first").over(w_h))
+        .filter(F.col("__dfreq") <= L74_MAX_DF)
     )
-    gg = g.join(keep, "h", "left_semi").persist()
     a = gg.select(
         "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )
@@ -2983,16 +2997,17 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _grams(df: DataFrame) -> DataFrame:
         # the gram key that shuffles is the exact 16-byte md5 VALUE
-        # (unhex) — injective, so every distinct/join/count is
-        # identical, rows are fixed-width, and the bit positions
-        # below read md5 bytes instead of re-hashing (round 11)
+        # — injective, so every distinct/join/count is identical,
+        # rows are fixed-width, and the bit positions below read md5
+        # bytes instead of re-hashing (round 11). Round 13: the
+        # digests come from the word_gram_digests Arrow kernel
+        # (bit-parity-pinned vs the word_shingles+unhex(md5)
+        # expression) — the interpreted string-building lambda was
+        # the measured tax on every gram op this round.
         return df.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    word_shingles(F.col("text"), DECON_NGRAM_K),
-                    lambda x: F.unhex(F.md5(x)),
-                )
+                word_gram_digests(F.col("text"), DECON_NGRAM_K)
             ).alias("g"),
         )
 

@@ -300,6 +300,29 @@ _PLAN_REWRITES: dict[str, int] = {
     # long keys, equality classes pinned bijective with the
     # expression form. No r13 grade yet at rewrite time → 13.
     "l28_decontaminate": 13,
+    # round-13 rewrite: same treatment for l66 (gram_keys kernel,
+    # single reused shingle exchange, window df-guard + window
+    # sizes replacing the persist/agg/joins). sf10 319.6 → 28.7 s
+    # median. No r13 grade yet at rewrite time → 13.
+    "l66_containment_dedup": 13,
+    # round-13 topology fix in the SHARED lsh_candidate_pairs: the
+    # banded self-join's persist raced its two concurrent child
+    # stages (each recomputing the signature pipeline); now an
+    # explicit (band,bucket) exchange both sides reuse. Bumps every
+    # consumer of the helper that the driver grades by plan.
+    "l02_dedup_near": 13,
+    "l22_dedup_survivors": 13,
+    "l68_minhash_calibration": 13,
+    "l30_dedup_incremental": 13,
+    "l70_corpus_pipeline_v2": 13,
+    # round-13 rewrites: l74 rides the positional_gram_md5 kernel
+    # (bit-parity-pinned digests) with a window df-guard over one
+    # reused exchange; l72/l75 ride the word_gram_digests kernel
+    # (bit-parity-pinned — digest bytes are value-bearing bloom
+    # positions). No r13 grades at rewrite time → 13.
+    "l74_exact_substring": 13,
+    "l72_bloom_gram_gate": 13,
+    "l75_bloom_gated_ingest": 13,
 }
 
 

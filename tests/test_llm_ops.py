@@ -216,3 +216,66 @@ def test_minhash_arrow_kernel_degenerate_inputs(spark):
     assert rows[1]["ka"] == [None] * 8
     assert rows[2]["ka"] == [None] * 8
     assert rows[4]["ka"] == [None] * 8
+
+
+def test_shingle_sketch_equals_expression(spark, sf_dir):
+    """Round-13 hot-path pin: the shingle_sketch Arrow kernel must
+    produce BIT-IDENTICAL (shingles, hashes) arrays to the
+    word_shingles + shingle_hashes expression forms on the real
+    corpus — order included (first-occurrence distinct). These
+    values are oracle-replayed (minhash math + exact-Jaccard
+    verification), so unlike gram_keys a bijection is not enough."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.dedup import (
+        shingle_hashes,
+        shingle_sketch,
+        word_shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    both = d.select(
+        "doc_id",
+        shingle_sketch(F.col("text")).alias("__sk"),
+        word_shingles(F.col("text")).alias("__se"),
+    ).select(
+        "doc_id",
+        "__sk",
+        "__se",
+        shingle_hashes(F.col("__se")).alias("__he"),
+    )
+    mism = both.filter(
+        (F.col("__sk.shingles") != F.col("__se"))
+        | (F.col("__sk.hashes") != F.col("__he"))
+    ).count()
+    assert mism == 0
+
+
+def test_shingle_sketch_degenerate_shapes(spark):
+    """Planted shapes: whole-text fallback under k tokens, repeated
+    shingles collapse in first-occurrence order, empty and null
+    text mirror the expression forms exactly."""
+    from hadoop_release_spark.operators.dedup import shingle_sketch
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b"),            # < k: whole-text fallback
+        (3, ""),               # one empty token
+        (4, None),             # null text
+        (5, "a b c a b c a b c"),  # repeats: distinct, first-occurrence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["__sk"]["shingles"], r["__sk"]["hashes"])
+        for r in df.select(
+            "doc_id", shingle_sketch(F.col("text"), 3).alias("__sk")
+        ).collect()
+    }
+    assert out[1][0] == ["a b c", "b c d"]
+    assert out[2][0] == ["a b"]
+    assert out[3][0] == [""]
+    assert out[4][0] == [None] and out[4][1] == [None]
+    # 7 windows over "a b c a b c a b c" collapse to 3 distinct, in
+    # first-occurrence order
+    assert out[5][0] == ["a b c", "b c a", "c a b"]
+    for doc, (sh, hs) in out.items():
+        assert len(sh) == len(hs)

@@ -512,3 +512,118 @@ def test_gram_keys_property_matches_word_shingles(spark, docs):
     ]
     assert Counter(x[0] for x in expr) == Counter(x[0] for x in kern)
     assert _doc_set_profile(expr) == _doc_set_profile(kern)
+
+
+def test_gram_keys_empty_mode_short_docs(spark):
+    """short_doc="empty" (the l66/_O_SHINGLES3 branch): docs under k
+    tokens yield ZERO grams — matching the oracle's range() — while
+    k-or-longer docs key identically to the whole_text mode."""
+    from hadoop_release_spark.operators.dedup import gram_keys
+
+    rows = [
+        (1, "a b c d"),  # two 3-gram windows
+        (2, "a b"),      # < k: empty
+        (3, "a"),        # < k: empty
+        (4, ""),         # one empty token: empty
+        (5, None),       # null text: [null] (both modes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emp = {
+        r["doc_id"]: r["ks"]
+        for r in df.select(
+            "doc_id", gram_keys(F.col("text"), 3, short_doc="empty").alias("ks")
+        ).collect()
+    }
+    whole = {
+        r["doc_id"]: r["ks"]
+        for r in df.select(
+            "doc_id", gram_keys(F.col("text"), 3).alias("ks")
+        ).collect()
+    }
+    assert len(emp[1]) == 2 and sorted(emp[1]) == sorted(whole[1])
+    assert emp[2] == [] and emp[3] == [] and emp[4] == []
+    assert len(whole[2]) == 1  # whole_text mode keeps the fallback gram
+    assert emp[5] == [None] and whole[5] == [None]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="short_doc"):
+        gram_keys(F.col("text"), 3, short_doc="nope")
+
+
+def test_positional_gram_md5_equals_expression(spark, sf_dir):
+    """Round-13 hot-path pin: the positional gram kernel must emit
+    the EXACT md5 bytes of the expression form l74 shipped through
+    round 12, position for position (these 16-byte values gate a
+    removal plan — value parity, not just equality classes)."""
+    from hadoop_release_spark.operators.dedup import positional_gram_md5
+    from hadoop_release_spark.plans.l_pipeline import L74_GRAM_K
+
+    k = L74_GRAM_K
+    toks = F.split(F.col("text"), " ")
+    d = table(spark, sf_dir, "documents").filter(F.size(toks) >= k)
+    expr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.unhex(F.md5(F.array_join(F.slice(toks, i + 1, k), " "))),
+    )
+    mism = (
+        d.select(
+            "doc_id",
+            positional_gram_md5(F.col("text"), k).alias("ka"),
+            expr.alias("ke"),
+        )
+        .filter(F.col("ka") != F.col("ke"))
+        .count()
+    )
+    assert mism == 0
+    # short/null shapes
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["ks"]
+        for r in df.select(
+            "doc_id", positional_gram_md5(F.col("text"), 8).alias("ks")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] is None and out[3] == []
+
+
+def test_word_gram_digests_equals_expression(spark, sf_dir):
+    """Round-13 hot-path pin: word_gram_digests must emit the EXACT
+    md5 digest bytes of transform(word_shingles, unhex(md5)) — the
+    l72/l75 gram form whose digest bytes are value-bearing (bloom
+    bit positions), order included."""
+    from hadoop_release_spark.operators.dedup import (
+        word_gram_digests,
+        word_shingles,
+    )
+    from hadoop_release_spark.plans.l_pipeline import DECON_NGRAM_K
+
+    d = table(spark, sf_dir, "documents")
+    expr = F.transform(
+        word_shingles(F.col("text"), DECON_NGRAM_K),
+        lambda x: F.unhex(F.md5(x)),
+    )
+    mism = (
+        d.select(
+            "doc_id",
+            word_gram_digests(F.col("text"), DECON_NGRAM_K).alias("ka"),
+            expr.alias("ke"),
+        )
+        .filter(F.col("ka") != F.col("ke"))
+        .count()
+    )
+    assert mism == 0
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["ks"]
+        for r in df.select(
+            "doc_id", word_gram_digests(F.col("text"), 8).alias("ks")
+        ).collect()
+    }
+    assert len(out[1]) == 1  # whole-text fallback
+    assert out[2] == [None]
+    assert len(out[3]) == 1

@@ -129,31 +129,30 @@ def test_lsh_band_shuffle_carries_slim_rows(spark, sf_dir):
         assert "__shingles" not in l and "__sig" not in l, l
 
 
-def test_lsh_md5_staged_outside_permutation_lambda(spark, sf_dir):
-    """Guard the dedup.py staged-MinHash optimization (2.6× on l02):
-    one md5+conv per SHINGLE, not per (shingle, permutation).
-    CollapseProject inlines single-use projection aliases back into
-    the per-permutation lambda (observed on Spark 4.1.2), so the
-    stage is pinned by persisting the __h hashes frame; this test
-    fails if a Spark upgrade (or a refactor that drops the persist
-    barrier) ever re-nests md5 inside the array_min permutation
-    lambda, silently restoring the 64× md5 cost."""
+def test_lsh_hashing_lives_in_kernel_not_jvm_lambdas(spark, sf_dir):
+    """Guard the dedup.py sketch staging. History: round 7 pinned
+    one md5+conv per SHINGLE (CollapseProject re-nested it inside
+    the per-permutation array_min lambda — 64× the md5 cost);
+    round 13 moved shingle construction + hashing into the
+    shingle_sketch Arrow kernel (bit-parity-pinned), so the NEW
+    contract is stronger: the JVM plan must contain NO md5/conv
+    expression at all on the sketch path (a reappearance means a
+    refactor silently fell back to the interpreted string-building
+    lambdas — the ~60% wall this round removed), and no array_min
+    permutation lambda either (the signature math rides the
+    minhash_from_hashes kernel)."""
     from hadoop_release_spark.catalog import table
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
 
     d = table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(d, id_col="doc_id", text_col="text")
     try:
-        lines = (
-            pairs._jdf.queryExecution().optimizedPlan().toString().splitlines()
-        )
-        # md5 must exist somewhere (the hash stage wasn't dropped) …
-        assert any("md5" in l for l in lines)
-        # … but never inside the per-permutation signature expression:
-        # a plan line evaluating array_min over the permutations must
-        # be md5-free (it reads the cached __h longs, pmod only).
-        offenders = [l for l in lines if "array_min" in l and "md5" in l]
-        assert not offenders, offenders[0][:500]
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        assert not any("md5" in l for l in lines), plan[:800]
+        assert not any("array_min" in l for l in lines), plan[:800]
+        # the kernels must actually be there
+        assert "_sk(" in plan or "shingle" in plan.lower(), plan[:800]
     finally:
         spark.catalog.clearCache()
 
@@ -764,3 +763,78 @@ def test_l28_single_kernel_pass_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in tree, tree
     assert "InMemoryRelation" not in tree, tree
     assert "Window" in tree, tree
+
+
+def test_l66_single_kernel_pass_reused_exchange(spark, sf_dir):
+    """Round-13 topology pin (the l28 treatment applied to l66): the
+    shingle kernel must run as the map stage of ONE shingle-keyed
+    exchange; the df guard rides a window over it and the self-join's
+    two sides read the REUSED stage co-partitioned. The old form
+    persisted the posting list for three racing consumers and paid a
+    separate df-agg + join pass."""
+    import re
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = specs()["l66_containment_dedup"].fn(spark, sf_dir)
+        df.collect()
+        jvm = spark._jvm
+        final = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    tree = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
+    assert "ReusedExchange" in tree, tree
+    assert "InMemoryRelation" not in tree, tree
+    assert "Window" in tree, tree
+
+
+def test_l74_single_kernel_pass_reused_exchange(spark, sf_dir):
+    """Round-13 topology pin for l74: the positional gram kernel runs
+    as the map stage of ONE gram-keyed exchange; the distinct-doc df
+    guard rides two stacked windows over it (both cluster by h — no
+    second exchange) and the self-join sides read the REUSED stage.
+    The old form's guard agg + semi-join raced the explode across
+    concurrent stages."""
+    import re
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = specs()["l74_exact_substring"].fn(spark, sf_dir)
+        df.collect()
+        jvm = spark._jvm
+        final = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    tree = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
+    assert "ReusedExchange" in tree, tree
+    assert "InMemoryRelation" not in tree, tree

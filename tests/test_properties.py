@@ -4029,7 +4029,7 @@ def test_symmetric_diff_is_exact_xor(spark, orders, tmp_path_factory):
     docs=st.lists(
         st.lists(
             st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
-            min_size=3,
+            min_size=1,
             max_size=12,
         ),
         min_size=2,
@@ -4040,7 +4040,13 @@ def test_containment_matches_set_reference(spark, docs, tmp_path_factory):
     """l66 vs a pure-Python set reference: per-doc distinct 3-gram
     shingles, the df ≤ 50 universe (never binding at ≤12 docs),
     containment = |∩| / min sizes with the ≥ 0.5 emit rule — exact
-    counts, half-away r3 scores, and the contained-id tie rule."""
+    counts, half-away r3 scores, and the contained-id tie rule.
+    min_size=1 (round 13): docs SHORTER than the shingle width now
+    reach the plan — the oracle's range() gives them zero shingles
+    and the gram_keys kernel's short_doc="empty" mode mirrors that
+    (the old _shingles3 expression CRASHED on them:
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT from the descending
+    sequence — which is why this strategy used to start at 3)."""
     from hadoop_release_spark.functions.contracts import py_round_half_away
     from hadoop_release_spark.plans.l_llm_ext import l66_containment_dedup
 

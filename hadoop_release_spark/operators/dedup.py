@@ -41,6 +41,27 @@ LSH_NUM_HASHES = 64
 LSH_BANDS = 16
 LSH_JACCARD_THRESHOLD = 0.3
 
+#: Round-14 ADVICE item 1 — the boilerplate-gram df guards in
+#: l28/l66/l74 compute document frequency as a WINDOW over the one
+#: gram-keyed exchange (round-13 form: no second corpus pass, AQE
+#: reuses the shuffle stage). The trade: a hotter-than-the-cap gram
+#: buffers its ENTIRE posting list inside one WindowExec partition
+#: group on a single task before the filter drops it, and AQE
+#: skew-splitting does not apply to window partitions — at corpus
+#: scale each boilerplate gram becomes a straggler/spill task in
+#: exactly the place the guard exists to protect. ``"agg"`` selects
+#: the documented exit: the two-pass form (groupBy gram →
+#: map-side-combined partial counts → semi-join the under-cap gram
+#: set back), which shrinks hot grams map-side at the cost of a
+#: second (slim, gram+count) exchange. Results are IDENTICAL —
+#: pinned by test_pipeline_ops/test_llm_ops equality tests toggling
+#: this flag. Default stays "window": at fixture/bench scale the
+#: reused-exchange form measures faster, and gen_sf's bounded phrase
+#: pool keeps posting lists ≤ a few thousand rows; flip to "agg"
+#: (or set per-deployment) where the corpus carries crawl
+#: boilerplate/license templates with million-row posting lists.
+DF_GUARD_FORM = "window"
+
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs from a fixed LCG — reproducible
@@ -117,10 +138,17 @@ def gram_keys(text: Column, k: int, short_doc: str = "whole_text") -> Column:
     joined and counted). Ops whose oracle must replay the VALUE
     (l72/l75 bloom bit positions, l02's minhash math) stay on the
     md5 forms — contract rule 6 binds there. Collisions merge two
-    gram classes at ~n²/2⁶⁴ — the same accepted class as l28's
-    previous 64-bit md5-prefix key (collision pairs ≈ 27k at 10¹²
-    grams, each perturbing one df count; no different from the
-    hex-prefix form it replaces).
+    gram classes at ~n²/2⁶⁴ under RANDOM data — the same birthday
+    rate as l28's previous 64-bit md5-prefix key (collision pairs
+    ≈ 27k at 10¹² grams, each perturbing one df count). UNLIKE
+    that key, this one has NO adversarial collision resistance
+    (round-14 ADVICE): the fixed-multiplier polynomial combine over
+    attacker-computable token hashes lets an adversary solve one
+    linear relation mod 2⁶⁴ for a colliding gram — materially
+    cheaper than a birthday search. Impact is bounded to
+    false-positive MATCHES, so the key stays restricted to
+    detection-style consumers (l28's decontamination gate and its
+    family); removal-path consumers keep the 128-bit digest (l74).
 
     Parity with the expression form is pinned as a per-doc
     BIJECTION between word_shingles' gram strings and these keys
@@ -542,6 +570,16 @@ def lsh_candidate_pairs(
     # join arrives co-partitioned, and the banding pipeline runs
     # exactly once as the exchange's map stage (which also populates
     # the base cache for the verification joins below, sequentially).
+    # DEPENDENCY (round-14 ADVICE): the single-signature-pass
+    # property rides on Spark's exchange reuse (ReusedExchange in
+    # the physical plan — on by default via
+    # spark.sql.exchange.reuse, and preserved under AQE, which this
+    # engine pins on in session.py and test_plans topology pins). A
+    # deployment that disables exchange reuse recomputes the banding
+    # pipeline once per join side — correctness unchanged,
+    # performance only; flip reuse back on or persist `banded`
+    # yourself (accepting the round-11 race note above) if you must
+    # run without it.
     banded = banded.repartition("__band", "__bucket")
     left = banded.alias("a")
     right = banded.alias("b")

@@ -1026,3 +1026,271 @@ def rank_clusters_arrow(
     return embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema=schema
     )
+
+
+def two_level_centroids(
+    embeddings: DataFrame,
+    stride: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, int]:
+    """(fine, coarse, coarse_stride) for the two-level (IMI-style)
+    coarse quantizer — the round-14 implementation of the exit every
+    O(N^1.5) tripwire in this file names (rank_clusters_arrow's
+    overflow message, ARROW_KERNEL_MAX_CENTROIDS note).
+
+    * ``fine``  = systematic sample at a FIXED ``stride`` s —
+      K ≈ N/s lists, so the SemDeDup pair stage Σ|cluster|² is
+      bounded by s·N: LINEAR in corpus size (the flat √N sizing
+      makes it N^1.5). The fine table is corpus-proportional and is
+      therefore NEVER collected or broadcast — it stays a
+      distributed frame (contrast rank_clusters_arrow, which
+      collects its K-bounded centroid table).
+    * ``coarse`` = systematic sample of the fine set at
+      ``coarse_stride`` = ⌊√(K/nprobe)⌋ over the fine ORDINAL
+      (id div stride), giving K1 ≈ √(nprobe·K) cells — the balance
+      point of the per-vector assignment cost K1 + nprobe·(K/K1),
+      which is minimized at K1 = √(nprobe·K) → 2·√(nprobe·K) ≈
+      2·√(nprobe/s)·√N per vector. K1 grows as √(N/s): at N = 10^10,
+      s = 64 that is ~35k rows — driver-collectable forever, the
+      same √-bounded class the flat form already broadcasts.
+
+    Honest bound (SCALE.md gets the long form): the per-vector
+    assignment work is still Θ(√N) flops — two-level probing buys a
+    2·√(nprobe/s) CONSTANT (≈ 0.7/√s vs the flat form's 1.0/1) and
+    moves the pair stage to linear, but the coarse scan itself is the
+    remaining √-term. The next exits (unshipped, documented): recurse
+    the sampling a third level, or the inverted multi-index's
+    multi-sequence lazy cell ranking.
+
+    Dense-id note: the ordinal is computed as ``id div stride`` —
+    exact for the dense 0..N-1 ids every fixture/generator table has
+    (the same assumption :func:`systematic_centroids` already makes);
+    sparse ids would only skew the sample spacing, never correctness.
+    """
+    fine = embeddings.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+    k = fine.count()
+    coarse_stride = max(1, math.isqrt(max(1, k // max(1, nprobe))))
+    coarse = fine.filter(
+        F.expr(f"(centroid_id div {stride}) % {coarse_stride} = 0")
+    )
+    return fine, coarse, coarse_stride
+
+
+def best_fine_per_cell_arrow(
+    fine_cells: DataFrame,
+    probes: DataFrame,
+    dim: int,
+) -> DataFrame:
+    """Per probed coarse CELL, the single best fine centroid for each
+    probing vector — the second hop of the two-level assignment, as a
+    cluster-keyed Arrow cogroup (the score_candidates_arrow shape,
+    specialized to argmax-with-tie-rule so exactly ONE row per
+    (vector, probed cell) reaches the JVM).
+
+    ``fine_cells``: (cluster, centroid_id, centroid, __nrm) — the
+    fine centroids grouped by their home coarse cell (distributed;
+    K ≈ N/stride rows, never collected).
+    ``probes``: (cluster, vec_id, embedding, __qnrm) — each vector
+    repeated once per probed cell.
+    Returns (vec_id, fine_id, __raw): the cell-local argmax.
+
+    Bit-parity argument (the degenerate-equality pin rests on it):
+    sims accumulate with the explicit per-dimension loop — identical
+    IEEE addition order to rank_clusters_arrow's S — over the same
+    float32→float64 widened values, divided once by the carried norm
+    product, so each (vector, fine) cell sees the IDENTICAL double
+    the flat kernel computes. Fine rows are sorted by centroid_id
+    before stacking and np.argmax returns the FIRST maximum, so
+    within-cell ties break to the LOWER fine id — the flat form's
+    ORDER BY sim DESC, centroid_id ASC rule. The probe axis is
+    chunked at ~4M cells (the score_candidates_arrow rule) so a hot
+    cell bounds its working memory instead of straggling/OOMing."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "vec_id long, fine_id long, __raw double"
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "fine_id": pd.Series([], dtype="int64"),
+                "__raw": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = this cell's fine centroids; right = its probes. An
+        # empty side emits nothing: a probed-but-fine-empty cell (only
+        # reachable through exact-duplicate coarse vectors, and made
+        # impossible by the self-cell override in
+        # assign_clusters_two_level) simply contributes no candidate.
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        order = np.argsort(left["centroid_id"].to_numpy(), kind="stable")
+        M = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in left["centroid"]]
+        ).astype(np.float64)[order]
+        mids = left["centroid_id"].to_numpy()[order]
+        mn = left["__nrm"].to_numpy()[order]
+        m = len(mids)
+        qids = right["vec_id"].to_numpy()
+        qn = right["__qnrm"].to_numpy()
+        q = len(qids)
+        chunk = max(64, 4_000_000 // m)
+        tmp = np.empty((m, min(q, chunk)))
+        frames = []
+        for s in range(0, q, chunk):
+            e = min(q, s + chunk)
+            w = e - s
+            Qc = np.stack(
+                [
+                    np.asarray(v, dtype=np.float32)
+                    for v in right["embedding"].iloc[s:e]
+                ]
+            ).astype(np.float64)
+            S = np.zeros((m, w))
+            t = tmp[:, :w]
+            for i in range(dim):
+                np.multiply(M[:, i][:, None], Qc[:, i][None, :], out=t)
+                S += t
+            S /= mn[:, None] * qn[s:e][None, :]
+            best = np.argmax(S, axis=0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": qids[s:e].astype(np.int64),
+                        "fine_id": mids[best].astype(np.int64),
+                        "__raw": S[best, np.arange(w)],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else _empty()
+
+    return (
+        fine_cells.select("cluster", "centroid_id", "centroid", "__nrm")
+        .groupBy("cluster")
+        .cogroup(
+            probes.select("cluster", "vec_id", "embedding", "__qnrm")
+            .groupBy("cluster")
+        )
+        .applyInPandas(kernel, schema)
+    )
+
+
+def assign_clusters_two_level(
+    embeddings: DataFrame,
+    dim: int,
+    stride: int | None = 64,
+    nprobe: int = 8,
+    probe_all: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level (IMI-style) nearest-centroid assignment — the shipped
+    form of the exit every collect-ceiling tripwire in this module
+    names. Returns (id_col, vec_col, __nrm, cluster): the same
+    contract as ``rank_clusters_arrow(e, fine, 1, dim)``, where fine
+    is the stride-s systematic centroid set.
+
+    Path: rank the K1 ≈ √(nprobe·K) COARSE cells per vector (one
+    rank_clusters_arrow pass — K1 is √-bounded, so its driver collect
+    scales forever), keep the top ``nprobe``; then for each probed
+    cell, score the vector against ONLY that cell's fine centroids in
+    a cluster-keyed Arrow cogroup (best_fine_per_cell_arrow) and take
+    the struct-max across cells (max __raw, tie → min fine id — the
+    flat form's exact ordering). The corpus-proportional fine table
+    (K = N/s) is never collected or broadcast; it moves through ONE
+    cluster-keyed exchange. Per-vector work: 2·√(nprobe·K)·dim flops
+    instead of the flat form's K·dim.
+
+    ``probe_all=True`` ranks EVERY coarse cell, making the candidate
+    multiset exactly the fine set — the assignment is then provably
+    identical to the flat form (per-(v,f) sims bit-identical by the
+    kernel parity argument; per-cell argmax then cross-cell struct
+    max with the same tie rule = global argmax), which is what the
+    degenerate-equality pin in tests/test_similarity.py checks.
+    ``stride=None`` sizes the fine set adaptively at ⌊√N⌋ — the l56
+    contract sizing, used with probe_all for that pin; the IMI scale
+    configuration is a FIXED stride (K ∝ N ⇒ linear pair stage).
+
+    Every fine centroid that is itself a coarse member is FORCED to
+    its own cell (override below): cos(c,c) = 1 ties against an
+    exact-duplicate coarse vector could otherwise strand a cell
+    empty, and a vector probing only empty cells would lose its
+    assignment. The override is part of the quantizer definition
+    (deterministic), and invisible to the probe_all equality — with
+    every cell probed, cell boundaries cannot change the global
+    argmax.
+
+    ``corpus`` (optional): the frame the QUANTIZER is sampled from,
+    when it differs from the frame being assigned — l70 stage 4
+    samples centroids from the FULL embeddings table but assigns
+    only the surviving subset (the registered contract). Defaults to
+    ``embeddings``."""
+    sample_from = corpus if corpus is not None else embeddings
+    if stride is None:
+        stride = max(1, math.isqrt(sample_from.count()))
+    fine, coarse, coarse_stride = two_level_centroids(
+        sample_from, stride, nprobe, id_col=id_col, vec_col=vec_col
+    )
+    fine_cells = (
+        rank_clusters_arrow(
+            fine, coarse, 1, dim, id_col="centroid_id", vec_col="centroid"
+        )
+        .withColumn(
+            "cluster",
+            F.when(
+                F.expr(
+                    f"(centroid_id div {stride}) % {coarse_stride} = 0"
+                ),
+                F.col("centroid_id"),
+            ).otherwise(F.col("cluster")),
+        )
+        .select("cluster", "centroid_id", "centroid", "__nrm")
+    )
+    npb = (1 << 30) if probe_all else nprobe
+    # probes feeds BOTH the candidate scoring and the output spine —
+    # persist so the N×K1 coarse-ranking kernel runs once (released
+    # by the registry wrapper before the next query, the house
+    # contract for operator-internal persists).
+    probes = rank_clusters_arrow(
+        embeddings, coarse, npb, dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    spine = probes.filter(F.col("__rn") == 1).select(
+        id_col, vec_col, "__nrm"
+    )
+    best = best_fine_per_cell_arrow(
+        fine_cells,
+        probes.select(
+            "cluster",
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col("__nrm").alias("__qnrm"),
+        ),
+        dim,
+    )
+    chosen = (
+        best.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__raw").alias("__r"),
+                    (-F.col("fine_id")).alias("__neg"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col("vec_id").alias(id_col),
+            (-F.col("__m.__neg")).alias("cluster"),
+        )
+    )
+    # Corpus-sized × corpus-sized: force the shuffle join so the
+    # spine attach never broadcasts at scale (the l58 rule).
+    return spine.join(chosen.hint("shuffle_hash"), id_col)

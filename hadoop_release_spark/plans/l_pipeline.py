@@ -193,7 +193,9 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the filter drops it (WindowExec spills; the df>cap agg
     of the old form shrank map-side instead) — accepted for the
     whole removed kernel pass; the exit at pathological heat is the
-    two-pass agg form this replaced."""
+    two-pass agg form, SELECTABLE since round 14 via
+    operators.dedup.DF_GUARD_FORM = "agg" (identical rows, pinned in
+    test_pipeline_ops)."""
     d = table(spark, sf_dir, "documents")
     # Grams travel as 64-bit LONG keys from gram_keys (the Arrow
     # kernel form of explode(word_shingles)+hash): the keys exist
@@ -222,11 +224,32 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join split; the df filter then drops heavy grams' rows on
     # BOTH sides (an eval row of a heavy gram had nothing to match
     # anyway, so this equals the oracle's train-side-only exclusion).
-    w = Window.partitionBy("gram")
-    g2 = grams.withColumn(
-        "__train_df",
-        F.sum(F.when(is_eval, F.lit(0)).otherwise(F.lit(1))).over(w),
-    ).filter(F.col("__train_df") <= DECON_MAX_GRAM_DF)
+    from hadoop_release_spark.operators import dedup as _dedup
+
+    if _dedup.DF_GUARD_FORM == "agg":
+        # Selectable exit (round-14 ADVICE item 1; see
+        # dedup.DF_GUARD_FORM): two-pass agg form — hot grams shrink
+        # MAP-SIDE in the partial count instead of buffering a full
+        # posting list in one WindowExec group; the under-cap gram
+        # set joins back on the same gram partitioning. Identical
+        # rows (pinned: test_pipeline_ops df-guard equality test).
+        keep = (
+            grams.groupBy("gram")
+            .agg(
+                F.sum(
+                    F.when(is_eval, F.lit(0)).otherwise(F.lit(1))
+                ).alias("__train_df")
+            )
+            .filter(F.col("__train_df") <= DECON_MAX_GRAM_DF)
+            .select("gram")
+        )
+        g2 = grams.join(keep, "gram")
+    else:
+        w = Window.partitionBy("gram")
+        g2 = grams.withColumn(
+            "__train_df",
+            F.sum(F.when(is_eval, F.lit(0)).otherwise(F.lit(1))).over(w),
+        ).filter(F.col("__train_df") <= DECON_MAX_GRAM_DF)
     train = g2.filter(~is_eval).select("doc_id", "gram")
     ev = g2.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
 
@@ -2338,6 +2361,25 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stages see the least data. ekept is persisted once
     (spine of three consumers; released by the registry wrapper at
     the next query — the lsh_pair_calibration contract)."""
+    return _l70_impl(spark, sf_dir)
+
+
+def _l70_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    assign_fn=None,
+) -> DataFrame:
+    """l70's body with stage 4's ASSIGNMENT pluggable (round-14
+    verdict item 4: route the stage that inherits l56's N^1.5 pair
+    term onto the two-level quantizer path). ``assign_fn(emb, sv)``
+    returns the (cluster, vec_id, embedding, __nrm) frame for the
+    embedding-covered survivors ``sv`` using a quantizer sampled
+    from the FULL embeddings table ``emb`` (the registered contract
+    samples centroids corpus-wide, then assigns only survivors).
+    ``None`` = the registered flat-√N path, byte-identical plan to
+    the pre-refactor form; l70_corpus_pipeline_v2_imi passes the
+    two-level assignment, pinned ledger-row-identical in its
+    degenerate config (tests/test_similarity.py)."""
     from hadoop_release_spark.operators.dedup import lsh_candidate_pairs
     from hadoop_release_spark.operators.similarity import (
         rank_clusters_arrow,
@@ -2394,13 +2436,18 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
     emb = table(spark, sf_dir, "embeddings")
-    centroids = systematic_centroids(emb)
     sv = emb.join(
         nkept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    assigned = rank_clusters_arrow(sv, centroids, 1, _DIM).select(
-        "cluster", "vec_id", "embedding", "__nrm"
-    )
+    if assign_fn is None:
+        centroids = systematic_centroids(emb)
+        assigned = rank_clusters_arrow(sv, centroids, 1, _DIM).select(
+            "cluster", "vec_id", "embedding", "__nrm"
+        )
+    else:
+        assigned = assign_fn(emb, sv).select(
+            "cluster", "vec_id", "embedding", "__nrm"
+        )
     # Pair stage as the per-cluster Arrow kernel (round 12, the l56
     # rewrite shared verbatim): the groupBy IS the cluster-keyed
     # corpus shuffle (nothing broadcast — the l56/l58 rule), the
@@ -2503,6 +2550,46 @@ def l70_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sem_drop)
         .unionByName(kept_rows)
     )
+
+
+def l70_corpus_pipeline_v2_imi(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int | None = 64,
+    nprobe: int = 8,
+    probe_all: bool = False,
+) -> DataFrame:
+    """l70 with stage 4 routed onto the round-14 two-level
+    (IMI-style) quantizer (verdict item 4) — NOT a §2 registry row
+    (contract freeze; the registered l70's flat-√N stage 4 is its
+    graded oracle contract). Pinned two ways, the l56_semdedup_imi
+    treatment:
+
+    * degenerate equality — ``stride=None, probe_all=True`` makes
+      the two-level assignment provably reproduce the flat argmax
+      (quantizer sampled from the full embeddings table, exactly the
+      registered contract), so the LEDGER is row-identical to
+      registered l70 (tests/test_similarity.py).
+    * scale shape — the default fixed stride bounds stage 4's pair
+      term at stride·N (linear); measured decade-2 row:
+      SCALE_REHEARSAL.json["decade2"]["l70_corpus_pipeline_v2_imi"].
+    """
+    from hadoop_release_spark.operators.similarity import (
+        assign_clusters_two_level,
+    )
+    from hadoop_release_spark.plans.l_llm_ext import _DIM
+
+    def assign(emb: DataFrame, sv: DataFrame) -> DataFrame:
+        return assign_clusters_two_level(
+            sv,
+            _DIM,
+            stride=stride,
+            nprobe=nprobe,
+            probe_all=probe_all,
+            corpus=emb,
+        )
+
+    return _l70_impl(spark, sf_dir, assign)
 
 
 #: l72 — portable Bloom gate: M bits (word-packed into M/32 BIGINT
@@ -2792,7 +2879,9 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window trade vs the old map-side-combined agg: a hot gram
     buffers its postings in the window group before the filter
     drops it, WindowExec spills — accepted for the removed
-    duplicate kernel pass, exit = the two-pass agg form) and bounds
+    duplicate kernel pass, exit = the two-pass agg form, SELECTABLE
+    since round 14 via operators.dedup.DF_GUARD_FORM = "agg") and
+    bounds
     the equi-join at C(MAX_DF,2) per bucket (the l66 argument —
     matches are Σ df² over near-singleton buckets, never doc×doc);
     the run-merge window partitions by (pair, diagonal) —
@@ -2844,18 +2933,35 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter, and the self-join's sides read the reused stage
     # co-partitioned (pinned in test_plans.py).
     g = g.repartition("h")
-    w_hd = Window.partitionBy("h", "doc_id").orderBy("pos")
-    w_h = Window.partitionBy("h")
-    gg = (
-        g.withColumn(
-            "__first",
-            F.when(F.row_number().over(w_hd) == 1, F.lit(1)).otherwise(
-                F.lit(0)
-            ),
+    from hadoop_release_spark.operators import dedup as _dedup
+
+    if _dedup.DF_GUARD_FORM == "agg":
+        # Selectable exit (round-14 ADVICE item 1; see
+        # dedup.DF_GUARD_FORM): distinct-doc frequency as a two-phase
+        # distinct agg (partial dedup map-side) instead of stacked
+        # windows — hot K-grams never buffer a posting list in one
+        # WindowExec group. Identical rows (pinned in
+        # test_pipeline_ops).
+        keep = (
+            g.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("__dfreq"))
+            .filter(F.col("__dfreq") <= L74_MAX_DF)
+            .select("h")
         )
-        .withColumn("__dfreq", F.sum("__first").over(w_h))
-        .filter(F.col("__dfreq") <= L74_MAX_DF)
-    )
+        gg = g.join(keep, "h")
+    else:
+        w_hd = Window.partitionBy("h", "doc_id").orderBy("pos")
+        w_h = Window.partitionBy("h")
+        gg = (
+            g.withColumn(
+                "__first",
+                F.when(F.row_number().over(w_hd) == 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .withColumn("__dfreq", F.sum("__first").over(w_h))
+            .filter(F.col("__dfreq") <= L74_MAX_DF)
+        )
     a = gg.select(
         "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )

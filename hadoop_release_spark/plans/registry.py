@@ -276,53 +276,22 @@ def grading_order(names: list[str]) -> list[str]:
 #: the table is touched. History of pruned entries: r11 rewrites
 #: m12/m13/m14 (digest fusion / window-min), l02/l68/l70 (Arrow
 #: MinHash kernel), l66/l72/l74 (binary gram keys); r12 rewrites
-#: l56/l58/l70 (vectorized scoring + semdedup_pairs_arrow). All
-#: regraded hash-green by the r12 driver run, post-rewrite
-#: (CORRECTNESS_r12.json) — pruned round 13.
+#: l56/l58/l70 (vectorized scoring + semdedup_pairs_arrow) — pruned
+#: round 13. r13 rewrites l48/l76/l28/l66 (gram/rank kernels,
+#: bucketed-index staging) + the shared lsh_candidate_pairs
+#: exchange fix (l02/l22/l68/l30/l70) + l74/l72/l75 (positional /
+#: word-gram digest kernels): ALL regraded hash-green by the r13
+#: driver window, post-rewrite (CORRECTNESS_r13.json, 12/12) —
+#: pruned round 14.
 _PLAN_REWRITES: dict[str, int] = {
-    # round-13 rewrite: the per-vector argmax window (shuffled+sorted
-    # the full |eval|·N fan-out; measured 10.55×/decade at gen_sf
-    # sf10, the only row over the linear envelope) now rides the
-    # rank_clusters_arrow kernel (nprobe=1, emit_sim_3dp,
-    # emit_vectors=False) — scan → MapInPandas → project, zero
-    # exchanges (plan-pinned). No r13 grade yet at rewrite time →
-    # recorded as 13 per the convention above.
-    "l48_semantic_decontaminate": 13,
-    # round-13 staging change: the bucketed index write moved into
-    # ingest_bucketed_index with a per-key catalog name + quantizer
-    # sidecar (was a fixed table name inline in the plan). Output
-    # pinned identical (l76 == l58), but the policy counts changed
-    # staging as material — recorded as 13.
-    "l76_knn_self_bucketed": 13,
-    # round-13 rewrite: gram construction moved from the interpreted
-    # word_shingles+md5-prefix expression (profiled ~26 s of the
-    # ~32 s gen_sf-sf1 wall) to the gram_keys Arrow kernel — 64-bit
-    # long keys, equality classes pinned bijective with the
-    # expression form. No r13 grade yet at rewrite time → 13.
-    "l28_decontaminate": 13,
-    # round-13 rewrite: same treatment for l66 (gram_keys kernel,
-    # single reused shingle exchange, window df-guard + window
-    # sizes replacing the persist/agg/joins). sf10 319.6 → 28.7 s
-    # median. No r13 grade yet at rewrite time → 13.
-    "l66_containment_dedup": 13,
-    # round-13 topology fix in the SHARED lsh_candidate_pairs: the
-    # banded self-join's persist raced its two concurrent child
-    # stages (each recomputing the signature pipeline); now an
-    # explicit (band,bucket) exchange both sides reuse. Bumps every
-    # consumer of the helper that the driver grades by plan.
-    "l02_dedup_near": 13,
-    "l22_dedup_survivors": 13,
-    "l68_minhash_calibration": 13,
-    "l30_dedup_incremental": 13,
-    "l70_corpus_pipeline_v2": 13,
-    # round-13 rewrites: l74 rides the positional_gram_md5 kernel
-    # (bit-parity-pinned digests) with a window df-guard over one
-    # reused exchange; l72/l75 ride the word_gram_digests kernel
-    # (bit-parity-pinned — digest bytes are value-bearing bloom
-    # positions). No r13 grades at rewrite time → 13.
-    "l74_exact_substring": 13,
-    "l72_bloom_gram_gate": 13,
-    "l75_bloom_gated_ingest": 13,
+    # round-14: _shingles3 (l13's gram expression) gained the
+    # sub-3-token guard branch (ADVICE item 2 — the descending
+    # sequence/element_at(0) latent crash). Values identical for
+    # every ≥3-token doc and the fixture corpus contains only
+    # those, but the GRADED EXPRESSION changed, so the official
+    # grade must be refreshed post-change. No r14 grade at change
+    # time → recorded as 14 per the convention above.
+    "l13_ngram_jaccard": 14,
 }
 
 

@@ -141,7 +141,57 @@ DEDUP_TAIL = [
     # a hidden superlinear term would surface at the second decade.
     "m13_video_dup_survivors",
     "m14_audio_dup_survivors",
+    # round-14 additions (round-13 verdict item 5): the heaviest
+    # NON-dedup ops that only had decade-1 evidence — xB explode
+    # (d37), calendar-bounded pair tables (d43/d44), iterative graph
+    # programs (i10/i12/i13), and the TeraSort shape (f04).
+    "d37_poisson_bootstrap",
+    "d43_theil_sen",
+    "d44_theil_sen_hourly",
+    "i10_mr_pagerank",
+    "i12_mr_bfs",
+    "i13_mr_components",
+    "f04_total_order_sort",
+    # round-14 additions (round-13 verdict item 3): the two-level
+    # (IMI) variants of the N^1.5 cosine-verify spine — fixed-stride
+    # quantizer (linear pair stage) + bounded-probe assignment.
+    # Read their decade-2 ratios against the LINEAR ~10x bar, not
+    # the flat forms' ~31.6x N^1.5 bar.
+    "l56_semdedup_imi",
+    "l70_corpus_pipeline_v2_imi",
 ]
+
+#: Round-14: non-registry variants measurable by this script (the
+#: contract freeze keeps them out of the registry; the rehearsal
+#: record is their home). Each is wrapped with the registry
+#: wrapper's release-at-entry discipline so persisted intermediates
+#: from the PREVIOUS measurement never pollute the next rep's wall.
+
+
+def _extra_queries():
+    from hadoop_release_spark.plans.l_llm_ext import l56_semdedup_imi
+    from hadoop_release_spark.plans.l_pipeline import (
+        l70_corpus_pipeline_v2_imi,
+    )
+
+    def wrap(fn):
+        def run(spark, sf_dir):
+            spark.catalog.clearCache()
+            try:
+                for rdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {
+        "l56_semdedup_imi": wrap(l56_semdedup_imi),
+        "l70_corpus_pipeline_v2_imi": wrap(l70_corpus_pipeline_v2_imi),
+    }
 
 SFS_DECADE2 = [1.0, 10.0]
 
@@ -179,7 +229,7 @@ def main() -> None:
     lo, hi = sfs
     dirs = _ensure_fixtures(sfs)
     spark = get_session("hadoop-release-spark-bench-scale")
-    available = all_queries()
+    available = {**all_queries(), **_extra_queries()}
     pool = DEDUP_TAIL if decade2 else HEAVY_TAIL
     names = [n for n in pool if n in available]
     if prefixes:

@@ -279,3 +279,37 @@ def test_shingle_sketch_degenerate_shapes(spark):
     assert out[5][0] == ["a b c", "b c a", "c a b"]
     for doc, (sh, hs) in out.items():
         assert len(sh) == len(hs)
+
+
+def test_shingles3_sub3_token_docs_yield_empty_not_crash(spark):
+    """Round-14 ADVICE regression: _shingles3 on docs under 3 tokens
+    used to build a DESCENDING sequence(1, n-2) whose element_at(0)
+    threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT at runtime. The guard
+    must yield an EMPTY gram set (the oracle's empty-range behavior)
+    and leave ≥3-token docs byte-identical."""
+    from hadoop_release_spark.plans.l_llm_ext import _shingles3
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", _shingles3().alias("s")).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    assert out[4] == ["a b c", "b c d"]
+
+
+def test_df_guard_agg_form_equals_window_form_l66(spark, sf_dir, monkeypatch):
+    """Round-14 ADVICE item 1 (l66 leg): the selectable agg df-guard
+    yields rows identical to the window form."""
+    from hadoop_release_spark.operators import dedup as dd
+    from hadoop_release_spark.plans.l_llm_ext import l66_containment_dedup
+
+    monkeypatch.setattr(dd, "DF_GUARD_FORM", "window")
+    base = sorted(map(tuple, l66_containment_dedup(spark, sf_dir).collect()))
+    monkeypatch.setattr(dd, "DF_GUARD_FORM", "agg")
+    agg = sorted(map(tuple, l66_containment_dedup(spark, sf_dir).collect()))
+    assert base == agg
+    assert base, "empty l66 result makes the pin vacuous"

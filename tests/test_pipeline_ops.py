@@ -627,3 +627,24 @@ def test_word_gram_digests_equals_expression(spark, sf_dir):
     assert len(out[1]) == 1  # whole-text fallback
     assert out[2] == [None]
     assert len(out[3]) == 1
+
+
+def test_df_guard_agg_form_equals_window_form_l28_l74(spark, sf_dir, monkeypatch):
+    """Round-14 ADVICE item 1: the selectable two-pass agg df-guard
+    (operators.dedup.DF_GUARD_FORM = "agg") must produce rows
+    IDENTICAL to the default window form for l28 and l74 — the flag
+    changes shuffle topology (map-side-combined partial counts +
+    semi-join instead of a WindowExec group), never a value."""
+    from hadoop_release_spark.operators import dedup as dd
+    from hadoop_release_spark.plans.l_pipeline import (
+        l28_decontaminate,
+        l74_exact_substring,
+    )
+
+    for fn in (l28_decontaminate, l74_exact_substring):
+        monkeypatch.setattr(dd, "DF_GUARD_FORM", "window")
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(dd, "DF_GUARD_FORM", "agg")
+        agg = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert base == agg, fn.__name__
+        assert base, f"{fn.__name__}: empty result makes the pin vacuous"

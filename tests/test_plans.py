@@ -838,3 +838,24 @@ def test_l74_single_kernel_pass_reused_exchange(spark, sf_dir):
     assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
     assert "ReusedExchange" in tree, tree
     assert "InMemoryRelation" not in tree, tree
+
+
+def test_l56_imi_two_level_plan_shape(spark, sf_dir):
+    """Round-14 topology pin for the two-level (IMI) SemDeDup path:
+    no BroadcastNestedLoopJoin anywhere (the all-pairs tripwire
+    class), no broadcast of a corpus-sized side (the only broadcast-
+    class operator allowed is none — the coarse table is a driver
+    COLLECT into the kernel closure, not a JVM broadcast), and the
+    two Arrow kernel classes are present: mapInPandas coarse ranking
+    (ArrowEvalPython/MapInPandas) plus the cluster-keyed cogroup
+    (FlatMapCoGroupsInPandas) and the SemDeDup pair stage
+    (FlatMapGroupsInPandas)."""
+    from hadoop_release_spark.plans.l_llm_ext import l56_semdedup_imi
+
+    df = l56_semdedup_imi(spark, sf_dir, stride=8, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastExchange" not in plan, plan

@@ -5341,3 +5341,67 @@ def test_rank_clusters_emit_sim_3dp_matches_reference(
         want[i] = best and (best[0], best[1])
 
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=4),
+    nprobe=st.integers(min_value=1, max_value=3),
+)
+def test_two_level_probe_all_matches_flat_reference(
+    spark, data, n_vecs, stride, nprobe
+):
+    """Two-level quantizer property (round-14): for ANY small vector
+    set — drawn from a coarse grid so exact cosine TIES (including
+    duplicate vectors, the self-cell-override edge) occur often —
+    the probe-all two-level assignment must equal a pure-Python
+    replay of the FLAT rule: argmax over the stride-sampled fine
+    centroids of the float64 dimension-by-dimension cosine, ties to
+    the LOWER fine id. nprobe varies only the coarse LAYOUT
+    (cell sizing), which probe-all equality must be blind to."""
+    import math
+
+    import numpy as np
+
+    from hadoop_release_spark.operators.similarity import (
+        assign_clusters_two_level,
+    )
+
+    dim = 4
+    comp = st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0])
+    vec = st.lists(comp, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+    vecs = [data.draw(vec) for _ in range(n_vecs)]
+
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_two_level(
+            e, dim, stride=stride, nprobe=nprobe, probe_all=True
+        ).collect()
+    }
+
+    fine = [(j, v) for j, v in enumerate(vecs) if j % stride == 0]
+    want = {}
+    for i, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]
+        vn = math.sqrt(sum(x * x for x in v32))
+        best = None
+        for j, cv in fine:
+            c32 = [float(np.float32(x)) for x in cv]
+            cn = math.sqrt(sum(x * x for x in c32))
+            s = 0.0
+            for k in range(dim):
+                s += v32[k] * c32[k]
+            sim = s / (vn * cn)
+            if best is None or sim > best[1]:
+                best = (j, sim)
+        want[i] = best[0]
+
+    assert got == want

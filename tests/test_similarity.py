@@ -933,3 +933,143 @@ def test_ivf_pq_recall_vs_exact_l2(spark, sf_dir):
     # break (codes joined to wrong clusters, per-query LUT keyed
     # wrong, probe metric flipped) lands at ≈ random and fails.
     assert sum(recalls) / len(recalls) >= 0.06, recalls
+
+
+# ---------------------------------------------------------------------------
+# Round-14: two-level (IMI-style) quantizer — the O(N^1.5) exit
+# ---------------------------------------------------------------------------
+
+
+def test_two_level_probe_all_equals_flat_assignment(spark, sf_dir):
+    """Degenerate-equality pin for assign_clusters_two_level: with
+    EVERY coarse cell probed, the candidate multiset is exactly the
+    fine set, so the two-hop argmax must reproduce the flat
+    rank_clusters_arrow assignment row-for-row — including __nrm
+    bitwise (same kernel) and the tie rule (max raw sim, then min
+    fine id). stride=4 keeps the cell structure NON-trivial
+    (coarse_stride > 1) so the equality actually exercises the
+    per-cell argmax + cross-cell struct-max composition."""
+    from hadoop_release_spark.operators.similarity import (
+        assign_clusters_two_level,
+        rank_clusters_arrow,
+        two_level_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    fine, coarse, cs = two_level_centroids(e, 4, 2)
+    assert cs > 1, "fixture too small for a non-trivial cell layout"
+    flat = rank_clusters_arrow(e, fine, 1, 64).select(
+        "vec_id", "__nrm", "cluster"
+    )
+    two = assign_clusters_two_level(
+        e, 64, stride=4, nprobe=2, probe_all=True
+    ).select("vec_id", "__nrm", "cluster")
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, two.collect()))
+    assert a == b
+
+
+def test_two_level_imi_mode_total_assignment(spark, sf_dir):
+    """IMI (bounded-probe) mode structural invariants: every vector
+    assigned exactly once, every cluster id is a fine-centroid id
+    (a stride multiple), and the probe bound held (assignment still
+    total — the self-cell override guarantees every probed cell has
+    at least one candidate)."""
+    from hadoop_release_spark.operators.similarity import (
+        assign_clusters_two_level,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    out = assign_clusters_two_level(e, 64, stride=4, nprobe=2).persist()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    assert out.filter(F.col("cluster") % 4 != 0).count() == 0
+    out.unpersist()
+
+
+def test_l56_imi_degenerate_survivors_pair_for_pair(spark, sf_dir):
+    """The round-13 verdict item-3 pin: l56 on the two-level path in
+    its degenerate config (contract ⌊√N⌋ sizing, all cells probed)
+    yields the registered l56 output PAIR-FOR-PAIR — same survivors,
+    same dup_of attributions, same max_sim values."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        l56_semdedup,
+        l56_semdedup_imi,
+    )
+
+    base = sorted(map(tuple, l56_semdedup(spark, sf_dir).collect()))
+    imi = sorted(
+        map(
+            tuple,
+            l56_semdedup_imi(
+                spark, sf_dir, stride=None, nprobe=4, probe_all=True
+            ).collect(),
+        )
+    )
+    assert base == imi
+    assert any(r[2] == 0 for r in base), (
+        "fixture yields no semantic dups — the pair-for-pair pin is"
+        " vacuous"
+    )
+
+
+def test_l70_imi_degenerate_ledger_row_identical(spark, sf_dir):
+    """Round-13 verdict item 4: l70 stage 4 routed onto the two-level
+    path (degenerate config) emits a ledger row-identical to the
+    registered l70 — the routing changed plumbing, not semantics."""
+    from hadoop_release_spark.plans.l_pipeline import (
+        l70_corpus_pipeline_v2,
+        l70_corpus_pipeline_v2_imi,
+    )
+
+    base = sorted(
+        map(tuple, l70_corpus_pipeline_v2(spark, sf_dir).collect())
+    )
+    imi = sorted(
+        map(
+            tuple,
+            l70_corpus_pipeline_v2_imi(
+                spark, sf_dir, stride=None, nprobe=4, probe_all=True
+            ).collect(),
+        )
+    )
+    assert base == imi
+
+
+def test_l56_imi_bounded_probe_sane_semdedup(spark, sf_dir):
+    """IMI sizing (fixed stride, bounded probes) is a DIFFERENT
+    quantizer, so survivors legitimately differ from l56 — pin the
+    semantics that must hold under ANY quantizer: one row per
+    vector, killers only point to LOWER ids in the SAME cluster
+    (spot-checked via join), and every planted near-identical pair
+    that lands in one cluster is caught."""
+    from hadoop_release_spark.plans.l_llm_ext import l56_semdedup_imi
+
+    out = l56_semdedup_imi(spark, sf_dir, stride=8, nprobe=2).persist()
+    n = out.count()
+    assert out.select("vec_id").distinct().count() == n
+    bad = (
+        out.filter(F.col("is_kept") == 0)
+        .filter(
+            (F.col("dup_of").isNull()) | (F.col("dup_of") >= F.col("vec_id"))
+        )
+        .count()
+    )
+    assert bad == 0
+    joined = (
+        out.filter(F.col("is_kept") == 0)
+        .select("vec_id", "dup_of")
+        .join(
+            out.select(
+                F.col("vec_id").alias("dup_of"),
+                F.col("cluster").alias("k_cluster"),
+            ),
+            "dup_of",
+        )
+        .join(out.select("vec_id", "cluster"), "vec_id")
+        .filter(F.col("cluster") != F.col("k_cluster"))
+        .count()
+    )
+    assert joined == 0
+    out.unpersist()

@@ -1085,12 +1085,14 @@ def best_fine_per_cell_arrow(
     fine_cells: DataFrame,
     probes: DataFrame,
     dim: int,
+    k: int = 1,
 ) -> DataFrame:
-    """Per probed coarse CELL, the single best fine centroid for each
+    """Per probed coarse CELL, the ``k`` best fine centroids for each
     probing vector — the second hop of the two-level assignment, as a
     cluster-keyed Arrow cogroup (the score_candidates_arrow shape,
-    specialized to argmax-with-tie-rule so exactly ONE row per
-    (vector, probed cell) reaches the JVM).
+    specialized to ranked-argmax-with-tie-rule so at most k rows per
+    (vector, probed cell) reach the JVM; k=1, the assignment case,
+    keeps the single-argmax fast path).
 
     ``fine_cells``: (cluster, centroid_id, centroid, __nrm) — the
     fine centroids grouped by their home coarse cell (distributed;
@@ -1160,16 +1162,38 @@ def best_fine_per_cell_arrow(
                 np.multiply(M[:, i][:, None], Qc[:, i][None, :], out=t)
                 S += t
             S /= mn[:, None] * qn[s:e][None, :]
-            best = np.argmax(S, axis=0)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": qids[s:e].astype(np.int64),
-                        "fine_id": mids[best].astype(np.int64),
-                        "__raw": S[best, np.arange(w)],
-                    }
+            if k == 1:
+                best = np.argmax(S, axis=0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qids[s:e].astype(np.int64),
+                            "fine_id": mids[best].astype(np.int64),
+                            "__raw": S[best, np.arange(w)],
+                        }
+                    )
                 )
-            )
+            else:
+                # Rows are id-sorted and the argsort is STABLE, so
+                # per column the order is raw DESC, fine id ASC —
+                # the flat kernel's exact tie rule (np.argmax above
+                # is the kk=1 special case: first maximum).
+                kk = min(k, m)
+                sel = np.argsort(-S, axis=0, kind="stable")[:kk, :]
+                cols = np.broadcast_to(np.arange(w), (kk, w))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qids[s:e][cols.reshape(-1)].astype(
+                                np.int64
+                            ),
+                            "fine_id": mids[sel.reshape(-1)].astype(
+                                np.int64
+                            ),
+                            "__raw": S[sel.reshape(-1), cols.reshape(-1)],
+                        }
+                    )
+                )
         return pd.concat(frames, ignore_index=True) if frames else _empty()
 
     return (
@@ -1294,3 +1318,97 @@ def assign_clusters_two_level(
     # Corpus-sized × corpus-sized: force the shuffle join so the
     # spine attach never broadcasts at scale (the l58 rule).
     return spine.join(chosen.hint("shuffle_hash"), id_col)
+
+
+def rank_clusters_two_level(
+    embeddings: DataFrame,
+    dim: int,
+    k: int,
+    stride: int | None = 64,
+    nprobe_coarse: int = 8,
+    probe_all: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` fine clusters per vector via the two-level (IMI)
+    path — the probe-RANKING lever for the l58/l76 query side (the
+    round-13 verdict named it the remaining unshipped lever after
+    the assignment-side exit). Returns (id_col, vec_col, __nrm,
+    cluster, __rn ≤ k): the rank_clusters_arrow contract, so a
+    consumer swaps quantizers without touching its tail.
+
+    Path: rank coarse cells (√-bounded collect), probe the top
+    ``nprobe_coarse``; per probed cell take the k best fine
+    centroids inside the Arrow cogroup (best_fine_per_cell_arrow
+    k>1 branch — at most k·nprobe_coarse slim rows per vector reach
+    the JVM); merge across cells with ONE per-vector row_number
+    window (raw DESC, fine id ASC — the flat kernel's ordering on
+    bit-identical raws). Global top-k over per-cell top-k is exact:
+    every global winner is a within-cell winner for its vector.
+
+    ``probe_all=True`` probes every cell, making the candidate
+    multiset exactly the fine set — the ranking is then provably
+    identical to ``rank_clusters_arrow(e, fine, k, dim)`` (pinned in
+    tests/test_similarity.py). Per-vector cost in the bounded-probe
+    configuration: K1 + nprobe_coarse·(K/K1) sims ≈ 2·√(nprobe·K)
+    instead of the flat K — same arithmetic as
+    assign_clusters_two_level, which is this function's k=1
+    special case (kept separate: the k=1 path needs no merge
+    window, a groupBy struct-max suffices there)."""
+    sample_from = corpus if corpus is not None else embeddings
+    if stride is None:
+        stride = max(1, math.isqrt(sample_from.count()))
+    fine, coarse, coarse_stride = two_level_centroids(
+        sample_from, stride, nprobe_coarse, id_col=id_col, vec_col=vec_col
+    )
+    fine_cells = (
+        rank_clusters_arrow(
+            fine, coarse, 1, dim, id_col="centroid_id", vec_col="centroid"
+        )
+        .withColumn(
+            "cluster",
+            F.when(
+                F.expr(
+                    f"(centroid_id div {stride}) % {coarse_stride} = 0"
+                ),
+                F.col("centroid_id"),
+            ).otherwise(F.col("cluster")),
+        )
+        .select("cluster", "centroid_id", "centroid", "__nrm")
+    )
+    npb = (1 << 30) if probe_all else nprobe_coarse
+    probes = rank_clusters_arrow(
+        embeddings, coarse, npb, dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    spine = probes.filter(F.col("__rn") == 1).select(
+        id_col, vec_col, "__nrm"
+    )
+    cand = best_fine_per_cell_arrow(
+        fine_cells,
+        probes.select(
+            "cluster",
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col("__nrm").alias("__qnrm"),
+        ),
+        dim,
+        k=k,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__raw").desc(), F.col("fine_id")
+    )
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("fine_id").alias("cluster"),
+            "__rn",
+        )
+    )
+    # Corpus-sized both sides — shuffle join (the l58 rule); the
+    # window's vec_id exchange co-partitions `top` for it.
+    return spine.join(top.hint("shuffle_hash"), id_col).select(
+        id_col, vec_col, "__nrm", "cluster", "__rn"
+    )

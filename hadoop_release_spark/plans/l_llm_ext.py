@@ -2001,10 +2001,30 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment at 59 s / 20× superlinear wall growth, the kernel
     # at ~5 s (BENCH round-8 notes).
     ranked = rank_clusters_arrow(e, centroids, _L58_NPROBE, _DIM)
-    assigned = ranked.filter(F.col("__rn") == 1).select(
+    return _l58_from_ranked(ranked)
+
+
+def _l58_from_ranked(ranked: DataFrame) -> DataFrame:
+    """The l58 tail shared with the round-14 IMI-ranked variant:
+    given (vec_id, embedding, __nrm, cluster, __rn ≤ nprobe) — the
+    rank_clusters_arrow contract — derive assignment (rank 1) and
+    probes (all ranks), score candidates per cluster, rank top-k per
+    query. Extracting this changes NO plan for l58 (pure refactor;
+    driver hash grade + the recall pytest cover it)."""
+    from hadoop_release_spark.operators.similarity import (
+        score_candidates_arrow,
+    )
+
+    # Dataset.alias on each branch root: when `ranked` contains a
+    # JOIN (the two-level form's spine attach), the cogroup below is
+    # a self-join of two descendants and Spark's ambiguous-self-join
+    # check rejects the shared `cluster` attribute; the aliases are
+    # SubqueryAlias nodes the optimizer eliminates, so the flat
+    # form's physical plan is byte-identical.
+    assigned = ranked.alias("__l58a").filter(F.col("__rn") == 1).select(
         "vec_id", "embedding", "__nrm", "cluster"
     )
-    probes = ranked.select(
+    probes = ranked.alias("__l58p").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("__nrm").alias("__qnrm"),
@@ -2034,6 +2054,63 @@ def l58_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _L58_K)
         .drop("__rn")
     )
+
+
+def l58_knn_self_imi(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int | None = 64,
+    nprobe_coarse: int = 8,
+    probe_all: bool = False,
+    nprobe_fine: int | None = None,
+) -> DataFrame:
+    """l58 with BOTH quantizer stages on the round-14 two-level
+    (IMI) path: assignment AND top-nprobe probe ranking ride
+    rank_clusters_two_level (the probe-ranking lever l58's own
+    docstring has named since round 9). NOT a §2 row (freeze; flat
+    l58 is the graded contract). Pins, the l56_semdedup_imi
+    treatment: degenerate config (stride=None, probe_all=True)
+    provably reproduces the flat ranking, so this output equals
+    registered l58 row-for-row (tests/test_similarity.py); the
+    default fixed-stride config is the scale shape — K ∝ N lists of
+    ~stride members each, so the candidate stage scores
+    N·nprobe·stride pairs (LINEAR, vs the flat sizing's
+    N·nprobe·√N), with the Θ(√(N/s)) coarse-scan residue documented
+    in SCALE.md. Measured decade-2 row:
+    SCALE_REHEARSAL.json["decade2"]["l58_knn_self_imi"].
+
+    ``nprobe_fine`` (default: l58's own nprobe) is the RECALL knob
+    the finer quantizer exposes: fixed-stride lists hold ~stride
+    members instead of ~√N, so at equal probe count the candidate
+    coverage is stride/√N of the flat form's; standard IVF practice
+    scales probes with list count (nprobe_fine ≈ nprobe·√N/stride
+    restores equal coverage while the candidate stage stays
+    nprobe_fine·stride ≈ nprobe·√N per query — the flat form's
+    per-query volume, paid over smaller, more selective lists). The
+    degenerate pin uses the default."""
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_two_level,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    ranked = rank_clusters_two_level(
+        e,
+        _DIM,
+        nprobe_fine or _L58_NPROBE,
+        stride=stride,
+        nprobe_coarse=nprobe_coarse,
+        probe_all=probe_all,
+    )
+    # localCheckpoint (lazy): `ranked` ends in a JOIN here (the
+    # two-level spine attach) and feeds BOTH cogroup sides of the
+    # candidate scorer — without truncation that is a self-join of
+    # a shared join subtree, which (a) trips Spark's ambiguous-
+    # self-join analyzer check (Dataset.alias does not clear it for
+    # a shared-join lineage) and (b) would recompute the whole
+    # two-level ranking once per side. Materializing it once is the
+    # CC-loop precedent; blocks are released by the registry-style
+    # cleanup at the next query.
+    return _l58_from_ranked(ranked.localCheckpoint(eager=False))
 
 
 #: l76 bucket count for the cluster-bucketed IVF index. Local value;

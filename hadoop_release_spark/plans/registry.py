@@ -448,14 +448,26 @@ _GRADING_COST_TIERS: list[tuple[int, list[str]]] = [
             # interleave codegen compile)
             "c19_join_skew_salted", "m05_video_framesample",
             "a14_zorder_layout",
-            # round-3 heavy tail (full-corpus gram/LSH passes)
-            "l28_decontaminate", "l30_dedup_incremental",
+            # round-3 heavy tail (full-corpus gram/LSH passes);
+            # round-14 re-sweep dropped l28 (1.9 s post gram-kernel
+            # rewrite) and kept l30 (3.6 s)
+            "l30_dedup_incremental",
             "i14_mr_kcore",
             # round-9 heavy tail (composed pipeline, modality
-            # closures, corpus gram bitmap)
+            # closures); round-14 re-sweep dropped l72 (2.4 s) and
+            # l66 (2.0 s) — both halved by the r13 gram-kernel
+            # rewrites — and kept l68 (2.6 s)
             "l70_corpus_pipeline_v2", "m13_video_dup_survivors",
-            "m14_audio_dup_survivors", "l72_bloom_gram_gate",
-            "l68_minhash_calibration", "l66_containment_dedup",
+            "m14_audio_dup_survivors",
+            "l68_minhash_calibration",
+            # round-14 re-sweep additions (driver-shaped sf0.01,
+            # spark+oracle): l56 15.6 s (the oracle-side N×K
+            # crossJoin is cheap but the kernel pays Arrow
+            # round-trips), l58 7.6, l76 7.1, l74 6.9 — all were
+            # unlisted tier-1 despite measuring above half the
+            # streaming fixed cost
+            "l56_semdedup", "l58_knn_self_join",
+            "l76_knn_self_bucketed", "l74_exact_substring",
             # round-5 measured ≥2.5 s driver-shaped (three two-phase
             # rank persist+collect passes / partitioned DPP write)
             "e29_rfm_segments", "c26_join_dpp", "d32_ks_test",

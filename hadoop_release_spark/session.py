@@ -95,6 +95,7 @@ def get_session(
     app_name: str = "hadoop-release-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -118,6 +119,16 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for key, value in RUNTIME_SQL_CONFS.items():
+        builder = builder.config(key, value)
+    # Caller-scoped overrides (round-14: bench_scale raises
+    # spark.driver.maxResultSize for gen_sf-sf10 rows whose CONTRACT
+    # output is corpus-sized — f04's total-order sort — where the
+    # rehearsal's toPandas() materialization exceeds the 1g default.
+    # Deliberately NOT a global default: the 1g ceiling is a useful
+    # tripwire against unbounded driver collects sneaking into
+    # operators, and only the scale-measurement session earns the
+    # bigger pipe.
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

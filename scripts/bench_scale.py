@@ -159,6 +159,7 @@ DEDUP_TAIL = [
     # the flat forms' ~31.6x N^1.5 bar.
     "l56_semdedup_imi",
     "l70_corpus_pipeline_v2_imi",
+    "l58_knn_self_imi",
 ]
 
 #: Round-14: non-registry variants measurable by this script (the
@@ -188,9 +189,12 @@ def _extra_queries():
 
         return run
 
+    from hadoop_release_spark.plans.l_llm_ext import l58_knn_self_imi
+
     return {
         "l56_semdedup_imi": wrap(l56_semdedup_imi),
         "l70_corpus_pipeline_v2_imi": wrap(l70_corpus_pipeline_v2_imi),
+        "l58_knn_self_imi": wrap(l58_knn_self_imi),
     }
 
 SFS_DECADE2 = [1.0, 10.0]
@@ -228,7 +232,15 @@ def main() -> None:
     sfs = SFS_DECADE2 if decade2 else SFS
     lo, hi = sfs
     dirs = _ensure_fixtures(sfs)
-    spark = get_session("hadoop-release-spark-bench-scale")
+    # 4g result pipe (session-scoped, see get_session): f04's
+    # contract output is the full sorted table — corpus-sized — so
+    # its gen_sf-sf10 toPandas() legitimately carries >1g across the
+    # driver boundary; the rehearsal measures that linear transfer
+    # instead of aborting on the tripwire default.
+    spark = get_session(
+        "hadoop-release-spark-bench-scale",
+        extra_confs={"spark.driver.maxResultSize": "4g"},
+    )
     available = {**all_queries(), **_extra_queries()}
     pool = DEDUP_TAIL if decade2 else HEAVY_TAIL
     names = [n for n in pool if n in available]
@@ -239,10 +251,67 @@ def main() -> None:
     for sf in sfs:
         available["d02_agg_groupby"](spark, dirs[sf]).toPandas()
 
+    lo_key, hi_key = f"sf{lo:g}", f"sf{hi:g}"
+
+    def _row(per_sf: dict[float, list[float]]) -> dict:
+        med = {sf: round(statistics.median(per_sf[sf]), 3) for sf in sfs}
+        mn = {sf: round(min(per_sf[sf]), 3) for sf in sfs}
+        ratio = round(med[hi] / med[lo], 2) if med[lo] > 0 else None
+        ratio_min = round(mn[hi] / mn[lo], 2) if mn[lo] > 0 else None
+        return {
+            f"{lo_key}_median_sec": med[lo],
+            f"{hi_key}_median_sec": med[hi],
+            "ratio_median": ratio,
+            f"{lo_key}_min_sec": mn[lo],
+            f"{hi_key}_min_sec": mn[hi],
+            "ratio_min": ratio_min,
+        }
+
+    out = REPO / "SCALE_REHEARSAL.json"
+
+    def _persist(rows: dict, reset_decade1: bool) -> dict:
+        carried: dict = {}
+        if out.exists():
+            try:
+                carried = json.loads(out.read_text())
+            except ValueError:
+                carried = {}
+        report: dict = {
+            "metric": "heavy_tail_scale_rehearsal",
+            "generator": "scripts/gen_sf.py seed=42",
+            "sfs": SFS,
+            "row_ratio": 10.0,
+            "queries": carried.get("queries", {}),
+        }
+        if "decade2" in carried:
+            report["decade2"] = carried["decade2"]
+        if decade2:
+            # Second decade rows live under their own key; decade-1
+            # rows are carried untouched.
+            d2 = report.get(
+                "decade2",
+                {"sfs": SFS_DECADE2, "row_ratio": 10.0, "queries": {}},
+            )
+            d2["queries"].update(rows)
+            report["decade2"] = d2
+        else:
+            if reset_decade1:
+                report["queries"] = {}
+            report["queries"].update(rows)
+        out.write_text(json.dumps(report, indent=1) + "\n")
+        return report
+
     samples: dict[float, dict[str, list[float]]] = {
         sf: {n: [] for n in names} for sf in sfs
     }
-    for _ in range(rounds):
+    rows: dict = {}
+    # A full-pool decade-1 run resets the decade-1 record ONCE up
+    # front (the old semantics), then every completed op merges
+    # incrementally — a crash mid-run (round-14 find: f04's sf10
+    # result blew the pre-raise maxResultSize and lost 12 minutes of
+    # completed rows) never discards finished measurements again.
+    reset_next = not decade2 and not prefixes
+    for rnd in range(rounds):
         for name in names:
             for sf in sfs:
                 for _rep in range(2):
@@ -253,56 +322,18 @@ def main() -> None:
                     f"  {name} sf{sf:g}: "
                     f"{min(samples[sf][name]):.2f}s", file=sys.stderr,
                 )
+            rows[name] = _row({sf: samples[sf][name] for sf in sfs})
+            report = _persist({name: rows[name]}, reset_next)
+            reset_next = False
+            if rnd == rounds - 1:
+                r = rows[name]
+                print(
+                    f"{name}: {r[f'{lo_key}_median_sec']}s -> "
+                    f"{r[f'{hi_key}_median_sec']}s  "
+                    f"({r['ratio_median']}x)",
+                    file=sys.stderr,
+                )
 
-    lo_key, hi_key = f"sf{lo:g}", f"sf{hi:g}"
-    rows: dict = {}
-    for name in names:
-        med = {
-            sf: round(statistics.median(samples[sf][name]), 3) for sf in sfs
-        }
-        mn = {sf: round(min(samples[sf][name]), 3) for sf in sfs}
-        ratio = round(med[hi] / med[lo], 2) if med[lo] > 0 else None
-        ratio_min = round(mn[hi] / mn[lo], 2) if mn[lo] > 0 else None
-        rows[name] = {
-            f"{lo_key}_median_sec": med[lo],
-            f"{hi_key}_median_sec": med[hi],
-            "ratio_median": ratio,
-            f"{lo_key}_min_sec": mn[lo],
-            f"{hi_key}_min_sec": mn[hi],
-            "ratio_min": ratio_min,
-        }
-        print(f"{name}: {med[lo]}s -> {med[hi]}s  ({ratio}x)", file=sys.stderr)
-
-    out = REPO / "SCALE_REHEARSAL.json"
-    carried: dict = {}
-    if out.exists():
-        try:
-            carried = json.loads(out.read_text())
-        except ValueError:
-            carried = {}
-    report: dict = {
-        "metric": "heavy_tail_scale_rehearsal",
-        "generator": "scripts/gen_sf.py seed=42",
-        "sfs": SFS,
-        "row_ratio": 10.0,
-        "queries": carried.get("queries", {}),
-    }
-    if "decade2" in carried:
-        report["decade2"] = carried["decade2"]
-    if decade2:
-        # Second decade rows live under their own key; decade-1 rows
-        # are carried untouched.
-        d2 = report.get(
-            "decade2",
-            {"sfs": SFS_DECADE2, "row_ratio": 10.0, "queries": {}},
-        )
-        d2["queries"].update(rows)
-        report["decade2"] = d2
-    else:
-        if not prefixes:
-            report["queries"] = {}
-        report["queries"].update(rows)
-    out.write_text(json.dumps(report, indent=1) + "\n")
     print(json.dumps(report))
     spark.stop()
 

@@ -1073,3 +1073,103 @@ def test_l56_imi_bounded_probe_sane_semdedup(spark, sf_dir):
     )
     assert joined == 0
     out.unpersist()
+
+
+def test_rank_two_level_probe_all_equals_flat_topk(spark, sf_dir):
+    """Degenerate-equality pin for rank_clusters_two_level (the
+    top-k probe-ranking form): probing every coarse cell makes the
+    candidate multiset exactly the fine set, so the merged top-k
+    must equal rank_clusters_arrow's flat ranking row-for-row —
+    same (cluster, __rn) per vector, same bitwise __nrm."""
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_arrow,
+        rank_clusters_two_level,
+        two_level_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    fine, _, cs = two_level_centroids(e, 4, 2)
+    assert cs > 1
+    flat = rank_clusters_arrow(e, fine, 3, 64).select(
+        "vec_id", "__nrm", "cluster", "__rn"
+    )
+    two = rank_clusters_two_level(
+        e, 64, 3, stride=4, nprobe_coarse=2, probe_all=True
+    ).select("vec_id", "__nrm", "cluster", "__rn")
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, two.collect()))
+    assert a == b
+
+
+def test_l58_imi_degenerate_equals_l58(spark, sf_dir):
+    """l58 with both quantizer stages on the two-level path in its
+    degenerate config must reproduce registered l58 row-for-row."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        l58_knn_self_imi,
+        l58_knn_self_join,
+    )
+
+    base = sorted(map(tuple, l58_knn_self_join(spark, sf_dir).collect()))
+    imi = sorted(
+        map(
+            tuple,
+            l58_knn_self_imi(
+                spark, sf_dir, stride=None, nprobe_coarse=4, probe_all=True
+            ).collect(),
+        )
+    )
+    assert base == imi
+    assert base
+
+
+def test_l58_imi_bounded_probe_recall(spark, sf_dir):
+    """IMI sizing is a different quantizer, so neighbors may differ
+    from flat l58 — pin the semantics that must hold: every vector
+    gets ≤ K neighbors, scores descend per query, and self-recall
+    against exact brute force stays above the l58 recall floor's
+    neighborhood (the fixture's 10-label cluster structure makes
+    near neighbors land in the same fine lists)."""
+    from hadoop_release_spark.plans.l_llm_ext import (
+        _L58_K,
+        l58_knn_self_imi,
+    )
+
+    out = l58_knn_self_imi(
+        spark, sf_dir, stride=8, nprobe_coarse=8, nprobe_fine=12
+    )
+    pdf = out.toPandas()
+    per = pdf.groupby("query_id").size()
+    assert per.max() <= _L58_K
+    # exact top-k for 10 probe queries via brute force
+    e = table(spark, sf_dir, "embeddings")
+    recalls = []
+    for qid in range(10):
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe")
+        )
+        exact = {
+            r.vec_id
+            for r in (
+                e.filter(F.col("vec_id") != qid)
+                .crossJoin(F.broadcast(q))
+                .select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), F.col("qe")), 3).alias(
+                        "s"
+                    ),
+                )
+                .orderBy(F.col("s").desc(), F.col("vec_id"))
+                .limit(_L58_K)
+                .collect()
+            )
+        }
+        approx = set(pdf[pdf["query_id"] == qid]["vec_id"])
+        recalls.append(len(approx & exact) / _L58_K)
+    # Floor calibration (measured, this fixture): flat l58 realizes
+    # 0.52 mean recall here; the IMI config (stride 8, 8 coarse
+    # probes, 12 fine lists) measures 0.48, and nprobe_fine=20
+    # restores 0.52 exactly — the finer quantizer trades probes for
+    # recall on a smooth knob. Floor 0.4 tolerates the quantization
+    # noise; a structural break (wrong cells joined, probe metric
+    # flipped) lands near random (k/N = 0.01) and fails.
+    assert sum(recalls) / len(recalls) >= 0.4, recalls

@@ -5405,3 +5405,65 @@ def test_two_level_probe_all_matches_flat_reference(
         want[i] = best[0]
 
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=1, max_value=10),
+    stride=st.integers(min_value=1, max_value=3),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_rank_two_level_probe_all_matches_flat_topk_reference(
+    spark, data, n_vecs, stride, k
+):
+    """Top-k two-level property (round-14, the k>1 kernel branch):
+    probe-all ranking must equal a pure-Python replay of the flat
+    rule — per vector, ALL stride-sampled fine centroids ranked by
+    (float64 dim-loop cosine DESC, fine id ASC), top min(k, K) kept
+    with __rn 1..j. Coarse grid components force exact ties
+    (duplicate vectors included) so the cross-cell merge's tie
+    handling is exercised, not just the happy path."""
+    import math
+
+    import numpy as np
+
+    from hadoop_release_spark.operators.similarity import (
+        rank_clusters_two_level,
+    )
+
+    dim = 4
+    comp = st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0])
+    vec = st.lists(comp, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+    vecs = [data.draw(vec) for _ in range(n_vecs)]
+
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["__rn"])
+        for r in rank_clusters_two_level(
+            e, dim, k, stride=stride, nprobe_coarse=2, probe_all=True
+        ).collect()
+    )
+
+    fine = [(j, v) for j, v in enumerate(vecs) if j % stride == 0]
+    want = []
+    for i, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]
+        vn = math.sqrt(sum(x * x for x in v32))
+        scored = []
+        for j, cv in fine:
+            c32 = [float(np.float32(x)) for x in cv]
+            cn = math.sqrt(sum(x * x for x in c32))
+            s = 0.0
+            for d in range(dim):
+                s += v32[d] * c32[d]
+            scored.append((-(s / (vn * cn)), j))
+        scored.sort()
+        for rn, (_, j) in enumerate(scored[: min(k, len(fine))], start=1):
+            want.append((i, j, rn))
+    assert got == sorted(want)

@@ -1280,19 +1280,35 @@ def assign_clusters_two_level(
         .select("cluster", "centroid_id", "centroid", "__nrm")
     )
     npb = (1 << 30) if probe_all else nprobe
-    # probes feeds BOTH the candidate scoring and the output spine —
-    # persist so the N×K1 coarse-ranking kernel runs once (released
-    # by the registry wrapper before the next query, the house
-    # contract for operator-internal persists).
-    probes = rank_clusters_arrow(
-        embeddings, coarse, npb, dim, id_col=id_col, vec_col=vec_col
+    # The coarse ranking emits SLIM rows (id, cell, __rn) — round-14
+    # profiling found the emit_vectors fan-out (nprobe copies of
+    # every vector crossing the Python→JVM Arrow boundary) was ~85%
+    # of l56_imi's sf10 wall (56 of 66 s); the vector fan-out now
+    # happens JVM-side in the columnar join below. Persisted so the
+    # N×K1 kernel runs once (released by the registry wrapper before
+    # the next query, the house contract for operator-internal
+    # persists).
+    slim = rank_clusters_arrow(
+        embeddings,
+        coarse,
+        npb,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        emit_vectors=False,
     ).persist()
-    spine = probes.filter(F.col("__rn") == 1).select(
-        id_col, vec_col, "__nrm"
+    # One (vector, norm) spine, computed by the declarative fold —
+    # bit-identical to the kernel's __nrm by the standing parity
+    # argument (same left-to-right per-dimension IEEE accumulation;
+    # pinned by test_rank_clusters_arrow_bitwise_equals_declarative
+    # and re-checked by the probe_all equality pins, which compare
+    # __nrm tuples).
+    spine = embeddings.select(id_col, vec_col).withColumn(
+        "__nrm", norm2(F.col(vec_col))
     )
     best = best_fine_per_cell_arrow(
         fine_cells,
-        probes.select(
+        spine.join(slim.hint("shuffle_hash"), id_col).select(
             "cluster",
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
@@ -1378,15 +1394,25 @@ def rank_clusters_two_level(
         .select("cluster", "centroid_id", "centroid", "__nrm")
     )
     npb = (1 << 30) if probe_all else nprobe_coarse
-    probes = rank_clusters_arrow(
-        embeddings, coarse, npb, dim, id_col=id_col, vec_col=vec_col
+    # Slim coarse ranking + JVM-side vector fan-out — the same
+    # Arrow-boundary economy as assign_clusters_two_level (see the
+    # comment there; ~85% of the sf10 wall was the emit_vectors
+    # fan-out).
+    slim = rank_clusters_arrow(
+        embeddings,
+        coarse,
+        npb,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        emit_vectors=False,
     ).persist()
-    spine = probes.filter(F.col("__rn") == 1).select(
-        id_col, vec_col, "__nrm"
+    spine = embeddings.select(id_col, vec_col).withColumn(
+        "__nrm", norm2(F.col(vec_col))
     )
     cand = best_fine_per_cell_arrow(
         fine_cells,
-        probes.select(
+        spine.join(slim.hint("shuffle_hash"), id_col).select(
             "cluster",
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),

@@ -80,12 +80,38 @@ def normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
+#: Memoized (applicationId, sf_dir, name) → loaded DataFrame. A
+#: DataFrame is an immutable logical plan — reusing it caches the
+#: parquet FOOTER/schema/listing work (~0.15 s of driver time per
+#: ``spark.read.parquet`` call, measured r15), exactly what a
+#: metastore gives a real deployment; every ACTION still scans the
+#: parquet data itself (this is plan/metadata reuse, not result or
+#: data caching). Safe because no operator ever writes into sf_dir
+#: (all sinks use the roundtrip scratch dirs) and the bench's fixture
+#: tripwire aborts on schema drift before any session exists. Bounded
+#: so long multi-session test runs cannot accumulate stale plans.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with contract normalization applied."""
     ensure_configs(spark)
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    key = (app_id, sf_dir, name)
+    if app_id is not None:
+        cached = _TABLE_MEMO.get(key)
+        if cached is not None:
+            return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events(df)
+    if app_id is not None:
+        if len(_TABLE_MEMO) > 256:
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
     return df
 
 

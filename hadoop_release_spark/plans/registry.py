@@ -118,21 +118,28 @@ def _wrap(fn: QueryFn) -> QueryFn:
         # lineage was truncated to the freed blocks) — same
         # release-at-next-query contract as the cache line
         # above, just error-on-reuse instead of slow-on-reuse.
-        # (py4j exposes the Java map as a dict view)
+        # (py4j exposes the Java map as a dict view). The scala-side
+        # isEmpty probe short-circuits the common no-persist case —
+        # the map→dict conversion alone cost ~30-50 ms per query
+        # (measured r15), paid inside every bench/grading timing.
         try:
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
+            if not spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty():
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist()
         except Exception as exc:  # pragma: no cover - env-specific
             warnings.warn(f"registry cleanup: RDD unpersist failed: {exc!r}")
         # Streaming memory sinks register stream_out_* temp views
         # (streaming/runner.materialize) that clearCache does NOT
         # release — drop the previous query's here so full result
         # tables cannot accumulate across a long grading session
-        # (self-review find).
+        # (self-review find). The runner tracks the names it
+        # registered, so this is a targeted drop, not a full catalog
+        # listTables() scan (~100 ms per query, measured r15).
         try:
-            for t in spark.catalog.listTables():
-                if t.isTemporary and t.name.startswith("stream_out_"):
-                    spark.catalog.dropTempView(t.name)
+            from hadoop_release_spark.streaming import runner as _stream_runner
+
+            while _stream_runner._LIVE_VIEWS:
+                spark.catalog.dropTempView(_stream_runner._LIVE_VIEWS.pop())
         except Exception as exc:  # pragma: no cover - env-specific
             warnings.warn(f"registry cleanup: view drop failed: {exc!r}")
         return fn(spark, sf_dir)

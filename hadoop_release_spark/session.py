@@ -40,12 +40,23 @@ RUNTIME_SQL_CONFS: dict[str, str] = {
 }
 
 
-def ensure_configs(spark: SparkSession) -> SparkSession:
+#: Sessions (by applicationId) already put through ensure_configs —
+#: the defensive re-application is idempotent, so one pass per
+#: session suffices; the per-call cost (~5 ms of py4j round-trips) was
+#: multiplied by every catalog.table() load inside the bench's timed
+#: regions (guide §5: keep driver-side work out of the query path).
+#: A caller that deliberately re-configures a session mid-process can
+#: force a re-apply with ``ensure_configs(spark, force=True)``.
+_ENSURED_APPS: set[str] = set()
+
+
+def ensure_configs(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply runtime-settable contract configs to an existing session.
 
     Safe to call repeatedly; used on driver-provided sessions whose
-    builder configs we do not control. Two extra duties beyond the
-    conf loop:
+    builder configs we do not control. Memoized per session
+    (applicationId) — pass ``force=True`` after deliberately changing
+    session confs. Two extra duties beyond the conf loop:
 
     * Verify ``nanosAsLong`` actually took hold — without it every
       events read later dies with an unrelated-looking
@@ -60,6 +71,12 @@ def ensure_configs(spark: SparkSession) -> SparkSession:
       scale this knob is sized to ~2-3× total executor cores /
       target partition bytes instead.
     """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    if app_id in _ENSURED_APPS and not force:
+        return spark
     for key, value in RUNTIME_SQL_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -88,6 +105,10 @@ def ensure_configs(spark: SparkSession) -> SparkSession:
             )
     except Exception:
         pass
+    if app_id is not None:
+        if len(_ENSURED_APPS) > 64:  # bound across many test sessions
+            _ENSURED_APPS.clear()
+        _ENSURED_APPS.add(app_id)
     return spark
 
 

@@ -48,6 +48,13 @@ from hadoop_release_spark.session import ensure_configs
 #: streams (see module docstring).
 FIXTURE_STREAM_PARTITIONS = 8
 
+#: Memory-sink temp views registered by :func:`materialize` and not
+#: yet dropped. The registry wrapper drains this list (targeted
+#: dropTempView per name) instead of scanning the whole catalog with
+#: listTables(), which measured ~100 ms per query (r15) — a fixed tax
+#: every non-streaming query paid too.
+_LIVE_VIEWS: list[str] = []
+
 #: (sf_dir, file mtime_ns) → events schema; the batch-side probe is
 #: identical per directory, so one read serves every streaming query
 #: in a session. The mtime key invalidates on IN-PLACE fixture
@@ -153,6 +160,7 @@ def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """
     spark = stream_df.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:12]
+    _LIVE_VIEWS.append(name)
     with scoped_stream_partitions(spark):
         query = (
             stream_df.writeStream.outputMode(output_mode)

@@ -228,6 +228,27 @@ def test_persists_do_not_accumulate_across_queries(spark, sf_dir):
     assert jsc.getPersistentRDDs().size() == 0
 
 
+def test_stream_views_do_not_accumulate_across_queries(spark, sf_dir):
+    """r15: the wrapper's stream_out_* view release became a targeted
+    drop of runner-tracked names (the full listTables() scan cost
+    ~100 ms on EVERY query). Pin the behavior the old scan provided:
+    a streaming query's memory-sink view exists after the query (the
+    driver materializes it), and the NEXT wrapped query drops it."""
+    import __spark_entry__ as e
+    from hadoop_release_spark.streaming import runner
+
+    qs = e.queries()
+    qs["j01_stream_tumbling"](spark, sf_dir).count()
+    assert runner._LIVE_VIEWS, "runner did not track the memory-sink view"
+    live = list(runner._LIVE_VIEWS)
+    for name in live:
+        assert spark.catalog.tableExists(name)
+    qs["b01_project_columns"](spark, sf_dir).count()
+    assert not runner._LIVE_VIEWS, "wrapper did not drain tracked views"
+    for name in live:
+        assert not spark.catalog.tableExists(name), f"view {name} leaked"
+
+
 def test_survey_section2_matches_registry():
     """SURVEY.md §2 is the capability contract the judge audits line
     by line — its operator rows and the registry must be identical

@@ -2915,6 +2915,12 @@ def d43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
+    # r15: persist the pair table before the selection — global_kth's
+    # range partitioner executes its child twice (sampling pass, then
+    # the shuffle map), so the unpersisted form ran the |days|² pair
+    # join twice (~0.43 s per execution at sf0.1, measured via noop;
+    # d44 already does this). Released by the registry wrapper.
+    slopes = slopes.persist()
     # .agg(min) over the selected single row is identity in the
     # normal case and turns the degenerate one-day corpus (no pairs,
     # empty selection) into a 1-row NULL — matching the oracle's

@@ -565,26 +565,73 @@ def k12_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cost_u"),
     )
 
-    def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tus", "event_id"], kind="mergesort")
-        admitted, after = token_bucket_admission(
-            pdf["tus"].to_numpy(np.int64),
-            pdf["cost_u"].to_numpy(np.int64),
-            K12_CAP_U,
-            K12_RATE_UT_PER_US,
-        )
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy(np.int64),
-                "event_id": pdf["event_id"].to_numpy(np.int64),
-                "admitted": admitted,
-                "tokens_after_u": after,
-            }
-        )
+    # r15 form: whole-partition mapInPandas over user-clustered,
+    # user-sorted input instead of groupBy().applyInPandas. The
+    # recurrence itself is unchanged (token_bucket_admission, same
+    # per-user event order), but the fixture has ~15k users of ~7
+    # events each, and applyInPandas builds one pandas DataFrame per
+    # GROUP — ~100 µs of per-group overhead that dominated the query
+    # (measured 2.5-3.0 s → ~1.1 s at sf0.1, identical rows). Shuffle
+    # shape is identical: ONE user_id hash exchange + a per-partition
+    # sort, exactly what FlatMapGroupsInPandas did internally. State
+    # carries across Arrow batches inside a partition via the j13
+    # resume parameters (tokens0/prev_t0) — a user's events can span
+    # a batch boundary, a partition boundary never splits a user.
+    def simulate_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        carry_user = None
+        carry_tokens = None
+        carry_prev_t = None
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy(np.int64)
+            tus = pdf["tus"].to_numpy(np.int64)
+            cost = pdf["cost_u"].to_numpy(np.int64)
+            n = len(users)
+            if n == 0:
+                continue
+            admitted = np.empty(n, dtype=np.int64)
+            after = np.empty(n, dtype=np.int64)
+            # user-run boundaries within the batch (input is sorted
+            # by user_id, so runs are contiguous)
+            starts = np.flatnonzero(np.diff(users) != 0) + 1
+            bounds = [0, *starts.tolist(), n]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                u = int(users[lo])
+                if u == carry_user:
+                    t0, p0 = carry_tokens, carry_prev_t
+                else:
+                    t0, p0 = None, None  # fresh bucket (full at cap)
+                a, af = token_bucket_admission(
+                    tus[lo:hi],
+                    cost[lo:hi],
+                    K12_CAP_U,
+                    K12_RATE_UT_PER_US,
+                    tokens0=t0,
+                    prev_t0=p0,
+                )
+                admitted[lo:hi] = a
+                after[lo:hi] = af
+                carry_user = u
+                carry_tokens = int(af[-1])
+                carry_prev_t = int(tus[hi - 1])
+            yield pd.DataFrame(
+                {
+                    "user_id": users,
+                    "event_id": pdf["event_id"].to_numpy(np.int64),
+                    "admitted": admitted,
+                    "tokens_after_u": after,
+                }
+            )
 
-    return ev.groupBy("user_id").applyInPandas(
-        simulate,
-        schema=(
-            "user_id long, event_id long, admitted long, tokens_after_u long"
-        ),
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "tus", "event_id")
+        .mapInPandas(
+            simulate_partition,
+            schema=(
+                "user_id long, event_id long, admitted long,"
+                " tokens_after_u long"
+            ),
+        )
     )

@@ -2398,12 +2398,20 @@ def _l70_impl(
     )
     # umap is the slim (doc_id, md5, survivor) spine of THREE
     # consumers (stage-2 minima, stage-2 map, the url_drop ledger
-    # branch) — persist it so the md5-over-text pass runs once
-    # (released by the registry wrapper at the next query).
+    # branch). r15: localCheckpoint instead of persist — same eager
+    # one-pass materialization, but the lineage TRUNCATES, so the
+    # final five-branch ledger union no longer embeds the md5/URL
+    # subtree once per branch and the composed plan stops paying
+    # per-materialization re-analysis (the i10 lesson; A/B at sf0.1:
+    # min 7.44 → 4.91 s, ledger rows identical). The spine is slim
+    # and its (curl,__h) partitioning is not reused downstream, so
+    # nothing is lost to checkpoint's partitioning drop; blocks are
+    # released by the registry wrapper's unpersist sweep (same
+    # error-on-reuse-after-next-query contract as the CC loop).
     umap = (
         fetch.join(usurv, ["curl", "__h"])
         .select("doc_id", "__h", "u_surv")
-        .persist()
+        .localCheckpoint()
     )
     # Stage-2 input: URL-stage survivors; the content hash rides
     # along from stage 1 (one md5 pass total for both stages).
@@ -2425,14 +2433,15 @@ def _l70_impl(
     pairs = lsh_candidate_pairs(ekept, "doc_id", "text")
     # nkill feeds THREE consumers (the near_dup ledger branch, the
     # semantic stage's survivor semi-join, and the kept spine) — a
-    # slim (doc_id, dup_of) table, but each unpersisted read would
-    # re-run the banded LSH candidate join. Persist (registry-
-    # released); same for skill below.
+    # slim (doc_id, dup_of) table, but each unmaterialized read would
+    # re-run the banded LSH candidate join. localCheckpoint (r15, see
+    # the umap comment): eager like persist, and the whole LSH
+    # subtree drops out of the downstream plan; same for skill below.
     nkill = (
         pairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
-        .persist()
+        .localCheckpoint()
     )
     nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
     emb = table(spark, sf_dir, "embeddings")
@@ -2471,7 +2480,7 @@ def _l70_impl(
         spairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
-        .persist()
+        .localCheckpoint()  # r15: see the umap comment
     )
     kept = nkept.join(skill.select("doc_id"), "doc_id", "left_anti")
     bucket = (

@@ -152,5 +152,26 @@ def get_session(
     for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    # r14 advisor: core (non-runtime) confs like
+    # spark.driver.maxResultSize are silently IGNORED by getOrCreate
+    # when a session already exists in the process — the caller then
+    # proceeds believing its override took (the f04 rehearsal's 4g
+    # pipe) and dies later on the 1g default with no hint why. Verify
+    # each explicit override actually holds and warn loudly if an
+    # existing session swallowed it.
+    for key, value in (extra_confs or {}).items():
+        try:
+            effective = spark.conf.get(key, None)
+        except Exception:
+            continue
+        if effective is not None and effective != str(value):
+            import warnings
+
+            warnings.warn(
+                f"get_session: extra conf {key}={value!r} did not take "
+                f"(effective {effective!r}) — a pre-existing SparkSession "
+                "swallowed the builder override; stop it first or set the "
+                "conf in that session's builder."
+            )
     spark.sparkContext.setLogLevel("WARN")
     return ensure_configs(spark)

@@ -305,6 +305,10 @@ def main() -> None:
         sf: {n: [] for n in names} for sf in sfs
     }
     rows: dict = {}
+    # r15 (advisor): `report` was only assigned inside the loop — an
+    # empty name filter (or rounds=0) made the final print a
+    # NameError. Initialize from the persisted record unconditionally.
+    report = _persist({}, False)
     # A full-pool decade-1 run resets the decade-1 record ONCE up
     # front (the old semantics), then every completed op merges
     # incrementally — a crash mid-run (round-14 find: f04's sf10

@@ -2064,62 +2064,25 @@ def _o_d37() -> str:
     """
 
 
-@register("d37_poisson_bootstrap", oracle=_o_d37(), priority="P2")
-def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap 95% confidence interval for the mean order
-    value per status — THE resampling method that scales (Chamandy
-    et al., Google 2012): classic bootstrap needs n draws per
-    replica (a shuffle per replica); the Poisson approximation gives
-    every (row, replica) an INDEPENDENT Poisson(1) weight, so all B
-    replicas ride one map-side pass. Weights are deterministic rule-6
-    integers: u = md5(orderkey:replica) 32-bit prefix, w = #{k: u ≥
-    T_k} against fixed inverse-CDF thresholds — no RNG, both engines
-    regenerate identical resamples. Replica means are exact-bigint
-    sums with one IEEE division; the CI picks ranked replica means
-    at positions 3 / B−2 (2.5%/97.5% lower-quantile rule, B=100),
-    id-tie-broken.
+def _d37_grp_expr(base: DataFrame) -> DataFrame:
+    """d37's (status, g) → 8 partial-sum columns via pure JVM
+    expressions — the REFERENCE form (r8's hex-space binary-search
+    CASE tree; see the kernel's docstring for the shared weight
+    rule). One md5 yields FOUR independent 32-bit draws (hex
+    slices), and ALL FOUR weights evaluate in ONE projection per
+    (row, group) — no second explode: the agg input is N·25 rows
+    (one per md5), not N·100, and the four replicas of a group ride
+    as 8 partial aggregate columns (sb_j, nb_j). u ≥ T_k is
+    evaluated in HEX-STRING space: md5 hex is fixed-width lowercase,
+    and '0'-'9' < 'a'-'f' in ASCII, so lexicographic order on an
+    8-char slice IS numeric order on the 32-bit value; the count
+    #{k: u ≥ T_k} is a binary-search CASE tree over the ascending
+    thresholds. The registered query runs :func:`_d37_grp_kernel`
+    (bit-identical, measured 4× faster); this form is kept as the
+    parity reference
+    (tests/test_analytics_ops.py::test_d37_kernel_grp_equals_expression)."""
 
-    Scale shape: the ×B/4 explode multiplies CPU, NOT shuffle — all
-    four slice-weights of one md5 evaluate in a single projection
-    (agg input is N·B/4 rows, not N·B), the (status, g) partial agg
-    collapses each task to ≤ statuses·B/4 rows before the exchange
-    (map-side combine), and the replica grain is restored by a
-    posexplode over the already-complete aggregate. The ranking
-    window runs over B rows per status. The point mean re-reads the
-    2-column projection once (cheap vs. shipping it through the
-    explode). This plan is identical at 100 TB: bootstrap cost =
-    one extra CPU-bound scan, zero extra shuffle volume."""
-    o = table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
-    )
-    point = base.groupBy("o_orderstatus").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("cents").cast("long").alias("s"),
-    )
-    # One md5 yields FOUR independent 32-bit draws (hex slices), and
-    # ALL FOUR weights evaluate in ONE projection per (row, group) —
-    # no second explode: the agg input is N·25 rows (one per md5),
-    # not N·100, and the four replicas of a group ride as 8 partial
-    # aggregate columns (sb_j, nb_j). The groupBy(status, g) is a
-    # COMPLETE aggregate, so the posexplode back to replica grain
-    # (b = 4·g + j, reading slice j of md5(key : g) — same rule-6
-    # determinism as before) runs over statuses·25 rows and needs no
-    # second shuffle.
     def _slice_w(j: int):
-        # u ≥ T_k evaluated in HEX-STRING space: md5 hex is
-        # fixed-width lowercase, and '0'-'9' < 'a'-'f' in ASCII, so
-        # lexicographic order on an 8-char slice IS numeric order on
-        # the 32-bit value — zero conv() calls (BigInteger hex parse
-        # was ~40% of this query's CPU; measured 8.6 s → 5.4 s at
-        # sf0.1). The count #{k: u ≥ T_k} is a BINARY-SEARCH CASE
-        # tree over the ascending thresholds (≤4 comparisons/slice
-        # instead of 9 — another ~1.7 s at sf0.1). The oracle keeps
-        # the linear numeric form; same predicate, same weights.
         s = F.expr(f"substring(hex, {1 + 8 * j}, 8)")
 
         def rec(lo: int, hi: int):
@@ -2147,7 +2110,7 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[_slice_w(j).alias(f"w{j}") for j in range(4)],
         )
     )
-    grp = drawn.groupBy("o_orderstatus", "g").agg(
+    return drawn.groupBy("o_orderstatus", "g").agg(
         *[
             agg
             for j in range(4)
@@ -2157,6 +2120,160 @@ def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+def _d37_grp_kernel(base: DataFrame) -> DataFrame:
+    """d37's (status, g) → 8 partial-sum columns via an Arrow
+    mapInPandas kernel — the hot path (r15). The md5 draws and the
+    threshold counts were ~4.5 s of the ~5.5 s sf0.1 wall in the
+    expression form (3.75M interpreted md5 + CASE evaluations);
+    the kernel computes the identical integers per batch —
+    u_j = big-endian uint32 of digest bytes [4j, 4j+4) (== the hex
+    slice the expression form compares, numerically), w_j =
+    np.searchsorted(T, u_j, side='right') (== #{k: u ≥ T_k} over the
+    ascending thresholds — same ≥, same tie handling as the CASE
+    tree) — and pre-aggregates each batch to (status, g) partial
+    sums, so at most batches·statuses·25 slim rows cross the Arrow
+    boundary and the downstream groupBy is exact integer addition in
+    any order. Measured 5.58 → 1.41 s min at sf0.1, output
+    bit-identical at sf0.01 AND sf0.1 (the parity pin re-checks the
+    grp table element-for-element). The round-robin repartition
+    fires ONLY when the scan has fewer partitions than cores (the
+    local single-file case — the kernel is CPU-bound and a 1-task
+    Python stage serializes it); at cluster scale the scan already
+    carries ≥ cores partitions and no extra shuffle is paid.
+    Weight-rule precondition shared with the oracle: o_orderkey and
+    o_orderstatus are non-null (TPC-H contract — concat_ws and '%d:'
+    agree on every non-null bigint)."""
+    import numpy as np
+    import pandas as pd
+
+    thresh = [int(t) for t in _D37_THRESH]
+    n_groups = _D37_B // 4
+
+    def draw_weights(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        t_arr = np.array(thresh, dtype=np.uint64)
+        for pdf in batches:
+            keys = pdf["o_orderkey"].to_numpy()
+            status = pdf["o_orderstatus"].to_numpy()
+            cents = pdf["cents"].to_numpy(np.int64)
+            n = len(keys)
+            if n == 0:
+                continue
+            buf = bytearray(n * n_groups * 16)
+            mv = memoryview(buf)
+            pos = 0
+            for i in range(n):
+                prefix = ("%d:" % keys[i]).encode()
+                for g in range(n_groups):
+                    mv[pos : pos + 16] = md5(
+                        prefix + str(g).encode()
+                    ).digest()
+                    pos += 16
+            arr = (
+                np.frombuffer(bytes(buf), dtype=">u4")
+                .astype(np.uint64)
+                .reshape(n, n_groups, 4)
+            )
+            w = (
+                np.searchsorted(t_arr, arr.ravel(), side="right")
+                .reshape(n, n_groups, 4)
+                .astype(np.int64)
+            )
+            out = []
+            for st in pd.unique(status):
+                m = status == st
+                wst = w[m]
+                sb = (cents[m, None, None] * wst).sum(axis=0)
+                nb = wst.sum(axis=0)
+                for g in range(n_groups):
+                    out.append((st, g, *sb[g].tolist(), *nb[g].tolist()))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "o_orderstatus",
+                    "g",
+                    "psb0",
+                    "psb1",
+                    "psb2",
+                    "psb3",
+                    "pnb0",
+                    "pnb1",
+                    "pnb2",
+                    "pnb3",
+                ],
+            )
+
+    spark = base.sparkSession
+    src = base
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < cores:
+            src = base.repartition(cores)
+    except Exception:
+        pass
+    part = src.mapInPandas(
+        draw_weights,
+        schema=(
+            "o_orderstatus string, g int,"
+            " psb0 long, psb1 long, psb2 long, psb3 long,"
+            " pnb0 long, pnb1 long, pnb2 long, pnb3 long"
+        ),
+    )
+    return part.groupBy("o_orderstatus", "g").agg(
+        *[
+            agg
+            for j in range(4)
+            for agg in (
+                F.sum(f"psb{j}").cast("long").alias(f"sb{j}"),
+                F.sum(f"pnb{j}").cast("long").alias(f"nb{j}"),
+            )
+        ]
+    )
+
+
+@register("d37_poisson_bootstrap", oracle=_o_d37(), priority="P2")
+def d37_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value per status — THE resampling method that scales (Chamandy
+    et al., Google 2012): classic bootstrap needs n draws per
+    replica (a shuffle per replica); the Poisson approximation gives
+    every (row, replica) an INDEPENDENT Poisson(1) weight, so all B
+    replicas ride one map-side pass. Weights are deterministic rule-6
+    integers: u = md5(orderkey:replica) 32-bit prefix, w = #{k: u ≥
+    T_k} against fixed inverse-CDF thresholds — no RNG, both engines
+    regenerate identical resamples. Replica means are exact-bigint
+    sums with one IEEE division; the CI picks ranked replica means
+    at positions 3 / B−2 (2.5%/97.5% lower-quantile rule, B=100),
+    id-tie-broken.
+
+    Scale shape: the ×B draw work multiplies CPU, NOT shuffle — the
+    draws + threshold counts run in the _d37_grp_kernel Arrow batch
+    kernel (r15; the r8 expression form stays as the parity
+    reference in _d37_grp_expr), which pre-aggregates every batch to
+    ≤ statuses·B/4 slim partial-sum rows before anything crosses the
+    Python→JVM boundary or the ONE exchange; the replica grain is
+    restored by a posexplode over the already-complete aggregate.
+    The ranking window runs over B rows per status. The point mean
+    re-reads the 2-column projection once (cheap vs. shipping it
+    through the draws). This plan is identical at 100 TB: bootstrap
+    cost = one extra CPU-bound scan, zero extra shuffle volume."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    point = base.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    grp = _d37_grp_kernel(base)
     rep = (
         grp.select(
             "o_orderstatus",

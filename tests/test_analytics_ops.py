@@ -703,3 +703,28 @@ def test_trend_ols_matches_numpy_lstsq(spark, sf_dir):
         assert abs(got[uid]["intercept"] - intercept) < 1e-9
         assert got[uid]["n"] == len(rows)
     assert got  # fixture has fittable users
+
+
+def test_d37_kernel_grp_equals_expression(spark, sf_dir):
+    """r15: d37's draw+weight stage moved into an Arrow batch kernel
+    (_d37_grp_kernel). The weights are rule-6 integers, so the kernel
+    must reproduce the r8 expression form EXACTLY — every (status, g)
+    group's 8 partial-sum columns element-for-element (bit-parity pin,
+    the house discipline for every kernel that replaces an expression
+    form)."""
+    from hadoop_release_spark.plans.d_aggregates import (
+        _d37_grp_expr,
+        _d37_grp_kernel,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    a = sorted(map(tuple, _d37_grp_expr(base).collect()))
+    b = sorted(map(tuple, _d37_grp_kernel(base).collect()))
+    assert a == b

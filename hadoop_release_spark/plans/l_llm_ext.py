@@ -3192,7 +3192,15 @@ def l73_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     two |langs|-row broadcast bound tables joined back. One fact
     scan beyond l43's; at 100 TB the bounds tables are constants."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = l43_lm_score(spark, sf_dir).join(d, "doc_id")
+    # r15: scored is the slim (doc_id, lang, n_tokens, avg_nll) spine
+    # of TWO consumers (the tercile-bound build and the final tier
+    # join) — unpersisted, the whole l43 scoring pipeline (explode +
+    # two aggs + token join + doc agg) replicated into every branch
+    # and executed up to 3× (the captured before-plan carried 72
+    # Exchange nodes with zero reuse). Persist it (registry-released)
+    # so the scoring runs once; at 100 TB this is the difference
+    # between one corpus scoring pass and three.
+    scored = l43_lm_score(spark, sf_dir).join(d, "doc_id").persist()
     pp = scored.groupBy("lang", "avg_nll").agg(
         F.count("*").cast("long").alias("w")
     )
@@ -3204,27 +3212,25 @@ def l73_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").over(w_cum).alias("cumw"),
         F.sum("w").over(w_all).alias("total"),
     )
-    b1 = (
-        cum.filter(3 * F.col("cumw") >= F.col("total"))
-        .groupBy("lang")
-        .agg(F.min("avg_nll").alias("t1"))
+    # Both tercile bounds in ONE aggregate over one cum pass —
+    # min(when(cond, v)) ≡ filter(cond).min(v) per language, so the
+    # selected elements are identical to the old two-branch form
+    # (which duplicated the cum window subtree into b1 AND b2).
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(3 * F.col("cumw") >= F.col("total"), F.col("avg_nll"))
+        ).alias("t1"),
+        F.min(
+            F.when(3 * F.col("cumw") >= 2 * F.col("total"), F.col("avg_nll"))
+        ).alias("t2"),
     )
-    b2 = (
-        cum.filter(3 * F.col("cumw") >= 2 * F.col("total"))
-        .groupBy("lang")
-        .agg(F.min("avg_nll").alias("t2"))
-    )
-    return (
-        scored.join(F.broadcast(b1), "lang")
-        .join(F.broadcast(b2), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "avg_nll",
-            F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
-            .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("tier"),
-        )
+    return scored.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
     )

@@ -1,15 +1,19 @@
-"""Capture .explain("formatted") for declared queries → plans/r15/.
+"""Capture .explain("formatted") for declared queries → plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [sf_dir] name [name ...]
 
-Writes plans/r15/<name>_<suffix>.txt for each query (suffix = before
-/ after). The judge reads these files instead of running Spark, so
-every optimization claim about plan shape (Exchange count, join
-strategy, PushedFilters, Python-boundary nodes) must be visible here.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt for each
+query (suffix = before / after; round defaults to r16). The judge
+reads these files instead of running Spark, so every optimization
+claim about plan shape (Exchange count, join strategy, PushedFilters,
+Python-boundary nodes) must be visible here. Round-16 protocol fix
+(r15 verdict item 2): before-plans are captured and committed at
+round START, before any operator change.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -27,7 +31,7 @@ def main() -> None:
         sf_dir, names = args[0], args[1:]
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
-    out_dir = REPO / "plans" / "r15"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_session("plan-capture")

@@ -2924,6 +2924,18 @@ def d42_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d43: how the |days|² pairwise-slope table is materialized before
+#: the two-phase selection ("persist" | "localCheckpoint" | "none").
+#: Selectable for A/B adjudication (the DF_GUARD_FORM precedent);
+#: rows identical in every mode — only the number of times the pair
+#: join executes changes (see the in-function comment). r16 default =
+#: "none": the n=6×2-session interleaved 32-core A/B
+#: (scripts/ab_d43.py, OPTIMIZATION_r16.md) read none med 2.04-2.10 /
+#: min 1.92-1.94 s vs persist med 2.2-2.33 and localCheckpoint med
+#: 2.48-2.56 — the warm pair join re-execution is cheaper than the
+#: persist round-trip at every core count measured.
+_D43_SLOPES_MAT = "none"
+
 #: d43: one day in epoch-microseconds (daily revenue grid).
 _D43_DAY_US = 86_400 * 1_000_000
 
@@ -3032,12 +3044,20 @@ def d43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
-    # r15: persist the pair table before the selection — global_kth's
-    # range partitioner executes its child twice (sampling pass, then
-    # the shuffle map), so the unpersisted form ran the |days|² pair
-    # join twice (~0.43 s per execution at sf0.1, measured via noop;
-    # d44 already does this). Released by the registry wrapper.
-    slopes = slopes.persist()
+    # r15: materialize the pair table before the selection —
+    # global_kth's range partitioner executes its child twice
+    # (sampling pass, then the shuffle map), so the unmaterialized
+    # form ran the |days|² pair join twice (~0.43 s per execution at
+    # sf0.1, measured via noop; d44 already does this). Released by
+    # the registry wrapper. r16: the driver's 32-core r15 run read
+    # the persist 0.72x; the form is selectable (_D43_SLOPES_MAT) and
+    # the shipped default is the winner of the n≥6 interleaved
+    # 32-core A/B recorded in OPTIMIZATION_r16.md.
+    if _D43_SLOPES_MAT == "persist":
+        slopes = slopes.persist()
+    elif _D43_SLOPES_MAT == "localCheckpoint":
+        slopes = slopes.localCheckpoint()
+    # "none": leave the plan unmaterialized (the pre-r15 form).
     # .agg(min) over the selected single row is identity in the
     # normal case and turns the degenerate one-day corpus (no pairs,
     # empty selection) into a 1-row NULL — matching the oracle's

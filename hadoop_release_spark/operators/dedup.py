@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_release_spark.functions.materialize import eager_truncate
+
 #: Mersenne prime 2^31-1; per-shingle hashes are reduced mod P first
 #: so a*h+b stays far below int64 overflow (ANSI mode errors on it).
 _P = 2_147_483_647
@@ -752,7 +754,7 @@ def connected_components_min_label(
     billion-edge graphs use the large-star/small-star algorithm
     (Kiveris et al.) — same join primitives, fewer rounds.
     """
-    # localCheckpoint (not persist) the SLIM symmetric edge list:
+    # eager_truncate (not persist) the SLIM symmetric edge list:
     # every iteration's join and the convergence count re-read it,
     # and ``pairs`` is typically an expensive pipeline (the full LSH
     # candidate generation, or m12's image decode + banding) that
@@ -764,19 +766,16 @@ def connected_components_min_label(
     # measured OOM of an 8 GiB driver on m12 at gen_sf sf1, where
     # the embedded image-pipeline tree × iterations × AQE re-plans
     # exhausted the heap BUILDING PLAN STRINGS. Cluster note:
-    # localCheckpoint is lineage-unsafe under executor loss; for
-    # these bounded frames (2·|pairs| longs) recomputation-on-loss
-    # is the wrong trade anyway — use reliable checkpoint dirs if
-    # the corpus makes the edge list precious.
-    edges = (
+    # localCheckpoint is lineage-unsafe under executor loss; the
+    # eager_truncate helper switches to reliable checkpoint() when a
+    # checkpoint dir is configured (functions/materialize.py).
+    edges = eager_truncate(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
     )
-    labels = (
+    labels = eager_truncate(
         nodes.select(F.col(id_col).alias("node"))
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
 
     changed = -1
@@ -789,11 +788,10 @@ def connected_components_min_label(
         # on Spark 4.1.2 — NoSuchElementException "key not found:
         # node#N" at the next checkpoint. With ``nmin`` checkpointed
         # first, every subsequent plan holds ``labels`` exactly once.
-        nmin = (
+        nmin = eager_truncate(
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("__ncomp"))
-            .localCheckpoint()
         )
         propagated = (
             labels.join(nmin, labels.node == nmin.src, "left")
@@ -804,8 +802,8 @@ def connected_components_min_label(
                     F.coalesce(nmin.__ncomp, labels.component),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
+        propagated = eager_truncate(propagated)
         # POINTER JUMP (label ← label[label]): every component label
         # IS a node id, so one self-join halves the distance to the
         # component minimum — neighbor propagation alone needs
@@ -833,8 +831,8 @@ def connected_components_min_label(
                     "component"
                 ),
             )
-            .localCheckpoint()
         )
+        new_labels = eager_truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.functions.contracts import dsum, net_price, osum
+from hadoop_release_spark.functions.materialize import eager_truncate
 from hadoop_release_spark.plans.registry import register
 
 
@@ -323,14 +324,18 @@ def i10_mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # localCheckpoint (eager) on the loop state: materializes like
+    # eager_truncate on the loop state: materializes like
     # persist+count AND truncates lineage so each iteration's plan is
     # constant-size (see docstring; the checkpoint blocks are released
     # by the registry wrapper's unpersist sweep at the next query,
-    # same lifetime contract as the old persists).
-    ed = edges.join(deg, "src").localCheckpoint()
+    # same lifetime contract as the old persists). r16: the helper
+    # picks localCheckpoint in local mode but RELIABLE checkpoint()
+    # when a checkpoint dir is configured — localCheckpoint blocks
+    # die with a lost executor and the truncated lineage cannot
+    # recompute them (functions/materialize.py).
+    ed = eager_truncate(edges.join(deg, "src"))
 
-    nodes = n.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    nodes = eager_truncate(n.select(F.col("n_nationkey").alias("node")))
     ranks = nodes.select("node", F.lit(PR_BASE).cast("bigint").alias("pr"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -348,7 +353,8 @@ def i10_mr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("pr"),
             )
-        ).localCheckpoint()  # eager + lineage-truncating (docstring)
+        )
+        ranks = eager_truncate(ranks)  # eager + lineage-truncating (docstring)
     return ranks.select(F.col("node").alias("n_nationkey"), F.col("pr").alias("pagerank_scaled"))
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
+from hadoop_release_spark.functions.materialize import eager_truncate
 from hadoop_release_spark.operators.dedup import (
     gram_keys,
     o_word_shingles_case,
@@ -2398,7 +2399,8 @@ def _l70_impl(
     )
     # umap is the slim (doc_id, md5, survivor) spine of THREE
     # consumers (stage-2 minima, stage-2 map, the url_drop ledger
-    # branch). r15: localCheckpoint instead of persist — same eager
+    # branch). r15: eager_truncate (localCheckpoint locally, reliable
+    # checkpoint under a configured dir) instead of persist — same eager
     # one-pass materialization, but the lineage TRUNCATES, so the
     # final five-branch ledger union no longer embeds the md5/URL
     # subtree once per branch and the composed plan stops paying
@@ -2408,10 +2410,8 @@ def _l70_impl(
     # nothing is lost to checkpoint's partitioning drop; blocks are
     # released by the registry wrapper's unpersist sweep (same
     # error-on-reuse-after-next-query contract as the CC loop).
-    umap = (
-        fetch.join(usurv, ["curl", "__h"])
-        .select("doc_id", "__h", "u_surv")
-        .localCheckpoint()
+    umap = eager_truncate(
+        fetch.join(usurv, ["curl", "__h"]).select("doc_id", "__h", "u_surv")
     )
     # Stage-2 input: URL-stage survivors; the content hash rides
     # along from stage 1 (one md5 pass total for both stages).
@@ -2437,11 +2437,10 @@ def _l70_impl(
     # re-run the banded LSH candidate join. localCheckpoint (r15, see
     # the umap comment): eager like persist, and the whole LSH
     # subtree drops out of the downstream plan; same for skill below.
-    nkill = (
+    nkill = eager_truncate(
         pairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
-        .localCheckpoint()
     )
     nkept = ekept.join(nkill.select("doc_id"), "doc_id", "left_anti")
     emb = table(spark, sf_dir, "embeddings")
@@ -2476,11 +2475,10 @@ def _l70_impl(
         )
         .filter(F.col("sim") >= F.expr(_L56_TAU))
     )
-    skill = (
+    skill = eager_truncate(  # r15: see the umap comment
         spairs.groupBy("id_b")
         .agg(F.min("id_a").cast("long").alias("dup_of"))
         .select(F.col("id_b").alias("doc_id"), "dup_of")
-        .localCheckpoint()  # r15: see the umap comment
     )
     kept = nkept.join(skill.select("doc_id"), "doc_id", "left_anti")
     bucket = (

@@ -326,3 +326,41 @@ def test_interactive_mode_preserves_user_caches(spark, sf_dir):
     assert not (
         set(spark.sparkContext._jsc.getPersistentRDDs().keys()) & rdd_ids
     ), "grading mode failed to release"
+
+
+def test_eager_truncate_modes_identical(spark, tmp_path):
+    """functions.materialize.eager_truncate must (a) pick reliable
+    checkpoint() when a checkpoint dir is configured and
+    localCheckpoint otherwise, (b) produce identical rows in both
+    modes, and (c) be eager + lineage-truncating in both (the loop
+    operators' contract — i10/l70/CC ride this helper)."""
+    from hadoop_release_spark.functions.materialize import eager_truncate
+    from pyspark.sql import functions as F
+
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).groupBy("k").agg(F.sum("id").alias("s"))
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = eager_truncate(src)
+    # truncated lineage: the logical plan no longer embeds the agg
+    assert "LogicalRDD" in local._jdf.queryExecution().logical().toString()
+    rows_local = sorted(map(tuple, local.collect()))
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = eager_truncate(src)
+        ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+        assert ckpt_files, (
+            "with a checkpoint dir configured, eager_truncate must use "
+            "reliable checkpoint() (no files appeared in the dir)"
+        )
+        assert sorted(map(tuple, reliable.collect())) == rows_local
+    finally:
+        # restore the no-dir default so later tests keep the
+        # localCheckpoint behavior this session was built with
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None

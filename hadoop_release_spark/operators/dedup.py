@@ -298,6 +298,91 @@ def shingle_sketch(text: Column, k: int = LSH_SHINGLE_K) -> Column:
     return _sk(text)
 
 
+def shingle_sketch_sig(
+    text: Column, k: int = LSH_SHINGLE_K, num_hashes: int = LSH_NUM_HASHES
+) -> Column:
+    """``struct<shingles: array<string>, sig: array<long>>`` — the
+    r16 FUSED form of ``shingle_sketch`` + ``minhash_from_hashes``:
+    one Arrow kernel pass emits the verification shingles AND the
+    finished MinHash signature, so the LSH staging pays ONE
+    JVM→Python→JVM round trip instead of two (the intermediate
+    60-bit hash arrays — megabytes per batch — previously crossed
+    the boundary twice just to feed the signature kernel; guide
+    §4/§4.2). Values are BIT-IDENTICAL to the two-kernel chain (and
+    hence to the expression forms): same md5-hex-slice mod P gram
+    hash, same exact int64 (a·h + b) % P per permutation, same
+    degenerate shapes (null text → [NULL] shingles + all-null
+    signature; under-k-token docs → whole-text gram). Pinned against
+    the staged chain in
+    tests/test_llm_ops.py::test_shingle_sketch_sig_equals_staged.
+
+    The signature math runs vectorized ACROSS the batch (one flat
+    concat + per-permutation segmented min), not per doc — the same
+    r16 rewrite as minhash_from_hashes."""
+    import hashlib
+
+    kk = int(k)
+    params = _hash_params(num_hashes)
+    pa = np.array([p[0] for p in params], dtype=np.int64)
+    pb = np.array([p[1] for p in params], dtype=np.int64)
+    all_null = [None] * num_hashes
+
+    @F.pandas_udf("struct<shingles: array<string>, sig: array<long>>")
+    def _sk(texts: pd.Series) -> pd.DataFrame:
+        sh_out: list = []
+        segs: list[np.ndarray] = []
+        seg_idx: list[int] = []
+        memo: dict = {}
+
+        def hv(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % _P
+                )
+                memo[g] = v
+            return v
+
+        for i, t in enumerate(texts):
+            if t is None:
+                # word_shingles(NULL) → [NULL]; the signature of a
+                # [NULL] hash array is all-null (minhash skips null
+                # elements, none remain).
+                sh_out.append([None])
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            if n >= kk:
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + kk]) for i in range(n - kk + 1)
+                    )
+                )
+            else:
+                grams = [" ".join(toks)]
+            sh_out.append(grams)
+            segs.append(np.array([hv(g) for g in grams], dtype=np.int64))
+            seg_idx.append(i)
+        sig_out = np.full(len(texts), None, dtype=object)
+        for i in range(len(texts)):
+            sig_out[i] = all_null
+        if segs:
+            flat = np.concatenate(segs)
+            offs = np.zeros(len(segs), dtype=np.int64)
+            np.cumsum([s.size for s in segs[:-1]], out=offs[1:])
+            sig = np.empty((len(segs), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                sig[:, j] = np.minimum.reduceat(
+                    (pa[j] * flat + pb[j]) % _P, offs
+                )
+            for s, i in enumerate(seg_idx):
+                sig_out[i] = sig[s]
+        return pd.DataFrame({"shingles": sh_out, "sig": list(sig_out)})
+
+    return _sk(text)
+
+
 def positional_gram_md5(text: Column, k: int) -> Column:
     """``array<binary>`` of the md5 digests of EVERY k-gram of
     ``text`` in position order (no dedup — index i is the gram at
@@ -458,16 +543,25 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Col
     array again yields the all-null signature). word_shingles never
     emits any of these shapes, but the operator is public."""
     params = _hash_params(num_hashes)
-    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
-    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
     all_null = [None] * num_hashes
 
     @F.pandas_udf("array<long>")
     def _mh(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
+        # r16 (guide §4.2): vectorized ACROSS rows — the old per-doc
+        # ((64×n) multiply-mod-min) numpy call paid ~40-60 µs of
+        # Python/numpy dispatch per DOC (~0.5 s/batch at 10k docs);
+        # now all docs' hashes concatenate into ONE flat array and
+        # each permutation is one multiply-mod + one segmented min
+        # (np.minimum.reduceat over the doc offsets). Identical exact
+        # int64 arithmetic (a·h + b < 2⁶², same % semantics), pinned
+        # bit-identical vs the expression form in test_llm_ops.
+        n = len(hs)
+        segs: list[np.ndarray] = []
+        idx: list[int] = []
+        for i, h in enumerate(hs):
             if h is None or len(h) == 0:
-                out.append(all_null)
                 continue
             arr = np.asarray(h)
             if arr.dtype.kind != "i":
@@ -476,10 +570,21 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = LSH_NUM_HASHES) -> Col
                 # the no-null hot path above never pays it.
                 arr = arr[~pd.isna(arr)]
                 if arr.size == 0:
-                    out.append(all_null)
                     continue
-            arr = arr.astype(np.int64)
-            out.append(((a * arr[None, :] + b) % _P).min(axis=1))
+            segs.append(arr.astype(np.int64, copy=False))
+            idx.append(i)
+        out = np.full(n, None, dtype=object)
+        for i in range(n):
+            out[i] = all_null
+        if segs:
+            flat = np.concatenate(segs)
+            offs = np.zeros(len(segs), dtype=np.int64)
+            np.cumsum([s.size for s in segs[:-1]], out=offs[1:])
+            sig = np.empty((len(segs), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                sig[:, j] = np.minimum.reduceat((a[j] * flat + b[j]) % _P, offs)
+            for k, i in enumerate(idx):
+                out[i] = sig[k]
         return pd.Series(out)
 
     return _mh(hashes)
@@ -510,53 +615,51 @@ def lsh_candidate_pairs(
     Returns columns: id_a, id_b, jaccard (rounded 3dp).
     """
     rows_per_band = num_hashes // bands
-    # Sketch stage: shingles AND their 60-bit hashes come from the
-    # shingle_sketch Arrow kernel in one pass (round 13 — the
-    # interpreted word_shingles string-building lambda was ~60% of
-    # l02's wall; values bit-parity-pinned vs the expression forms).
-    # This also retires the round-7 CollapseProject hazard (md5
-    # re-nesting inside the per-permutation array_min lambda): no
-    # md5/conv expression exists in the JVM plan at all, pinned by
-    # tests/test_plans.py::
+    # Sketch stage: verification shingles AND the finished MinHash
+    # signature come from the FUSED shingle_sketch_sig Arrow kernel
+    # in one pass (r16 — previously shingle_sketch emitted the
+    # 60-bit hash arrays and a SECOND kernel crossed them back into
+    # Python just to take the 64 permutation minima; guide §4). This
+    # keeps the round-13 property: no md5/conv expression and no
+    # array_min permutation lambda exists in the JVM plan at all,
+    # pinned by tests/test_plans.py::
     # test_lsh_hashing_lives_in_kernel_not_jvm_lambdas. The persist
-    # below still serves banding (__h) and verification
-    # (__shingles) from one kernel pass.
+    # below serves banding (__sig) and verification (__shingles)
+    # from one kernel pass.
     base = df.select(
         F.col(id_col).alias("__id"),
-        shingle_sketch(F.col(text_col), shingle_k).alias("__sk"),
+        shingle_sketch_sig(F.col(text_col), shingle_k, num_hashes).alias(
+            "__sk"
+        ),
     ).select(
         "__id",
         F.col("__sk.shingles").alias("__shingles"),
-        F.col("__sk.hashes").alias("__h"),
+        F.col("__sk.sig").alias("__sig"),
     )
-    # The persisted sketch table serves banding (via __h) AND
-    # verification (via __shingles): the shingle+md5 kernel pass
-    # (bit-identical to the word_shingles/shingle_hashes expression
-    # forms — see shingle_sketch) runs once.
     base = base.persist()
 
     # Candidate generation on SLIM rows only — (id, band, bucket).
     # Never ship the shingle arrays through the band shuffle: payload
     # width through a shuffle is the thing that breaks at 100 TB.
-    # Bucket id = the band's signature rows joined as a string —
-    # portable across engines (F.hash would be Spark-specific),
-    # same collision semantics (equality of the 4-tuple). The
-    # signature projection collapsing into this SELECT is fine — it
-    # reads cached __h, so the collapsed lambda is pmod-only.
+    # Bucket id = the band's rows_per_band signature values as a RAW
+    # array slice (r16): array equality IS 4-tuple equality — the
+    # exact equality classes of the r11-r15 joined-string key (the
+    # decimal rendering was injective) and of the oracle's CTE, with
+    # no per-row string building and a fixed-width 4×8-byte key
+    # through the exchange instead of a ~20-80 byte string (guide
+    # §2.3 narrower types; measured A/B med 1.33 → 1.16 s on the
+    # candidate stage at sf0.1, pair set identical). No lossy hash:
+    # F.hash/xxhash64 would be Spark-specific AND add a collision
+    # term the l68 calibration oracle does not replay. The signature
+    # projection collapsing into this SELECT is fine — it reads
+    # cached __h, so the collapsed lambda is slice-only.
     banded = base.select(
-        "__id",
-        minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
-    ).select(
         "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.array_join(
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
+                lambda b: F.slice(
+                    F.col("__sig"), b * rows_per_band + 1, rows_per_band
                 ),
             )
         ).alias("__band", "__bucket"),
@@ -892,31 +995,27 @@ def lsh_pair_calibration(
     (e.g. hypothesis running hundreds of examples) accumulates one
     cached shingle pass per call until LRU eviction kicks in."""
     rows_per_band = num_hashes // bands
+    # r16: fused kernel — shingles + finished signature in ONE Python
+    # pass (see lsh_candidate_pairs).
     base = df.select(
         F.col(id_col).alias("__id"),
-        shingle_sketch(F.col(text_col), shingle_k).alias("__sk"),
+        shingle_sketch_sig(F.col(text_col), shingle_k, num_hashes).alias(
+            "__sk"
+        ),
     ).select(
         "__id",
         F.col("__sk.shingles").alias("__shingles"),
-        F.col("__sk.hashes").alias("__h"),
+        F.col("__sk.sig").alias("__sig"),
     )
     base = base.persist()
-    sigs = base.select(
-        "__id",
-        "__shingles",
-        minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
-    )
+    sigs = base
     banded = sigs.select(
         "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.array_join(
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
+                lambda b: F.slice(
+                    F.col("__sig"), b * rows_per_band + 1, rows_per_band
                 ),
             )
         ).alias("__band", "__bucket"),

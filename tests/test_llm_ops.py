@@ -313,3 +313,44 @@ def test_df_guard_agg_form_equals_window_form_l66(spark, sf_dir, monkeypatch):
     agg = sorted(map(tuple, l66_containment_dedup(spark, sf_dir).collect()))
     assert base == agg
     assert base, "empty l66 result makes the pin vacuous"
+
+
+def test_shingle_sketch_sig_equals_staged(spark, sf_dir):
+    """r16 fused-kernel pin: shingle_sketch_sig must produce
+    BIT-IDENTICAL (shingles, signature) to the two-kernel chain
+    (shingle_sketch → minhash_from_hashes) on the real corpus — the
+    signature values are oracle-replayed (l68's n_match), so value
+    equality is required, not bijection. Degenerate shapes too:
+    null text → [NULL] shingles + all-null signature; an under-k
+    doc → the whole-text gram's signature."""
+    from hadoop_release_spark.catalog import table
+    from hadoop_release_spark.operators.dedup import (
+        minhash_from_hashes,
+        shingle_sketch,
+        shingle_sketch_sig,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    degen = spark.createDataFrame(
+        [(90001, None), (90002, "one two"), (90003, "")],
+        "doc_id long, text string",
+    )
+    both = (
+        d.unionByName(degen)
+        .select(
+            "doc_id",
+            shingle_sketch_sig(F.col("text")).alias("__f"),
+            shingle_sketch(F.col("text")).alias("__sk"),
+        )
+        .select(
+            "doc_id",
+            "__f",
+            F.col("__sk.shingles").alias("__se"),
+            minhash_from_hashes(F.col("__sk.hashes")).alias("__me"),
+        )
+    )
+    rows = both.collect()
+    assert rows
+    for r in rows:
+        assert list(r["__f"]["shingles"] or []) == list(r["__se"] or []), r
+        assert list(r["__f"]["sig"] or []) == list(r["__me"] or []), r

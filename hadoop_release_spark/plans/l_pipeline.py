@@ -2747,9 +2747,13 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cgrams feeds the bitmap build AND the exact verify — persist so
     # the corpus gram explode+distinct runs once (registry-released).
     cgrams = cgrams.persist()
+    # r16: no .distinct() on the positions — bit_or is idempotent, so
+    # duplicate positions cannot change any mask word and the partial
+    # (map-side) bit_or already shrinks them; the distinct's own
+    # exchange was pure overhead. Identical masks by idempotence.
     cpos = cgrams.select(
         F.explode(F.array(*_pos("g"))).alias("pos")
-    ).distinct()
+    )
     words = cpos.groupBy(
         (F.col("pos") / _L72_WORD).cast("long").alias("word")
     ).agg(
@@ -2760,7 +2764,17 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mask")
     )
-    igrams = _grams(incoming)
+    # r16: ONE incoming gram pass. word_gram_digests emits DISTINCT
+    # grams per doc, so the bloom-test agg (one row per (doc_id, g))
+    # and the old `shared` frame had identical keys and the final
+    # (doc_id, g) join paired every row with itself — the whole
+    # `shared` branch (a second gram-kernel pass over incoming plus a
+    # full shuffle join) computed nothing the gflags rows don't
+    # already carry. The in_corpus flag now attaches to gflags
+    # directly. The null-gram filter preserves the old join-on-g
+    # semantics exactly: a null-text doc's single NULL gram never
+    # matched the equi-join, so that doc was absent from the output.
+    igrams = _grams(incoming).filter(F.col("g").isNotNull())
     ipos = igrams.select(
         "doc_id", "g", F.explode(F.array(*_pos("g"))).alias("pos")
     )
@@ -2784,19 +2798,18 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("hit"),
     )
-    gpass = bits.groupBy("doc_id", "g").agg(F.min("hit").alias("pass"))
-    shared = igrams.join(
+    gflags = bits.groupBy("doc_id", "g").agg(F.min("hit").alias("pass"))
+    flagged = gflags.join(
         cgrams.select(F.col("g").alias("cg")),
         F.col("g") == F.col("cg"),
         "left",
     ).select(
         "doc_id",
-        "g",
+        "pass",
         F.when(F.col("cg").isNotNull(), 1).otherwise(0).alias("in_corpus"),
     )
     return (
-        gpass.join(shared, ["doc_id", "g"])
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.sum("pass").cast("long").alias("n_bloom_pass"),
@@ -3144,9 +3157,11 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feeds the bitmap build AND the (gated) exact verify — persist
     # so the corpus gram explode+distinct runs once.
     cgrams = cgrams.persist()
+    # r16: no .distinct() on positions — bit_or is idempotent (see
+    # l72); drops one exchange, masks identical.
     cpos = cgrams.select(
         F.explode(F.array(*_pos("g"))).alias("pos")
-    ).distinct()
+    )
     words = cpos.groupBy(
         (F.col("pos") / _L72_WORD).cast("long").alias("word")
     ).agg(
@@ -3181,14 +3196,18 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("hit"),
     )
+    # r16: gflags (one row per (doc_id, g) with the bloom verdict)
+    # is persisted for its TWO consumers — the gated verify below and
+    # the per-doc gram count — so the incoming gram kernel and the
+    # bit-test subtree run ONCE (previously perdoc re-ran the gram
+    # explode as a second kernel pass). Slim rows (id, 16-byte
+    # digest, int), sized by the ingest batch, registry-released.
+    gflags = (
+        bits.groupBy("doc_id", "g").agg(F.min("hit").alias("pass"))
+    ).persist()
     # THE GATE: only bloom-pass grams reach the corpus-sized verify
     # join (l72 verifies all grams to score FPR; production doesn't).
-    passg = (
-        bits.groupBy("doc_id", "g")
-        .agg(F.min("hit").alias("pass"))
-        .filter(F.col("pass") == 1)
-        .select("doc_id", "g")
-    )
+    passg = gflags.filter(F.col("pass") == 1).select("doc_id", "g")
     ver = (
         passg.join(
             cgrams.select(F.col("g").alias("cg")),
@@ -3205,7 +3224,7 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared"),
         )
     )
-    perdoc = igrams.groupBy("doc_id").agg(
+    perdoc = gflags.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )
     return perdoc.join(ver, "doc_id", "left").select(

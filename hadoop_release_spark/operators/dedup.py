@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.functions.materialize import eager_truncate
+from hadoop_release_spark.functions.partitioning import spread_small_scan
 
 #: Mersenne prime 2^31-1; per-shingle hashes are reduced mod P first
 #: so a*h+b stays far below int64 overflow (ANSI mode errors on it).
@@ -625,8 +626,10 @@ def lsh_candidate_pairs(
     # pinned by tests/test_plans.py::
     # test_lsh_hashing_lives_in_kernel_not_jvm_lambdas. The persist
     # below serves banding (__sig) and verification (__shingles)
-    # from one kernel pass.
-    base = df.select(
+    # from one kernel pass. spread_small_scan: the kernel otherwise
+    # runs as ONE task over a single-file fixture scan (the d37
+    # guard; guide §2.5) — a no-op when the scan is already parallel.
+    base = spread_small_scan(df).select(
         F.col(id_col).alias("__id"),
         shingle_sketch_sig(F.col(text_col), shingle_k, num_hashes).alias(
             "__sk"
@@ -996,8 +999,9 @@ def lsh_pair_calibration(
     cached shingle pass per call until LRU eviction kicks in."""
     rows_per_band = num_hashes // bands
     # r16: fused kernel — shingles + finished signature in ONE Python
-    # pass (see lsh_candidate_pairs).
-    base = df.select(
+    # pass; spread_small_scan = the d37 kernel-input guard (see
+    # lsh_candidate_pairs).
+    base = spread_small_scan(df).select(
         F.col(id_col).alias("__id"),
         shingle_sketch_sig(F.col(text_col), shingle_k, num_hashes).alias(
             "__sk"

@@ -184,7 +184,11 @@ def _doc_wav(doc_id: int) -> bytes:
 
 def attach_image_payload(df: DataFrame) -> DataFrame:
     """Attach a binary column of real encoded BMP bytes (stand-in for
-    a corpus's stored media; at scale this column comes off disk)."""
+    a corpus's stored media; at scale this column comes off disk).
+    (spread_small_scan deliberately NOT applied: the BMP synth is
+    cheap per row — measured A/B r16, the added rebalance exchange
+    cost more than the parallel kernel saved; contrast
+    attach_audio_payload.)"""
 
     @F.pandas_udf("binary")
     def make(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
@@ -196,13 +200,21 @@ def attach_image_payload(df: DataFrame) -> DataFrame:
 
 
 def attach_audio_payload(df: DataFrame) -> DataFrame:
-    """Attach a binary column of real PCM16 WAV bytes."""
+    """Attach a binary column of real PCM16 WAV bytes.
+    spread_small_scan first: the per-sample sine synthesis is heavy
+    Python and otherwise runs as ONE task over a single-file fixture
+    scan (the d37 guard; m07 med 1.26 → 0.97 s, m14 1.79 → 1.35 s in
+    the r16 interleaved A/B). Payload bytes derive from doc_id only,
+    identical under any partitioning."""
+    from hadoop_release_spark.functions.partitioning import (
+        spread_small_scan,
+    )
 
     @F.pandas_udf("binary")
     def make(doc_id: pd.Series) -> pd.Series:
         return pd.Series([_doc_wav(int(d)) for d in doc_id])
 
-    return df.withColumn("payload", make("doc_id"))
+    return spread_small_scan(df).withColumn("payload", make("doc_id"))
 
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -350,7 +362,13 @@ def _doc_video(doc_id: int, n_chars: int) -> bytes:
 
 
 def attach_video_payload(df: DataFrame) -> DataFrame:
-    """Attach a binary column of real SVID clip bytes."""
+    """Attach a binary column of real SVID clip bytes.
+    spread_small_scan: multi-frame clip synthesis is heavy Python
+    (see attach_audio_payload); identical bytes under any
+    partitioning."""
+    from hadoop_release_spark.functions.partitioning import (
+        spread_small_scan,
+    )
 
     @F.pandas_udf("binary")
     def make(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
@@ -358,7 +376,9 @@ def attach_video_payload(df: DataFrame) -> DataFrame:
             [_doc_video(int(d), int(c)) for d, c in zip(doc_id, n_chars)]
         )
 
-    return df.withColumn("payload", make("doc_id", "n_chars"))
+    return spread_small_scan(df).withColumn(
+        "payload", make("doc_id", "n_chars")
+    )
 
 
 def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
@@ -579,7 +599,13 @@ def attach_video_payload_canon(df: DataFrame) -> DataFrame:
     """Video payload variant with PLANTED duplicate clips (the m09
     canon-id rule): a doc whose id ends in 9 carries its
     predecessor's exact clip, dims and frame pixels keyed on the
-    canon id — deterministic and oracle-replayable."""
+    canon id — deterministic and oracle-replayable.
+    spread_small_scan: see attach_video_payload."""
+    from hadoop_release_spark.functions.partitioning import (
+        spread_small_scan,
+    )
+
+    df = spread_small_scan(df)
 
     @F.pandas_udf("binary")
     def make(doc_id: pd.Series) -> pd.Series:

@@ -1047,6 +1047,10 @@ def rank_clusters_arrow(
                 ).reshape(-1)
             yield pd.DataFrame(out)
 
+    # (spread_small_scan deliberately NOT applied: the SIMD batch
+    # kernel is cheap at fixture vector counts — measured A/B r16,
+    # l56/l58 med regressed ~0.5-0.8 s under the added rebalance
+    # exchange. At corpus scale the scan is already parallel.)
     return embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema=schema
     )

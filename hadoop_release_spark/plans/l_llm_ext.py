@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
+from hadoop_release_spark.functions.partitioning import spread_small_scan
 from hadoop_release_spark.functions.contracts import r3, r4
 from hadoop_release_spark.functions.vectors import cosine, dot, norm2, o_cosine
 from hadoop_release_spark.operators.dedup import (
@@ -2620,6 +2621,9 @@ def l66_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_release_spark.operators.dedup import gram_keys
 
     d = table(spark, sf_dir, "documents")
+    # (spread_small_scan deliberately NOT applied: gram_keys is the
+    # cheap factorize+integer kernel — measured A/B r16, the added
+    # rebalance exchange costs what the parallel kernel saves.)
     sh = d.select(
         "doc_id",
         F.explode(gram_keys(F.col("text"), 3, short_doc="empty")).alias("s"),

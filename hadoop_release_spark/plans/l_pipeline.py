@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from hadoop_release_spark.catalog import table
 from hadoop_release_spark.functions.materialize import eager_truncate
+from hadoop_release_spark.functions.partitioning import spread_small_scan
 from hadoop_release_spark.operators.dedup import (
     gram_keys,
     o_word_shingles_case,
@@ -210,6 +211,9 @@ def l28_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 13) where the kernel does factorize-once + k
     # shifted-multiply-adds, and an 8-byte primitive key shuffles
     # slimmer than a 16-char string through every exchange below.
+    # (spread_small_scan deliberately NOT applied here: gram_keys is
+    # the cheap factorize+integer kernel — measured A/B r16, the
+    # added rebalance exchange costs what the parallel kernel saves.)
     grams = d.select(
         "doc_id",
         F.explode(gram_keys(F.col("text"), DECON_NGRAM_K)).alias("gram"),
@@ -2720,7 +2724,9 @@ def l72_bloom_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (bit-parity-pinned vs the word_shingles+unhex(md5)
         # expression) — the interpreted string-building lambda was
         # the measured tax on every gram op this round.
-        return df.select(
+        # spread_small_scan: the digest kernel otherwise runs as ONE
+        # task over a single-file fixture scan (the d37 guard).
+        return spread_small_scan(df).select(
             "doc_id",
             F.explode(
                 word_gram_digests(F.col("text"), DECON_NGRAM_K)
@@ -2933,7 +2939,7 @@ def l74_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on purpose: l74 emits a REMOVAL plan, and a narrower key's
     # collision fabricates a verbatim match.
     g = (
-        d.filter(F.size(toks) >= k)
+        spread_small_scan(d.filter(F.size(toks) >= k))
         .select(
             "doc_id",
             F.posexplode(positional_gram_md5(F.col("text"), k)).alias(
@@ -3130,7 +3136,9 @@ def l75_bloom_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (bit-parity-pinned vs the word_shingles+unhex(md5)
         # expression) — the interpreted string-building lambda was
         # the measured tax on every gram op this round.
-        return df.select(
+        # spread_small_scan: the digest kernel otherwise runs as ONE
+        # task over a single-file fixture scan (the d37 guard).
+        return spread_small_scan(df).select(
             "doc_id",
             F.explode(
                 word_gram_digests(F.col("text"), DECON_NGRAM_K)

@@ -103,6 +103,9 @@ HEAVY_TAIL = [
     "l75_bloom_gated_ingest",
     # round-12 addition
     "l76_knn_self_bucketed",
+    # round-16 addition (r15 verdict item 7): the persisted-spine l73
+    # form had no refreshed decade row
+    "l73_perplexity_buckets",
 ]
 
 SFS = [0.1, 1.0]

@@ -80,17 +80,36 @@ def normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
-#: Memoized (applicationId, sf_dir, name) → loaded DataFrame. A
-#: DataFrame is an immutable logical plan — reusing it caches the
-#: parquet FOOTER/schema/listing work (~0.15 s of driver time per
-#: ``spark.read.parquet`` call, measured r15), exactly what a
-#: metastore gives a real deployment; every ACTION still scans the
+#: Memoized (applicationId, sf_dir, name, mtime_ns) → loaded
+#: DataFrame. A DataFrame is an immutable logical plan — reusing it
+#: caches the parquet FOOTER/schema/listing work (~0.15 s of driver
+#: time per ``spark.read.parquet`` call, measured r15), exactly what
+#: a metastore gives a real deployment; every ACTION still scans the
 #: parquet data itself (this is plan/metadata reuse, not result or
 #: data caching). Safe because no operator ever writes into sf_dir
-#: (all sinks use the roundtrip scratch dirs) and the bench's fixture
-#: tripwire aborts on schema drift before any session exists. Bounded
-#: so long multi-session test runs cannot accumulate stale plans.
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#: (all sinks use the roundtrip scratch dirs). The mtime_ns in the
+#: key (r15 ADVICE; same pattern as streaming/runner's schema memo)
+#: invalidates naturally if a fixture is regenerated IN PLACE during
+#: a live session — previously the memoized DataFrame pinned the old
+#: file listing (deleted files failed tasks mid-query, rewritten
+#: files read stale). Bounded so long multi-session test runs cannot
+#: accumulate stale plans.
+_TABLE_MEMO: dict[tuple[str, str, str, int], DataFrame] = {}
+
+
+def _table_mtime_ns(path: str) -> int:
+    """Cheap staleness token for the memo key: the path's mtime_ns
+    (file fixtures; a directory's own mtime changes whenever a part
+    file is added/removed — full-tree walking is the streaming schema
+    memo's job, too hot for every table() call). Remote paths
+    (hdfs://, s3a://) stat-fail → constant -1 (cache per sf_dir, the
+    runner's rule: remote fixtures are not regenerated in place)."""
+    import os
+
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -100,12 +119,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         app_id = spark.sparkContext.applicationId
     except Exception:
         app_id = None
-    key = (app_id, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (app_id, sf_dir, name, _table_mtime_ns(path))
     if app_id is not None:
         cached = _TABLE_MEMO.get(key)
         if cached is not None:
             return cached
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events(df)
     if app_id is not None:

@@ -138,10 +138,43 @@ def _wrap(fn: QueryFn) -> QueryFn:
         try:
             from hadoop_release_spark.streaming import runner as _stream_runner
 
+            kept = []
             while _stream_runner._LIVE_VIEWS:
-                spark.catalog.dropTempView(_stream_runner._LIVE_VIEWS.pop())
+                ref, name = _stream_runner._LIVE_VIEWS.pop()
+                owner = ref()
+                if owner is None:
+                    continue  # session gone; its temp views died with it
+                if owner is not spark:
+                    # r15 ADVICE: a view owned by ANOTHER live session
+                    # must not be popped here — dropTempView on this
+                    # session would return False and the view would
+                    # leak permanently in its owner.
+                    kept.append((ref, name))
+                    continue
+                try:
+                    spark.catalog.dropTempView(name)
+                except Exception:
+                    # keep the name so a later sweep can retry instead
+                    # of losing track of the view (r15 ADVICE)
+                    kept.append((ref, name))
+                    raise
+            _stream_runner._LIVE_VIEWS.extend(kept)
         except Exception as exc:  # pragma: no cover - env-specific
             warnings.warn(f"registry cleanup: view drop failed: {exc!r}")
+        # Operator-internal persist registry (r15 ADVICE): the RDD
+        # sweep above already freed the blocks; clear the Python-side
+        # list too or a long grading session accumulates DataFrame
+        # objects + py4j-pinned JVM plans (and a later direct caller's
+        # release_internal_persists() would unpersist frames belonging
+        # to unrelated earlier queries).
+        try:
+            from hadoop_release_spark.operators import similarity as _sim
+
+            _sim._INTERNAL_PERSISTS.clear()
+        except Exception as exc:  # pragma: no cover - env-specific
+            warnings.warn(
+                f"registry cleanup: internal-persist drain failed: {exc!r}"
+            )
         return fn(spark, sf_dir)
 
     wrapped.__doc__ = fn.__doc__

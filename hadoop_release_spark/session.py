@@ -40,14 +40,23 @@ RUNTIME_SQL_CONFS: dict[str, str] = {
 }
 
 
-#: Sessions (by applicationId) already put through ensure_configs —
-#: the defensive re-application is idempotent, so one pass per
-#: session suffices; the per-call cost (~5 ms of py4j round-trips) was
-#: multiplied by every catalog.table() load inside the bench's timed
-#: regions (guide §5: keep driver-side work out of the query path).
-#: A caller that deliberately re-configures a session mid-process can
-#: force a re-apply with ``ensure_configs(spark, force=True)``.
-_ENSURED_APPS: set[str] = set()
+#: Sessions already put through ensure_configs — the defensive
+#: re-application is idempotent, so one pass per session suffices;
+#: the per-call cost (~5 ms of py4j round-trips) was multiplied by
+#: every catalog.table() load inside the bench's timed regions
+#: (guide §5: keep driver-side work out of the query path). Keyed on
+#: SESSION IDENTITY via a WeakSet (r15 ADVICE): RUNTIME_SQL_CONFS and
+#: the nanosAsLong verification are per-SparkSession state, not
+#: per-SparkContext — a second session over the same context
+#: (SparkSession.newSession(), or a driver-provided session distinct
+#: from the first one ensured) shares the applicationId and would
+#: silently skip conf application under an appId key. The WeakSet
+#: self-cleans when sessions are garbage collected. A caller that
+#: deliberately re-configures a session mid-process can force a
+#: re-apply with ``ensure_configs(spark, force=True)``.
+import weakref
+
+_ENSURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_configs(spark: SparkSession, force: bool = False) -> SparkSession:
@@ -72,11 +81,10 @@ def ensure_configs(spark: SparkSession, force: bool = False) -> SparkSession:
       target partition bytes instead.
     """
     try:
-        app_id = spark.sparkContext.applicationId
+        if spark in _ENSURED_SESSIONS and not force:
+            return spark
     except Exception:
-        app_id = None
-    if app_id in _ENSURED_APPS and not force:
-        return spark
+        pass
     for key, value in RUNTIME_SQL_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -105,10 +113,10 @@ def ensure_configs(spark: SparkSession, force: bool = False) -> SparkSession:
             )
     except Exception:
         pass
-    if app_id is not None:
-        if len(_ENSURED_APPS) > 64:  # bound across many test sessions
-            _ENSURED_APPS.clear()
-        _ENSURED_APPS.add(app_id)
+    try:
+        _ENSURED_SESSIONS.add(spark)
+    except Exception:
+        pass  # un-weakref-able session object: re-apply every call
     return spark
 
 
@@ -164,7 +172,13 @@ def get_session(
             effective = spark.conf.get(key, None)
         except Exception:
             continue
-        if effective is not None and effective != str(value):
+        # Normalize before comparing (r15 ADVICE): Spark canonicalizes
+        # many conf values (booleans report 'true' vs str(True) ==
+        # 'True'), which produced false "override did not take"
+        # warnings for confs that actually took.
+        if effective is not None and str(effective).strip().lower() != str(
+            value
+        ).strip().lower():
             import warnings
 
             warnings.warn(

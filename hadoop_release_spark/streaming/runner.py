@@ -37,6 +37,7 @@ checkpoint — choose it before the first run.
 from __future__ import annotations
 
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -49,11 +50,17 @@ from hadoop_release_spark.session import ensure_configs
 FIXTURE_STREAM_PARTITIONS = 8
 
 #: Memory-sink temp views registered by :func:`materialize` and not
-#: yet dropped. The registry wrapper drains this list (targeted
-#: dropTempView per name) instead of scanning the whole catalog with
-#: listTables(), which measured ~100 ms per query (r15) — a fixed tax
-#: every non-streaming query paid too.
-_LIVE_VIEWS: list[str] = []
+#: yet dropped, as (session weakref, name) pairs. The registry
+#: wrapper drains this list (targeted dropTempView per name) instead
+#: of scanning the whole catalog with listTables(), which measured
+#: ~100 ms per query (r15) — a fixed tax every non-streaming query
+#: paid too. Pairs, not bare names (r15 ADVICE): temp views are
+#: SESSION-scoped while this list is process-global, so a wrapper
+#: running on a DIFFERENT session must not pop (and thereby leak) a
+#: view owned by another session — the wrapper only drops entries
+#: whose session is the current one (dead-session entries are
+#: discarded; their views died with the session).
+_LIVE_VIEWS: list[tuple["weakref.ref[SparkSession]", str]] = []
 
 #: (sf_dir, file mtime_ns) → events schema; the batch-side probe is
 #: identical per directory, so one read serves every streaming query
@@ -160,7 +167,7 @@ def materialize(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """
     spark = stream_df.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:12]
-    _LIVE_VIEWS.append(name)
+    _LIVE_VIEWS.append((weakref.ref(spark), name))
     with scoped_stream_partitions(spark):
         query = (
             stream_df.writeStream.outputMode(output_mode)

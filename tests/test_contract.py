@@ -240,7 +240,9 @@ def test_stream_views_do_not_accumulate_across_queries(spark, sf_dir):
     qs = e.queries()
     qs["j01_stream_tumbling"](spark, sf_dir).count()
     assert runner._LIVE_VIEWS, "runner did not track the memory-sink view"
-    live = list(runner._LIVE_VIEWS)
+    live = [name for ref, name in runner._LIVE_VIEWS]
+    owners = [ref() for ref, name in runner._LIVE_VIEWS]
+    assert all(o is spark for o in owners), "view owner must be the session"
     for name in live:
         assert spark.catalog.tableExists(name)
     qs["b01_project_columns"](spark, sf_dir).count()
